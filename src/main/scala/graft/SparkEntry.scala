@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each capability from SURVEY.md §2's operator inventory is one QueryDef
+  * in a themed pack; this object is just the aggregation point.
+  */
 object SparkEntry {
+
+  /** All query packs. Order is cosmetic (names are unique). */
+  private val packs: Seq[QueryPack] = Seq(
+    Aggregates)
+
+  lazy val all: Seq[QueryDef] = {
+    val ds = packs.flatMap(_.defs)
+    val dup = ds.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
+    ds
+  }
+
+  /** Tuned conf baseline (SURVEY.md §4.1 conclusion): AQE is on by default
+    * in Spark 4; add CBO + join reorder + runtime bloom-filter semijoin —
+    * the moral equivalents of Hive's MapJoinProcessor/JoinReorder/
+    * SyntheticJoinPredicate chain.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.cbo.enabled", "true")
+    c.set("spark.sql.cbo.joinReorder.enabled", "true")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    c.set("spark.sql.adaptive.enabled", "true")
+    HiveCompatFunctions.ensure(spark)
+    spark
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    tune(spark)
+    all.head.run(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(d => d.name -> { (s: SparkSession, dir: String) =>
+      tune(s); d.run(s, dir)
+    }).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

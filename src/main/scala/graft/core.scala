@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named capability: a Spark query plus (optionally) DuckDB oracle SQL
+  * the driver hash-compares against. Name and column aliases MUST match
+  * between the two (the driver sorts columns by name before hashing).
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+/** A themed group of QueryDefs (joins, aggregates, windows, ...). */
+trait QueryPack {
+  def defs: Seq[QueryDef]
+
+  /** Oracle-checked query. */
+  protected def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), run)
+
+  /** Rows-only query (no SQL-expressible oracle). */
+  protected def qRows(name: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, None, run)
+}
+
+/** Table access + numeric helpers shared by all packs. */
+object T {
+  val star = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one test table. At 100 TB this is the same call against a
+    * partitioned table root; Spark's file source handles split planning,
+    * partition pruning and filter/column pushdown identically.
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    HiveCompatFunctions.ensure(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact-decimal cast for money/quantity doubles. Summing doubles is
+    * order-dependent (partial aggregation order differs run to run and
+    * engine to engine); summing decimals is exact and associative, so the
+    * Spark result and the DuckDB oracle agree bit-for-bit after the final
+    * cast back to double. Scale 4 keeps 2-decimal money values unambiguous.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact decimal sum, surfaced as double (deterministic final cast). */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum / count, evaluated in
+    * double exactly like the oracle's `CAST(SUM(..) AS DOUBLE)/COUNT(..)`.
+    */
+  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+
+  /** DuckDB-side twins of dec/dsum/davg for oracle SQL strings. */
+  def oDec(e: String): String = s"CAST($e AS DECIMAL(18,4))"
+  def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  def oAvg(e: String): String =
+    s"(CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / COUNT($e))"
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-surface functions Spark lacks, re-expressed Spark-first.
+  *
+  * Most "gaps" in the Hive function registry (SURVEY.md §2.8) are pure
+  * compositions of codegen'd built-ins, so we expose them as Column
+  * combinators (zero UDF overhead, stays inside whole-stage codegen).
+  * Only genuinely stateful aggregates (ngrams) need an Aggregator
+  * (see [[NGramsAgg]]).
+  *
+  * Reference surface: Apache Hive FunctionRegistry
+  * (ql/exec/FunctionRegistry.class, hive-exec-2.3.10) — see SURVEY.md §2.8.
+  */
+object HiveCompatFunctions {
+
+  private val registered = ConcurrentHashMap.newKeySet[String]()
+
+  /** Idempotent per-session registration of SQL-visible functions. */
+  def ensure(spark: SparkSession): Unit =
+    if (registered.add(System.identityHashCode(spark).toString)) {
+      spark.udf.register("ngrams_top",
+        org.apache.spark.sql.functions.udaf(new NGramsAgg(2, 20)))
+      spark.udf.register("context_ngrams_after",
+        org.apache.spark.sql.functions.udaf(
+          new ContextNGramsAgg(Seq(Some("spark"), None), 20)))
+    }
+
+  // --- string gaps -------------------------------------------------------
+
+  /** Hive `field(x, v1, v2, ...)`: 1-based index of x in the list, 0 if
+    * absent. Pure composition → codegen'd, no UDF.
+    */
+  def field(x: Column, vs: Column*): Column =
+    coalesce(array_position(array(vs: _*), x), lit(0L))
+
+  /** Hive `find_in_set(x, 'a,b,c')`: 1-based index in a comma list. */
+  def findInSet(x: Column, set: Column): Column =
+    coalesce(array_position(split(set, ","), x), lit(0L))
+
+  /** Hive `sort_array_by(arr_of_struct, 'f')`: sort array of structs by one
+    * field, ascending (nulls first, like Hive).
+    */
+  def sortArrayBy(arr: Column, fld: String): Column =
+    array_sort(arr, (a, b) =>
+      when(a(fld) < b(fld), -1).when(a(fld) > b(fld), 1).otherwise(0))
+
+  // --- masking (Hive GenericUDFMask* family) -----------------------------
+
+  /** Hive `mask`: upper→X, lower→x, digit→n. */
+  def mask(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, "[A-Z]", "X"), "[a-z]", "x"),
+      "[0-9]", "n")
+
+  /** mask_first_n: mask only the first n chars. */
+  def maskFirstN(c: Column, n: Int): Column =
+    concat(mask(c.substr(lit(1), lit(n))), c.substr(lit(n + 1), length(c)))
+
+  /** mask_last_n: mask only the last n chars. */
+  def maskLastN(c: Column, n: Int): Column =
+    concat(
+      c.substr(lit(1), greatest(length(c) - n, lit(0))),
+      mask(c.substr(greatest(length(c) - n + 1, lit(1)), lit(n))))
+
+  /** mask_show_first_n: show first n, mask the rest. */
+  def maskShowFirstN(c: Column, n: Int): Column =
+    concat(c.substr(lit(1), lit(n)), mask(c.substr(lit(n + 1), length(c))))
+
+  /** mask_show_last_n: mask all but the last n chars. */
+  def maskShowLastN(c: Column, n: Int): Column =
+    concat(
+      mask(c.substr(lit(1), greatest(length(c) - n, lit(0)))),
+      c.substr(greatest(length(c) - n + 1, lit(1)), lit(n)))
+
+  /** mask_hash: deterministic hash of the value (Hive uses md5/sha256). */
+  def maskHash(c: Column): Column = md5(c.cast("string"))
+
+  // --- UNIONTYPE encoding (SURVEY.md §1.2 / §7.5.2) ----------------------
+  // Hive UNIONTYPE<T0,T1,...> has no Spark twin; encode as a tagged struct
+  // STRUCT<tag: TINYINT, field0: T0, field1: T1, ...> that round-trips
+  // through parquet.
+
+  /** create_union(tag, v0, v1, ...): tagged-struct encoding. Fields other
+    * than the active tag are NULL.
+    */
+  def createUnion(tag: Column, vs: Column*): Column = {
+    val fields = vs.zipWithIndex.map { case (v, i) =>
+      when(tag === i, v).as(s"field$i")
+    }
+    struct((tag.cast("tinyint").as("tag") +: fields): _*)
+  }
+
+  /** extract_union(u): pass-through (the struct IS the exploded view). */
+  def extractUnion(u: Column): Column = u
+}

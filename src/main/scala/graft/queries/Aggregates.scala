@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** GroupByOperator surface (SURVEY.md §2.4): hash aggregation with
+  * partial/final split, DISTINCT aggregates, CUBE/ROLLUP/GROUPING SETS,
+  * statistical and percentile UDAFs, collect_list/set, ngrams.
+  *
+  * Scale notes (100 TB): every query here is a declarative groupBy →
+  * Catalyst plans HashAggregate(partial) → shuffle on the group keys →
+  * HashAggregate(final); map-side combine bounds shuffle volume by group
+  * cardinality, not row count. DISTINCT aggs plan the standard two-shuffle
+  * expand; low-cardinality keys here (flags/status) make the final shuffle
+  * tiny at any scale.
+  */
+object Aggregates extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Flagship: TPC-H Q1 shape — scan → filter → project → hash agg → sort.
+    // Money math in exact decimal so Spark and the oracle agree
+    // bit-for-bit (see T.dec).
+    q("q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(${oDec("l_extendedprice")} * (1 - ${oDec("l_discount")}) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(ROUND(SUM(CAST(${oDec("l_extendedprice")} * (1 - ${oDec("l_discount")}) AS DECIMAL(18,4)) * (1 + ${oDec("l_tax")})), 2) AS DOUBLE) AS sum_charge,
+         |  ${oAvg("l_quantity")} AS avg_qty,
+         |  ${oAvg("l_extendedprice")} AS avg_price,
+         |  ${oAvg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val discPrice = (dec(l("l_extendedprice")) * (lit(1) - dec(l("l_discount"))))
+        .cast("decimal(18,4)")
+      l.filter(l("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(l("l_quantity")).as("sum_qty"),
+          dsum(l("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          // NB scale-8 sums: rescale to 2 decimals (Spark cast = HALF_UP ≡
+          // DuckDB ROUND half-away for the oracle; DuckDB CAST would
+          // truncate) before the double cast — above scale 4 the scaled
+          // integer exceeds 2^53 and decimal→double rounding paths differ
+          // between engines by 1 ulp.
+          sum(discPrice * (lit(1) + dec(l("l_tax"))))
+            .cast("decimal(38,2)").cast("double").as("sum_charge"),
+          davg(l("l_quantity")).as("avg_qty"),
+          davg(l("l_extendedprice")).as("avg_price"),
+          davg(l("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // DISTINCT aggregates + min/max over numbers, strings, timestamps.
+    q("q_agg_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS supp_cnt,
+        |  COUNT(DISTINCT l_partkey) AS part_cnt,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_dist_qty,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  MIN(l_linestatus) AS min_status, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      l.groupBy("l_returnflag")
+        .agg(
+          countDistinct(l("l_suppkey")).as("supp_cnt"),
+          countDistinct(l("l_partkey")).as("part_cnt"),
+          sum_distinct(dec(l("l_quantity"))).cast("double").as("sum_dist_qty"),
+          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"),
+          min("l_linestatus").as("min_status"), max("l_quantity").as("max_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // CUBE with grouping_id — Hive grouping-sets expansion
+    // (GroupByDesc grouping sets + GenericUDFGrouping, SURVEY.md §2.4).
+    q("q_agg_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val o = t(s, dir, "orders")
+        o.cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("cnt"),
+            dsum(o("o_totalprice")).as("sum_price"))
+          .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+    },
+
+    q("q_agg_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val l = t(s, dir, "lineitem")
+        l.rollup("l_returnflag", "l_linestatus")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    },
+
+    q("q_agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+            |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
+            |FROM gs_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // Statistical UDAF family (GenericUDAFVariance/Std/Correlation/
+    // Covariance — SURVEY.md §2.4). Merge formulas differ between engines
+    // in low-order bits → round(3) on both sides.
+    q("q_agg_stats",
+      """SELECT l_returnflag,
+        |  ROUND(VAR_POP(l_quantity), 3) AS vpop,
+        |  ROUND(VAR_SAMP(l_quantity), 3) AS vsamp,
+        |  ROUND(STDDEV_POP(l_quantity), 3) AS spop,
+        |  ROUND(STDDEV_SAMP(l_quantity), 3) AS ssamp,
+        |  ROUND(CORR(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qp,
+        |  ROUND(COVAR_POP(l_quantity, l_extendedprice), 3) AS cvpop,
+        |  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 3) AS cvsamp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val l = t(s, dir, "lineitem")
+        l.groupBy("l_returnflag")
+          .agg(
+            round(var_pop(l("l_quantity")), 3).as("vpop"),
+            round(var_samp(l("l_quantity")), 3).as("vsamp"),
+            round(stddev_pop(l("l_quantity")), 3).as("spop"),
+            round(stddev_samp(l("l_quantity")), 3).as("ssamp"),
+            // +0.0 normalizes IEEE -0.0 (a tiny negative corr rounds to
+            // -0.0 in one engine and 0.0 in the other).
+            (round(corr(l("l_quantity"), l("l_extendedprice")), 3) + lit(0.0)).as("corr_qp"),
+            round(covar_pop(l("l_quantity"), l("l_extendedprice")), 3).as("cvpop"),
+            round(covar_samp(l("l_quantity"), l("l_extendedprice")), 3).as("cvsamp"))
+          .orderBy("l_returnflag")
+    },
+
+    // regr_* family (GenericUDAFBinarySetFunctions, 9 fns — SURVEY.md §2.4).
+    q("q_agg_regr",
+      """SELECT l_returnflag,
+        |  CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS r_cnt,
+        |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 3) AS r_slope,
+        |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 3) AS r_icept,
+        |  ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r_r2,
+        |  ROUND(REGR_AVGX(l_extendedprice, l_quantity), 3) AS r_avgx,
+        |  ROUND(REGR_AVGY(l_extendedprice, l_quantity), 3) AS r_avgy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val l = t(s, dir, "lineitem")
+        l.groupBy("l_returnflag")
+          .agg(
+            regr_count(l("l_extendedprice"), l("l_quantity")).as("r_cnt"),
+            round(regr_slope(l("l_extendedprice"), l("l_quantity")), 3).as("r_slope"),
+            round(regr_intercept(l("l_extendedprice"), l("l_quantity")), 3).as("r_icept"),
+            round(regr_r2(l("l_extendedprice"), l("l_quantity")), 6).as("r_r2"),
+            round(regr_avgx(l("l_extendedprice"), l("l_quantity")), 3).as("r_avgx"),
+            round(regr_avgy(l("l_extendedprice"), l("l_quantity")), 3).as("r_avgy"))
+          .orderBy("l_returnflag")
+    },
+
+    // collect_list / collect_set (GenericUDAFCollectList/CollectSet).
+    // Arrays sorted for determinism (SURVEY.md §7.5.5).
+    q("q_agg_collect",
+      """SELECT lang,
+        |  list_sort(list(DISTINCT source)) AS sources,
+        |  COUNT(*) AS cnt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.groupBy("lang")
+        .agg(
+          sort_array(collect_set(d("source"))).as("sources"),
+          count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+
+    // Exact percentile family (UDAFPercentile / GenericUDAFPercentileApprox).
+    // Linear interpolation on sorted exact values — deterministic in both
+    // engines; round(4) guards the last bit of the interpolation divide.
+    q("q_agg_percentile",
+      """SELECT l_returnflag,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val l = t(s, dir, "lineitem")
+        l.groupBy("l_returnflag")
+          .agg(
+            round(percentile(l("l_extendedprice"), lit(0.25)), 4).as("p25"),
+            round(percentile(l("l_extendedprice"), lit(0.5)), 4).as("p50"),
+            round(percentile(l("l_extendedprice"), lit(0.75)), 4).as("p75"),
+            round(percentile(l("l_extendedprice"), lit(0.95)), 4).as("p95"))
+          .orderBy("l_returnflag")
+    },
+
+    // Hive `ngrams` UDAF via the NGramsAgg Aggregator; the oracle computes
+    // the same top-k bigrams relationally (which is also the 100 TB path).
+    q("q_ngrams_top",
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
+        |  FROM ws)
+        |SELECT ngram, COUNT(*) AS freq FROM b
+        |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val d = t(s, dir, "documents")
+        d.select(split(d("text"), " ").as("words"))
+          .agg(expr("ngrams_top(words)").as("tops"))
+          .select(explode(col("tops")).as("t"))
+          .select(col("t.ngram").as("ngram"), col("t.freq").as("freq"))
+          .orderBy(col("freq").desc, col("ngram"))
+    })
+}
