@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** All query packs. Order is cosmetic (names are unique). */
   private val packs: Seq[QueryPack] = Seq(
-    Aggregates)
+    Aggregates, Joins, Sorting, SetOps, Lateral)
 
   lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

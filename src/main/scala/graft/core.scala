@@ -58,9 +58,17 @@ object T {
     */
   def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
 
+  /** Revenue pattern sum(price*(1-disc)): scale-8 decimal sum, rescaled
+    * to 2 decimals (HALF_UP both engines — see q1 notes) before double.
+    */
+  def drev(p: Column, d: Column): Column =
+    sum(dec(p) * (lit(1) - dec(d))).cast("decimal(38,2)").cast(DoubleType)
+
   /** DuckDB-side twins of dec/dsum/davg for oracle SQL strings. */
   def oDec(e: String): String = s"CAST($e AS DECIMAL(18,4))"
   def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
   def oAvg(e: String): String =
     s"(CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / COUNT($e))"
+  def oRev(p: String, d: String): String =
+    s"CAST(ROUND(SUM(${oDec(p)} * (1 - ${oDec(d)})), 2) AS DOUBLE)"
 }

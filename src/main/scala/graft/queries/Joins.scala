@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.3): CommonJoinOperator join types
+  * (INNER/LEFT/RIGHT/FULL/LEFT SEMI + NOT-EXISTS anti), MapJoinOperator
+  * (broadcast), SMBMapJoinOperator (bucketed sort-merge), cross/theta,
+  * null-safe equality.
+  *
+  * Scale notes (100 TB):
+  * - Dimension joins broadcast explicitly (`broadcast(nation)`): Hive's
+  *   MapJoinProcessor decision made declarative. Fact-fact joins shuffle
+  *   on the join key and rely on AQE for skew splitting (Hive's
+  *   SkewJoinResolver equivalent, free at runtime).
+  * - The bucketed query materializes both sides bucketed+sorted on the
+  *   join key, then joins without an Exchange — Hive's SMB join. At
+  *   100 TB this is the pattern for repeatedly-joined fact tables.
+  */
+object Joins extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q5 shape: fact-fact shuffle join + broadcast dim chain.
+    q("q_join_star",
+      s"""SELECT n_name, ${oRev("l_extendedprice", "l_discount")} AS revenue,
+         |  COUNT(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(drev(l("l_extendedprice"), l("l_discount")).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // LEFT OUTER: preserve customers with zero matching orders.
+    q("q_join_left",
+      """SELECT c_custkey, COUNT(o_orderkey) AS big_orders
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(o("o_orderkey")).as("big_orders"))
+        .orderBy("c_custkey").limit(100)
+    },
+
+    // RIGHT OUTER (same semantics, mirrored operator).
+    q("q_join_right",
+      """SELECT c_custkey, COUNT(o_orderkey) AS big_orders
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |RIGHT JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey DESC LIMIT 100""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      o.join(c, c("c_custkey") === o("o_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(o("o_orderkey")).as("big_orders"))
+        .orderBy(col("c_custkey").desc).limit(100)
+    },
+
+    // FULL OUTER over two partially-overlapping aggregates.
+    q("q_join_full",
+      """WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS cust_cnt
+        |            FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+        |     sn AS (SELECT s_nationkey AS k, COUNT(*) AS supp_cnt
+        |            FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+        |SELECT COALESCE(cn.k, sn.k) AS nationkey,
+        |  COALESCE(cust_cnt, 0) AS cust_cnt,
+        |  COALESCE(supp_cnt, 0) AS supp_cnt
+        |FROM cn FULL JOIN sn ON cn.k = sn.k
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val cn = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("cust_cnt"))
+      val sn = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("supp_cnt"))
+      cn.join(sn, cn("ck") === sn("sk"), "full_outer")
+        .select(
+          coalesce(cn("ck"), sn("sk")).as("nationkey"),
+          coalesce(col("cust_cnt"), lit(0L)).as("cust_cnt"),
+          coalesce(col("supp_cnt"), lit(0L)).as("supp_cnt"))
+        .orderBy("nationkey")
+    },
+
+    // LEFT SEMI (JoinDesc.LEFT_SEMI_JOIN): customers having an urgent
+    // high-value order; EXISTS on the oracle side.
+    q("q_join_semi",
+      """SELECT c_mktsegment, COUNT(*) AS cnt
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 350000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ANTI (Hive 2.3 NOT EXISTS rewrite — SURVEY.md §2.3).
+    q("q_join_anti",
+      """SELECT c_mktsegment, COUNT(*) AS cnt
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 350000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Cross join + theta residual (CrossProductCheck path →
+    // BroadcastNestedLoopJoin in Spark).
+    q("q_join_cross_theta",
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b
+        |WHERE a.r_regionkey < b.r_regionkey
+        |ORDER BY r1, r2""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "region").as("a")
+      val b = t(s, dir, "region").as("b")
+      a.crossJoin(b)
+        .filter(col("a.r_regionkey") < col("b.r_regionkey"))
+        .select(col("a.r_name").as("r1"), col("b.r_name").as("r2"))
+        .orderBy("r1", "r2")
+    },
+
+    // Explicit MapJoin twin: broadcast dim chain supplier→nation→region.
+    q("q_join_broadcast",
+      """SELECT r_name, COUNT(*) AS supp_cnt,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      val sup = t(s, dir, "supplier")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("supp_cnt"), dsum(sup("s_acctbal")).as("sum_bal"))
+        .orderBy("r_name")
+    },
+
+    // Big-big sort-merge join (hinted — below the broadcast threshold at
+    // test SF, but SMJ is what this plan must be at 100 TB).
+    q("q_join_merge_bigbig",
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${oRev("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          drev(l("l_extendedprice"), l("l_discount")).as("revenue"))
+        .orderBy("o_orderstatus")
+    },
+
+    // SMB join on bucketed+sorted saved tables: joins with NO Exchange
+    // (Hive SMBMapJoinOperator / bucket-map-join — SURVEY.md §2.3).
+    q("q_join_bucketed_smb",
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      // Bucketed layout: co-partitioned + co-sorted on the join key, the
+      // write-once/join-many pattern. 8 buckets here; at 100 TB size
+      // buckets so each is a few hundred MB.
+      l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("g_lineitem_bkt")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("g_orders_bkt")
+      val lb = s.table("g_lineitem_bkt")
+      val ob = s.table("g_orders_bkt")
+      lb.join(ob.hint("merge"), lb("l_orderkey") === ob("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(lb("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Null-safe equality join (Hive `<=>`, GenericUDFOPEqualNS).
+    q("q_join_nullsafe",
+      """WITH a AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+        |           FROM customer),
+        |     b AS (SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg
+        |           FROM customer)
+        |SELECT b.seg, COUNT(*) AS cnt
+        |FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+        |GROUP BY b.seg ORDER BY b.seg NULLS FIRST""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val b = c.select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .distinct()
+      a.join(b, a("seg") <=> b("seg"))
+        .groupBy(b("seg")).agg(count(lit(1)).as("cnt"))
+        .orderBy(b("seg").asc_nulls_first)
+    })
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** LATERAL VIEW / UDTF / ScriptOperator surface (SURVEY.md §2.7 + §2.8
+  * UDTFs): explode/posexplode(+outer), stack, inline, json_tuple /
+  * get_json_object, map construction + extraction, TRANSFORM USING.
+  *
+  * Scale notes: generators run inside WholeStageCodegen (GenerateExec);
+  * word-explosion fan-out is bounded per-row, so the downstream
+  * aggregation dominates and gets map-side partial agg as usual.
+  */
+object Lateral extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // LATERAL VIEW explode(split(..)) — word frequency top-k.
+    q("q_explode_words",
+      """SELECT word, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word LIMIT 25""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word")).limit(25)
+    },
+
+    // posexplode: position + value.
+    q("q_posexplode",
+      """SELECT doc_id, CAST(pos AS INT) AS pos, word FROM (
+        |  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+        |         unnest(w) AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id < 5))
+        |WHERE pos <= 2 ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "word")
+        .filter(col("pos") <= 2)
+        .orderBy("doc_id", "pos")
+    },
+
+    // explode_outer: NULL collections keep their row (LEFT LATERAL).
+    q("q_explode_outer",
+      """SELECT d.doc_id, u.word
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN NULL
+        |             ELSE string_split(text, ' ') END AS w
+        |      FROM documents WHERE doc_id < 15) d
+        |LEFT JOIN LATERAL (SELECT unnest(d.w) AS word) u ON TRUE
+        |ORDER BY doc_id, word NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 15)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null))
+            .otherwise(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), explode_outer(col("w")).as("word"))
+        .orderBy(col("doc_id"), col("word").asc_nulls_first)
+    },
+
+    // stack UDTF (GenericUDTFStack).
+    q("q_stack",
+      """SELECT tag, val FROM (
+        |  SELECT 'name' AS tag, r_name AS val FROM region
+        |  UNION ALL
+        |  SELECT 'upper' AS tag, upper(r_name) AS val FROM region)
+        |ORDER BY tag, val""".stripMargin) { (s, dir) =>
+      t(s, dir, "region")
+        .selectExpr("stack(2, 'name', r_name, 'upper', upper(r_name)) AS (tag, val)")
+        .orderBy("tag", "val")
+    },
+
+    // inline UDTF (GenericUDTFInline): explode array<struct>.
+    q("q_inline",
+      """SELECT k, name FROM (
+        |  SELECT r_regionkey AS k, r_name AS name FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey + 100, lower(r_name) FROM region)
+        |ORDER BY k, name""".stripMargin) { (s, dir) =>
+      t(s, dir, "region")
+        .selectExpr(
+          "inline(array(struct(r_regionkey AS k, r_name AS name), " +
+            "struct(r_regionkey + 100 AS k, lower(r_name) AS name)))")
+        .orderBy("k", "name")
+    },
+
+    // get_json_object + json_tuple (UDFJson / GenericUDTFJSONTuple) over
+    // the events.props JSON column.
+    q("q_json_funcs",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k2,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k1"),
+            json_tuple(col("props"), "k").cast("int").as("k2"))
+          .groupBy("event_type")
+          .agg(sum(col("k1")).as("sum_k"), sum(col("k2")).as("sum_k2"),
+            count(lit(1)).as("cnt"))
+          .orderBy("event_type")
+    },
+
+    // map / str_to_map / element_at / map_keys (GenericUDFMap family).
+    q("q_map_ops",
+      """SELECT doc_id, lang AS lang_v, source AS src_v,
+        |  ['lang', 'src'] AS ks
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          map(lit("lang"), col("lang"), lit("src"), col("source")).as("m"),
+          expr("str_to_map(concat('lang:', lang, ',src:', source), ',', ':')")
+            .as("m2"))
+        .select(col("doc_id"),
+          element_at(col("m"), "lang").as("lang_v"),
+          element_at(col("m2"), "src").as("src_v"),
+          map_keys(col("m")).as("ks"))
+        .orderBy("doc_id")
+    },
+
+    // ScriptOperator: TRANSFORM ... USING 'cat' — rows piped through an
+    // external process (SURVEY.md §2.7). Identity script: output = input
+    // as tab-separated strings.
+    q("q_transform_script",
+      """SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name AS name
+        |FROM region ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").createOrReplaceTempView("tr_region")
+      s.sql(
+        """SELECT TRANSFORM (r_regionkey, r_name)
+          |USING 'cat' AS (k STRING, name STRING)
+          |FROM tr_region""".stripMargin)
+        .orderBy("k")
+    })
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** Sort / limit / top-k / distribution surface (SURVEY.md §2.6):
+  * ReduceSinkOperator's four modes (ORDER BY / SORT BY / DISTRIBUTE BY /
+  * CLUSTER BY), LimitOperator (+offset), top-N pushdown, TABLESAMPLE
+  * bucket sampling.
+  *
+  * Scale notes: global top-N never sorts globally — Spark plans
+  * TakeOrderedAndProject (per-partition heap + driver merge of N rows),
+  * exactly Hive's LimitPushdownOptimizer topN. DISTRIBUTE/CLUSTER BY map
+  * to repartition(col) / repartition+sortWithinPartitions — the building
+  * block for write-time layout, not for query results (per-partition
+  * order is not a global contract, hence rows-only check).
+  */
+object Sorting extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ORDER BY + LIMIT → TakeOrderedAndProject (top-N pushdown).
+    q("q_sort_topn",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+    },
+
+    // LIMIT + OFFSET (LimitOperator w/ offset, Hive 3 surface).
+    q("q_sort_limit_offset",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 5""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(5).limit(10)
+    },
+
+    // Mixed-direction sort with explicit null placement.
+    q("q_sort_nulls",
+      """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+        |FROM customer
+        |ORDER BY seg ASC NULLS FIRST, c_custkey DESC LIMIT 50""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+          .orderBy(col("seg").asc_nulls_first, col("c_custkey").desc)
+          .limit(50)
+    },
+
+    // TABLESAMPLE(BUCKET 4 OUT OF 10 ON l_orderkey): Hive buckets int
+    // columns by value, so the bucket filter is pmod(key, y) = x-1
+    // (FilterDesc.SampleDesc — SURVEY.md §2.2).
+    q("q_sample_bucket",
+      """SELECT COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 3""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      l.filter(pmod(col("l_orderkey"), lit(10)) === 3)
+        .agg(count(lit(1)).as("cnt"), dsum(l("l_quantity")).as("sum_qty"))
+    },
+
+    // DISTRIBUTE BY + SORT BY (CLUSTER BY): per-partition order is not a
+    // global contract → rows-only check. This is the write-time layout
+    // primitive (co-location for SMB joins, run-length-friendly sort).
+    qRows("q_cluster_by") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .repartition(32, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    })
+}
