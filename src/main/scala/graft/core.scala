@@ -36,10 +36,24 @@ object T {
   /** Read one test table. At 100 TB this is the same call against a
     * partitioned table root; Spark's file source handles split planning,
     * partition pruning and filter/column pushdown identically.
+    *
+    * `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 refuses
+    * to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
+    * (legacy nanosAsLong) and surface BOTH:
+    *   - `ts_ns` BIGINT — exact nanos, oracle twin is DuckDB `epoch_ns(ts)`
+    *   - `ts` TIMESTAMP — micro-truncated, oracle twin is
+    *     `CAST(ts AS TIMESTAMP)` (DuckDB ns→us cast also truncates)
+    * Integer division (`div`) keeps the math in long space: epoch nanos
+    * (~1.7e18) exceed a double's 2^53 integer range.
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     HiveCompatFunctions.ensure(s)
-    s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Exact-decimal cast for money/quantity doubles. Summing doubles is
