@@ -44,12 +44,14 @@ object T {
     *   - `ts` TIMESTAMP — micro-truncated, oracle twin is
     *     `CAST(ts AS TIMESTAMP)` (DuckDB ns→us cast also truncates)
     * Integer division (`div`) keeps the math in long space: epoch nanos
-    * (~1.7e18) exceed a double's 2^53 integer range.
+    * (~1.7e18) exceed a double's 2^53 integer range. `div` truncates
+    * toward zero, which equals floor division for the non-negative nanos
+    * in the test data (events start 2024-01-01); pre-epoch data would
+    * need an explicit floor.
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     HiveCompatFunctions.ensure(s)
     if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
         .withColumn("ts_ns", col("ts"))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

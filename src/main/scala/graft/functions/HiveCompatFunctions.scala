@@ -19,9 +19,15 @@ object HiveCompatFunctions {
 
   private val registered = ConcurrentHashMap.newKeySet[String]()
 
-  /** Idempotent per-session registration of SQL-visible functions. */
+  /** Idempotent per-session registration of SQL-visible functions and
+    * session-wide conf that affects reads (set once here, not per-read —
+    * a per-table `conf.set` would be a racy hidden side effect).
+    */
   def ensure(spark: SparkSession): Unit =
     if (registered.add(System.identityHashCode(spark).toString)) {
+      // events.ts is parquet INT64 TIMESTAMP(NANOS); Spark 4 only reads it
+      // via the legacy nanos-as-long path (see T.t).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.udf.register("ngrams_top",
         org.apache.spark.sql.functions.udaf(new NGramsAgg(2, 20)))
       spark.udf.register("context_ngrams_after",

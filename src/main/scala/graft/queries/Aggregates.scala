@@ -185,16 +185,17 @@ object Aggregates extends QueryPack {
     },
 
     // collect_list / collect_set (GenericUDAFCollectList/CollectSet).
-    // Arrays sorted for determinism (SURVEY.md §7.5.5).
+    // Arrays sorted for determinism (SURVEY.md §7.5.5), then serialized to
+    // a CSV string — the driver's comparator can't sort array cells.
     q("q_agg_collect",
       """SELECT lang,
-        |  list_sort(list(DISTINCT source)) AS sources,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
         |  COUNT(*) AS cnt
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val d = t(s, dir, "documents")
       d.groupBy("lang")
         .agg(
-          sort_array(collect_set(d("source"))).as("sources"),
+          concat_ws(",", sort_array(collect_set(d("source")))).as("sources"),
           count(lit(1)).as("cnt"))
         .orderBy("lang")
     },
@@ -220,8 +221,10 @@ object Aggregates extends QueryPack {
           .orderBy("l_returnflag")
     },
 
-    // Hive `ngrams` UDAF via the NGramsAgg Aggregator; the oracle computes
-    // the same top-k bigrams relationally (which is also the 100 TB path).
+    // Corpus-wide top-k bigrams, RELATIONAL plan (Hive `ngrams` semantics):
+    // explode bigrams → groupBy → top-k. This is the 100 TB path — map-side
+    // partial agg bounds shuffle volume by distinct-bigram count, and the
+    // final top-k is TakeOrderedAndProject; no single-task global buffer.
     q("q_ngrams_top",
       """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
         |b AS (
@@ -230,11 +233,58 @@ object Aggregates extends QueryPack {
         |SELECT ngram, COUNT(*) AS freq FROM b
         |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""".stripMargin) {
       (s, dir) =>
-        val d = t(s, dir, "documents")
-        d.select(split(d("text"), " ").as("words"))
-          .agg(expr("ngrams_top(words)").as("tops"))
-          .select(explode(col("tops")).as("t"))
-          .select(col("t.ngram").as("ngram"), col("t.freq").as("freq"))
-          .orderBy(col("freq").desc, col("ngram"))
+        t(s, dir, "documents")
+          .select(split(col("text"), " ").as("w"))
+          .select(explode(expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+              " (a, b) -> concat(a, ' ', b))")).as("ngram"))
+          .groupBy("ngram").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("ngram")).limit(20)
+    },
+
+    // Hive `ngrams` UDAF (NGramsAgg Aggregator) over BOUNDED groups: one
+    // aggregation buffer per lang, sized by that lang's distinct-bigram
+    // vocabulary — the per-group pattern the Aggregator is safe for at
+    // scale (vs. the corpus-wide query above, which stays relational).
+    q("q_ngrams_lang",
+      """WITH ws AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |b AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
+        |  FROM ws),
+        |c AS (SELECT lang, ngram, COUNT(*) AS freq FROM b GROUP BY lang, ngram),
+        |r AS (SELECT lang, ngram, freq,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, ngram) AS rn
+        |      FROM c)
+        |SELECT lang, ngram, freq FROM r WHERE rn <= 20
+        |ORDER BY lang, freq DESC, ngram""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), split(col("text"), " ").as("words"))
+        .groupBy("lang").agg(expr("ngrams_top(words)").as("tops"))
+        .select(col("lang"), explode(col("tops")).as("t"))
+        .select(col("lang"), col("t.ngram").as("ngram"), col("t.freq").as("freq"))
+        .orderBy(col("lang"), col("freq").desc, col("ngram"))
+    },
+
+    // Hive `context_ngrams` UDAF (ContextNGramsAgg): count words following
+    // "spark", per lang. The context filter bounds the buffer to the
+    // matched-context vocabulary — inherently small.
+    q("q_context_ngrams",
+      """WITH ws AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |b AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
+        |  FROM ws),
+        |c AS (SELECT lang, ngram, COUNT(*) AS freq FROM b
+        |      WHERE ngram LIKE 'spark %' GROUP BY lang, ngram),
+        |r AS (SELECT lang, ngram, freq,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, ngram) AS rn
+        |      FROM c)
+        |SELECT lang, ngram, freq FROM r WHERE rn <= 20
+        |ORDER BY lang, freq DESC, ngram""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), split(col("text"), " ").as("words"))
+        .groupBy("lang").agg(expr("context_ngrams_after(words)").as("tops"))
+        .select(col("lang"), explode(col("tops")).as("t"))
+        .select(col("lang"), col("t.ngram").as("ngram"), col("t.freq").as("freq"))
+        .orderBy(col("lang"), col("freq").desc, col("ngram"))
     })
 }

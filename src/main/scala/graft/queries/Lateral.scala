@@ -94,10 +94,14 @@ object Lateral extends QueryPack {
         |  COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
+        // json_tuple is a generator: it must be projected alone (its output
+        // column is `c0`) and cast in a FOLLOW-UP select — nesting it inside
+        // Cast throws UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS.
         t(s, dir, "events")
           .select(col("event_type"),
             get_json_object(col("props"), "$.k").cast("int").as("k1"),
-            json_tuple(col("props"), "k").cast("int").as("k2"))
+            json_tuple(col("props"), "k"))
+          .select(col("event_type"), col("k1"), col("c0").cast("int").as("k2"))
           .groupBy("event_type")
           .agg(sum(col("k1")).as("sum_k"), sum(col("k2")).as("sum_k2"),
             count(lit(1)).as("cnt"))
@@ -105,9 +109,11 @@ object Lateral extends QueryPack {
     },
 
     // map / str_to_map / element_at / map_keys (GenericUDFMap family).
+    // Complex outputs are serialized to strings (concat_ws over map_keys)
+    // because the driver's comparator can't sort array cells.
     q("q_map_ops",
       """SELECT doc_id, lang AS lang_v, source AS src_v,
-        |  ['lang', 'src'] AS ks
+        |  'lang,src' AS ks
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") < 10)
         .select(col("doc_id"),
@@ -117,7 +123,7 @@ object Lateral extends QueryPack {
         .select(col("doc_id"),
           element_at(col("m"), "lang").as("lang_v"),
           element_at(col("m2"), "src").as("src_v"),
-          map_keys(col("m")).as("ks"))
+          concat_ws(",", map_keys(col("m"))).as("ks"))
         .orderBy("doc_id")
     },
 
