@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** All query packs. Order is cosmetic (names are unique). */
   private val packs: Seq[QueryPack] = Seq(
-    Aggregates, Joins, Sorting, SetOps, Lateral)
+    Aggregates, Joins, Sorting, SetOps, Lateral, Windows)
 
   lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)
