@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (north star, SURVEY.md §7 stage G): exact dedup, deterministic
+  * keep-first dedup, MinHash-LSH near-dup with exact Jaccard re-scoring,
+  * SimHash near-dup, and exact n-gram Jaccard pair similarity.
+  *
+  * Scale notes (100 TB):
+  * - Exact dedup is a hash groupBy on a 128-bit fingerprint (never on the
+  *   full text — shuffle keys stay 16 bytes regardless of document size).
+  * - Near-dup NEVER does all-pairs: MinHash signatures (24 hashes) are
+  *   banded (12 bands × 2 rows) and candidates come from a groupBy-band
+  *   bucket join; the quadratic step is confined to within-bucket pairs.
+  *   A per-bucket cap guards against a degenerate bucket (mass-duplicated
+  *   boilerplate) blowing up one task — the standard skew guard.
+  * - Exact Jaccard re-scoring joins candidate pairs back to the shingle
+  *   sets (shuffle join on doc_id, materialized once) and compares with
+  *   INTEGER math (10*|∩| >= 8*|∪| ⇔ J >= 0.8) — no float drift between
+  *   engines, no rounding at the decision boundary.
+  */
+object Dedup extends QueryPack {
+
+  /** doc_id, shingles: distinct 3-gram word shingles per document. */
+  private def shingleDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(w) - 2)," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+          " ' ', element_at(w, i + 2))))").as("shingles"))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup accounting: rows vs distinct texts per source. The
+    // fingerprint (md5) is what shuffles, not the text.
+    q("q_dedup_exact",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+        .orderBy("source")
+    },
+
+    // Deterministic keep-first dedup: keeper = lowest doc_id per distinct
+    // text (row_number over the fingerprint) — dropDuplicates semantics
+    // made deterministic. Checksum columns prove WHICH rows survived.
+    q("q_dedup_keepfirst",
+      """SELECT lang, COUNT(*) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM (SELECT * FROM documents
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |                                 ORDER BY doc_id) = 1)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("lang")
+    },
+
+    // MinHash-LSH near-dup: shingle → 24 minhash sigs → 12 bands × 2 →
+    // bucket join → candidate pairs → exact Jaccard >= 0.8 (integer
+    // compare). Oracle = exact all-pairs Jaccard (feasible at oracle SF;
+    // the LSH path finds the same pairs with band-miss probability
+    // (1-s²)^12 < 1e-5 at s=0.8, and it's deterministic — verified green
+    // means always green).
+    q("q_dedup_minhash",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.s, b.s)) AS n_inter,
+        |  len(list_distinct(a.s || b.s)) AS n_union
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE 10 * len(list_intersect(a.s, b.s))
+        |      >= 8 * len(list_distinct(a.s || b.s))
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingleDf(s, dir)
+      // 24 minhash signatures: min over shingles of a seeded xxhash64.
+      val sigs = (0 until 24).map(k =>
+        expr(s"array_min(transform(shingles, v -> xxhash64($k, v)))")
+          .as(s"sig$k"))
+      val sig = sh.select((col("doc_id") +: sigs): _*)
+      // 12 bands × 2 rows: band hash = hash of the band's signature pair.
+      val bandCols = (0 until 12).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"xxhash64(sig${2 * b}, sig${2 * b + 1})").as("h")))
+      val banded = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      // Skew guard: cap candidate buckets (degenerate boilerplate bucket
+      // would otherwise make one task quadratic).
+      val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "h")
+      val capped = banded.withColumn("bsz", count(lit(1)).over(wb))
+        .filter(col("bsz") <= 1000).drop("bsz")
+      val l = capped.as("l")
+      val r = capped.as("r")
+      val cand = l.join(r,
+          col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+        .distinct()
+      // Exact re-score on the shingle sets; integer-math threshold.
+      val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+      val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("n_union", size(array_union(col("sa"), col("sb"))))
+        .filter(col("n_inter") * 10 >= col("n_union") * 8)
+        .select("a_id", "b_id", "n_inter", "n_union")
+        .orderBy("a_id", "b_id")
+    },
+
+    // SimHash near-dup (rows-only: the 64-bit signature depends on
+    // xxhash64, which the SQL oracle can't reproduce; correctness is
+    // covered by SimHashSpec's recall-vs-exact-Jaccard test). Classic
+    // scheme: per token-hash bit j, +count if set else -count; signature
+    // bit j = sign of the sum; candidates blocked on 4 × 16-bit bands
+    // (hamming <= 3 guarantees one identical band by pigeonhole... 4
+    // bands cover hamming <= 3; we filter hamming <= 8 within-bucket).
+    qRows("q_dedup_simhash") { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tokv"))
+        .groupBy("doc_id", "tokv").agg(count(lit(1)).as("cnt"))
+        .withColumn("h", xxhash64(col("tokv")))
+      // 64 signed bit-sums per doc.
+      val bitSums = (0 until 64).map(j =>
+        sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"s$j"))
+      val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      // Assemble the 64-bit signature (two's complement: bit 63 sign-safe
+      // under XOR/bit_count).
+      val sig = (0 until 64).map(j =>
+        shiftleft(when(col(s"s$j") > 0, 1L).otherwise(0L), j))
+        .reduce(_ bitwiseOR _)
+      val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+      // 4 × 16-bit band blocking.
+      val bands = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${16 * b}) & 65535").as("bv")))
+      val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bands: _*)).as("bh"))
+        .select(col("doc_id"), col("simhash"),
+          col("bh.band").as("band"), col("bh.bv").as("bv"))
+      val l = banded.as("l")
+      val r = banded.as("r")
+      l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv")
+          && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy("a_id", "b_id")
+    },
+
+    // Exact bigram-Jaccard similarity, top-10 most-similar pairs on a
+    // bounded subset — the exact-pairwise baseline the LSH path
+    // approximates. Similarity ordered by exact double division (both
+    // engines: IEEE int/int division, bit-identical).
+    q("q_sim_jaccard_pairs",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |           i -> w[i] || ' ' || w[i+1])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id < 100) WHERE len(w) >= 2)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.s, b.s)) AS n_inter,
+        |  len(list_distinct(a.s || b.s)) AS n_union
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |ORDER BY CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |           / len(list_distinct(a.s || b.s)) DESC, a_id, b_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), expr(
+          "array_distinct(zip_with(slice(w, 1, size(w) - 1)," +
+            " slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b)))")
+          .as("s"))
+      val a = sh.select(col("doc_id").as("a_id"), col("s").as("sa"))
+      val b = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("sa"), col("sb"))).as("n_inter"),
+          size(array_union(col("sa"), col("sb"))).as("n_union"))
+        .orderBy((col("n_inter").cast("double") / col("n_union")).desc,
+          col("a_id"), col("b_id"))
+        .limit(10)
+    })
+}

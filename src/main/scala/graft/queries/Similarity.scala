@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north star, SURVEY.md
+  * §7 stage G): brute-force cosine top-k as the exactness baseline, a
+  * random-hyperplane LSH-bucketed variant as the 100 TB path, embedding
+  * column statistics, and the multimodal binary-column slice.
+  *
+  * Scale notes (100 TB):
+  * - Brute-force top-k broadcasts the (small) QUERY set and streams the
+  *   candidate corpus — one scan, no shuffle of the big side; per-query
+  *   top-k is a row_number window partitioned by query id.
+  * - The LSH variant buckets vectors by sign-bit signatures against 16
+  *   fixed hyperplanes: candidates come from a bucket equi-join (shuffle
+  *   on bucket id), so the quadratic step never touches the full corpus.
+  *   Hyperplanes are derived from xxhash64 — deterministic, no driver
+  *   state, no collect.
+  * - All dot products run as codegen'd higher-order functions
+  *   (zip_with + aggregate) over the float arrays cast to double —
+  *   no UDFs, no per-row JVM boxing beyond the array itself.
+  */
+object Similarity extends QueryPack {
+
+  /** Sum of elementwise products in DOUBLE, left-to-right (the same
+    * association order DuckDB's list_sum uses — keeps both engines
+    * bit-compatible before the final rounding).
+    */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-3 per query vector (queries = vec_id < 5).
+    // Exactness baseline for the LSH path below. Cosine rounded to 6
+    // decimals BEFORE ranking so both engines rank identically.
+    q("q_ann_cosine_topk",
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |          / (q.nrm * c.nrm), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, rn, cand_id, cos_sim FROM (
+        |  SELECT q_id, cand_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_sim DESC, cand_id) AS rn
+        |  FROM p)
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = withNorm(t(s, dir, "embeddings"))
+      val qs = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn")))
+      val cands = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      qs.join(cands, col("cand_id") =!= col("q_id"))
+        .withColumn("cos_sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("q_id", "rn", "cand_id", "cos_sim")
+        .orderBy("q_id", "rn")
+    },
+
+    // LSH-bucketed ANN — the 100 TB path. 8 sign-bit hyperplane hashes
+    // → one 8-bit bucket id per vector; nearest neighbor searched only
+    // within the query's bucket. Fewer bits = bigger buckets = higher
+    // recall but more candidate work — tune bits so expected bucket size
+    // stays ~corpus/2^bits rows (at 100 TB: more bits + multi-probe).
+    // Rows-only: the bucket contents depend on xxhash64-derived
+    // hyperplanes the SQL oracle can't reproduce; AnnSpec asserts recall
+    // against the brute-force baseline instead.
+    qRows("q_ann_lsh_bucketed") { (s, dir) =>
+      val dim = 64
+      // Hyperplane k, component d = centered pseudo-random double from
+      // xxhash64(k, d) — deterministic, generated distributed, no driver
+      // randomness. spark.range keeps it a relation, not a collect.
+      val hp = s.range(8).select(col("id").cast("int").as("k"),
+        expr(s"transform(sequence(0, ${dim - 1}), d -> (CAST(pmod(xxhash64(id, d), 2000001) AS DOUBLE) / 1000000.0) - 1.0)")
+          .as("hpv"))
+      val e = withNorm(t(s, dir, "embeddings"))
+      // bucket = OR of sign bits: one row per (vector, hyperplane), then
+      // a groupBy — no 16× duplication of the embedding past this stage.
+      val bits = e.select(col("vec_id"), col("embedding"), col("nrm"))
+        .crossJoin(broadcast(hp))
+        .select(col("vec_id"),
+          when(dot("embedding", "hpv") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(0L).as("bit"))
+        .groupBy("vec_id")
+        .agg(sum(col("bit")).cast("long").as("bucket"))
+      val withB = e.join(bits, "vec_id")
+      val l = withB.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+      val r = withB.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"),
+        col("bucket").as("cbucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      l.join(r, col("bucket") === col("cbucket") &&
+          col("q_id") =!= col("cand_id"))
+        .withColumn("cos_sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("q_id", "cand_id", "cos_sim")
+        .orderBy("q_id")
+    },
+
+    // Embedding column statistics per label: count + decimal-stabilized
+    // mean of the (rounded) L2 norm. Rounding the per-row norm to 6
+    // decimals absorbs any last-ulp association difference; the mean is
+    // then an exact decimal sum / count.
+    q("q_embed_stats",
+      """SELECT label, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+        |         x -> x::DOUBLE * x::DOUBLE))), 6) AS DECIMAL(18,6)))
+        |       AS DOUBLE) / COUNT(*) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      withNorm(t(s, dir, "embeddings"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round(col("nrm"), 6).cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("avg_norm"))
+        .orderBy("label")
+    },
+
+    // Multimodal slice: documents' text re-encoded as an opaque BINARY
+    // payload column with typed metadata, then "decoded" by a
+    // deterministic STUB (the real decoder — image/audio libs — is not in
+    // this container; the Spark-side plumbing below — binary column,
+    // per-partition batch iteration, typed output schema — is the real
+    // pattern, equivalent to a mapInPandas batch decode).
+    q("q_multimodal_stub",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  64 + doc_id % 1024 AS width,
+        |  64 + (doc_id * 7) % 768 AS height,
+        |  1 + n_chars % 10 AS n_frames
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bin = t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+          col("n_chars"))
+        .as[(Long, Array[Byte], Long)]
+      // Per-partition batch "decode": iterate the binary payloads the way
+      // a real decoder would (one library context per partition).
+      bin.mapPartitions { it =>
+        it.map { case (id, payload, nChars) =>
+          (id, payload.length.toLong,
+            64 + id % 1024, 64 + (id * 7) % 768, 1 + nChars % 10)
+        }
+      }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    })
+}

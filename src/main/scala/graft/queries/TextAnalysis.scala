@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north star,
+  * SURVEY.md §7 stage G): language-ID heuristic, quality scoring, token
+  * counting (whitespace + regex-token), and document fingerprinting.
+  *
+  * Scale notes (100 TB): every query is a per-row projection (codegen'd
+  * string/regex built-ins — no UDFs) followed by a low-cardinality
+  * groupBy; shuffle volume is bounded by group count, not corpus size.
+  * Fingerprints are md5 (128-bit) so downstream dedup/joins shuffle
+  * 16-byte keys, never document bodies.
+  */
+object TextAnalysis extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Language-ID via marker-token heuristic (an n-gram language model
+    // reduced to its deterministic skeleton) — confusion matrix of
+    // labeled lang vs guess.
+    q("q_text_langid",
+      """SELECT lang, guess, COUNT(*) AS cnt FROM (
+        |  SELECT lang,
+        |    CASE WHEN text LIKE '%the %' THEN 'en'
+        |         WHEN text LIKE '%data %' THEN 'de'
+        |         WHEN text LIKE '%query %' THEN 'fr'
+        |         ELSE 'und' END AS guess
+        |  FROM documents)
+        |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          when(col("text").like("%the %"), "en")
+            .when(col("text").like("%data %"), "de")
+            .when(col("text").like("%query %"), "fr")
+            .otherwise("und").as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "guess")
+    },
+
+    // Quality scoring: token count, mean token length, stopword ratio,
+    // and a composite score — the filter signals a pretraining pipeline
+    // computes per document. Ratios are int/int double divisions
+    // (bit-identical across engines).
+    q("q_text_quality",
+      """SELECT doc_id, n_tokens,
+        |  ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+        |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  CASE WHEN n_tokens >= 20 AND n_stop * 5 >= n_tokens THEN 1
+        |       ELSE 0 END AS keep_flag
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+        |  FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop", size(expr(
+          "filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("mean_tok_len"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 6)
+            .as("stop_ratio"),
+          when(col("n_tokens") >= 20 &&
+            col("n_stop") * 5 >= col("n_tokens"), 1).otherwise(0)
+            .as("keep_flag"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting per source: whitespace tokens vs regex word-tokens
+    // (the BPE-pretokenizer skeleton: runs of letters / digits).
+    q("q_text_tokens",
+      """SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))) AS BIGINT) AS re_tokens,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))))
+            .as("re_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+
+    // Document fingerprinting: md5 over normalized text (lowercase,
+    // collapsed whitespace). 128-bit keys are what a 100 TB dedup
+    // shuffles; min(fp) is a deterministic per-group sample.
+    q("q_text_fingerprint",
+      """SELECT lang, COUNT(DISTINCT fp) AS n_fp, MIN(fp) AS min_fp
+        |FROM (SELECT lang,
+        |        md5(lower(regexp_replace(text, ' +', ' '))) AS fp
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          md5(lower(regexp_replace(col("text"), " +", " "))).as("fp"))
+        .groupBy("lang")
+        .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
+        .orderBy("lang")
+    })
+}
