@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.8 — Hive FunctionRegistry, ~230
+  * names): one oracle-checked query per family — date/time, string,
+  * math/bit, conditional/null, hash/crypto, URL/XML extraction — plus the
+  * custom gap fills from [[HiveCompatFunctions]] (field, find_in_set,
+  * sort_array_by, mask family, create_union/extract_union with a parquet
+  * round-trip).
+  *
+  * Scale notes: everything here is a per-row projection of codegen'd
+  * built-ins (or compositions of them — see HiveCompatFunctions' design
+  * note); no UDFs, no shuffles beyond the final presentation sort on a
+  * bounded subset.
+  */
+object Functions extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Date/time family (UDFDate*/GenericUDFDate*, §2.8): extraction,
+    // arithmetic, truncation, formatting. DuckDB twins chosen for
+    // identical semantics (dayofweek offset differs by 1).
+    q("q_fn_datetime",
+      """SELECT o_orderkey,
+        |  EXTRACT(YEAR FROM o_orderdate) AS y,
+        |  EXTRACT(MONTH FROM o_orderdate) AS m,
+        |  EXTRACT(DAY FROM o_orderdate) AS d,
+        |  EXTRACT(QUARTER FROM o_orderdate) AS q,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(last_day(o_orderdate) AS DATE) AS eom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+        |  date_diff('day', o_orderdate, TIMESTAMP '1997-01-01 00:00:00') AS days_to_97,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS fmt
+        |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 50)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          last_day(col("o_orderdate")).as("eom"),
+          // cast to DATE both sides: a COMPUTED naive timestamp would
+          // round-trip tz-aware from Spark but tz-naive from DuckDB.
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+          datediff(lit("1997-01-01").cast("date"), col("o_orderdate"))
+            .as("days_to_97"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"))
+        .orderBy("o_orderkey")
+    },
+
+    // String family: case, pad, trim, search, slice, edit distance.
+    q("q_fn_string",
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        |  substring(c_name, 1, 8) AS sub,
+        |  strpos(c_name, '#') AS pos,
+        |  replace(c_name, 'Customer', 'Cust') AS repl,
+        |  reverse(c_mktsegment) AS rev,
+        |  repeat('ab', 3) AS rep,
+        |  ascii(c_mktsegment) AS asc_c,
+        |  chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS chr_c,
+        |  levenshtein(c_mktsegment, 'BUILDING') AS lev,
+        |  split_part(c_name, '#', 2) AS tail_part,
+        |  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS cw,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+        |  left(c_name, 4) AS l4, right(c_name, 3) AS r3
+        |FROM customer WHERE c_custkey < 30 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 30)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"), lower(col("c_mktsegment")).as("lo"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          instr(col("c_name"), "#").as("pos"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+          reverse(col("c_mktsegment")).as("rev"),
+          lit("ab" * 3).as("rep"),
+          ascii(col("c_mktsegment")).as("asc_c"),
+          chr(lit(65) + col("c_custkey") % 26).as("chr_c"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"),
+          substring_index(col("c_name"), "#", -1).as("tail_part"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string"))
+            .as("cw"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+          expr("left(c_name, 4)").as("l4"), expr("right(c_name, 3)").as("r3"))
+        .orderBy("c_custkey")
+    },
+
+    // Math + bit-op family (UDFOPBit*, shiftleft/right — §2.8).
+    q("q_fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(-l_quantity) AS ab,
+        |  CAST(ceil(l_discount * 10) AS BIGINT) AS ce,
+        |  CAST(floor(l_tax * 10) AS BIGINT) AS fl,
+        |  ROUND(power(l_quantity, 2), 4) AS pw,
+        |  ROUND(sqrt(l_quantity), 6) AS sq,
+        |  ROUND(exp(l_discount), 6) AS ex,
+        |  ROUND(ln(l_quantity + 1), 6) AS lg,
+        |  ROUND(log10(l_quantity + 1), 6) AS l10,
+        |  CAST(sign(l_quantity - 25) AS DOUBLE) AS sg,
+        |  ((l_orderkey % 7) + 7) % 7 AS pm,
+        |  l_orderkey & 15 AS ba, l_orderkey | 16 AS bo,
+        |  xor(l_orderkey, 5) AS bx, l_linenumber << 3 AS shl,
+        |  greatest(l_quantity, 25.0) AS gr, least(l_quantity, 25.0) AS ls
+        |FROM lineitem WHERE l_orderkey < 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(-col("l_quantity")).as("ab"),
+          ceil(col("l_discount") * 10).as("ce"),
+          floor(col("l_tax") * 10).as("fl"),
+          round(pow(col("l_quantity"), 2), 4).as("pw"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          round(exp(col("l_discount")), 6).as("ex"),
+          round(log(col("l_quantity") + 1), 6).as("lg"),
+          round(log10(col("l_quantity") + 1), 6).as("l10"),
+          signum(col("l_quantity") - 25).as("sg"),
+          pmod(col("l_orderkey"), lit(7)).as("pm"),
+          col("l_orderkey").bitwiseAND(15).as("ba"),
+          col("l_orderkey").bitwiseOR(16).as("bo"),
+          col("l_orderkey").bitwiseXOR(5).as("bx"),
+          shiftleft(col("l_linenumber"), 3).as("shl"),
+          greatest(col("l_quantity"), lit(25.0)).as("gr"),
+          least(col("l_quantity"), lit(25.0)).as("ls"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Conditional / null family: if, nvl, nullif, coalesce, case,
+    // between, in, isnull.
+    q("q_fn_conditional",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULTED') AS seg,
+        |  CASE WHEN c_acctbal BETWEEN 0 AND 1000 THEN 1 ELSE 0 END AS in_band,
+        |  CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') THEN 1
+        |       ELSE 0 END AS in_set,
+        |  CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1
+        |       ELSE 0 END AS was_null,
+        |  IF(c_acctbal > 0, 'credit', 'debit') AS side
+        |FROM customer WHERE c_custkey < 40 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 40)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("DEFAULTED")).as("seg"),
+          col("c_acctbal").between(0, 1000).cast("int").as("in_band"),
+          col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY").cast("int")
+            .as("in_set"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).isNull.cast("int")
+            .as("was_null"),
+          when(col("c_acctbal") > 0, "credit").otherwise("debit").as("side"))
+        .orderBy("c_custkey")
+    },
+
+    // Hash/crypto family: md5 / sha2-256 (UDFMd5/GenericUDFSha2). Spark
+    // also has sha1/crc32/aes_* but DuckDB can't oracle them; Hive's own
+    // `hash` is ObjectInspector-specific — not ported (documented SURVEY
+    // §2.8 decision: don't chase bit-parity of an internal hash).
+    q("q_fn_hash",
+      """SELECT r_regionkey,
+        |  md5(r_name) AS h_md5,
+        |  sha256(r_name) AS h_sha256,
+        |  md5(CAST(r_regionkey AS VARCHAR)) AS h_md5_num
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "region")
+        .select(col("r_regionkey"),
+          md5(col("r_name")).as("h_md5"),
+          sha2(col("r_name"), 256).as("h_sha256"),
+          md5(col("r_regionkey").cast("string")).as("h_md5_num"))
+        .orderBy("r_regionkey")
+    },
+
+    // Masking family (GenericUDFMask* — data-redaction): upper→X,
+    // lower→x, digit→n, with first/last-n variants. DuckDB twin needs
+    // the 'g' flag (its regexp_replace is first-match by default).
+    q("q_fn_mask",
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS m_all,
+        |  regexp_replace(regexp_replace(regexp_replace(substring(c_name, 1, 4),
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    || substring(c_name, 5) AS m_first4,
+        |  substring(c_name, 1, length(c_name) - 4)
+        |    || regexp_replace(regexp_replace(regexp_replace(
+        |         substring(c_name, length(c_name) - 3, 4),
+        |         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS m_last4,
+        |  md5(c_name) AS m_hash
+        |FROM customer WHERE c_custkey < 20 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 20)
+        .select(col("c_custkey"),
+          HiveCompatFunctions.mask(col("c_name")).as("m_all"),
+          HiveCompatFunctions.maskFirstN(col("c_name"), 4).as("m_first4"),
+          HiveCompatFunctions.maskLastN(col("c_name"), 4).as("m_last4"),
+          HiveCompatFunctions.maskHash(col("c_name")).as("m_hash"))
+        .orderBy("c_custkey")
+    },
+
+    // field / find_in_set / sort_array_by — the §2.8 registry gaps filled
+    // by HiveCompatFunctions combinators. sort_array_by output serialized
+    // via array_join (comparator can't sort array cells).
+    q("q_fn_field",
+      """SELECT r_regionkey,
+        |  COALESCE(list_position(['ASIA', 'EUROPE', 'AFRICA'], r_name), 0) AS fld,
+        |  COALESCE(list_position(string_split('ASIA,EUROPE,AMERICA', ','),
+        |    r_name), 0) AS fis,
+        |  array_to_string(list_transform(list_sort(
+        |    [{'k': (r_regionkey * 3) % 5, 'v': r_name},
+        |     {'k': (r_regionkey * 3 + 1) % 5, 'v': lower(r_name)}]),
+        |    x -> x.v), '|') AS sorted_names
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      // Distinct sort keys by construction (k, k+1 mod 5): the oracle's
+      // list_sort falls back to the next struct field on ties, which
+      // array_sort's comparator does not — avoid the ambiguity entirely.
+      t(s, dir, "region")
+        .withColumn("arr", array(
+          struct((col("r_regionkey") * 3 % 5).as("k"), col("r_name").as("v")),
+          struct(((col("r_regionkey") * 3 + 1) % 5).as("k"),
+            lower(col("r_name")).as("v"))))
+        .select(col("r_regionkey"),
+          HiveCompatFunctions.field(col("r_name"),
+            lit("ASIA"), lit("EUROPE"), lit("AFRICA")).as("fld"),
+          HiveCompatFunctions.findInSet(col("r_name"),
+            lit("ASIA,EUROPE,AMERICA")).as("fis"),
+          array_join(transform(
+            HiveCompatFunctions.sortArrayBy(col("arr"), "k"),
+            e => e("v")), "|").as("sorted_names"))
+        .orderBy("r_regionkey")
+    },
+
+    // UNIONTYPE round-trip (§1.2's one unmappable type): create_union →
+    // parquet write → read → extract. The write is idempotent (overwrite
+    // into the JVM temp dir) and tiny; it proves the tagged-struct
+    // encoding survives the storage format.
+    q("q_fn_union_type",
+      """SELECT r_regionkey, tag,
+        |  CASE WHEN tag = 0 THEN r_name END AS field0,
+        |  CASE WHEN tag = 1 THEN r_regionkey * 100 END AS field1
+        |FROM (SELECT r_regionkey, r_name,
+        |        CAST(r_regionkey % 2 AS TINYINT) AS tag FROM region)
+        |ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_union_rt"
+      t(s, dir, "region")
+        .select(col("r_regionkey"),
+          HiveCompatFunctions.createUnion(col("r_regionkey") % 2,
+            col("r_name"), col("r_regionkey") * 100).as("u"))
+        .write.mode("overwrite").parquet(path)
+      val rt = s.read.parquet(path)
+      rt.select(col("r_regionkey"),
+          HiveCompatFunctions.extractUnion(col("u")).as("u"))
+        .select(col("r_regionkey"), col("u.tag").as("tag"),
+          col("u.field0").as("field0"), col("u.field1").as("field1"))
+        .orderBy("r_regionkey")
+    },
+
+    // URL + XML extraction (GenericUDFParseUrl, UDFXPath* — §2.8) over
+    // synthesized url/xml columns; DuckDB twins are regexp extractions.
+    q("q_fn_url_xml",
+      """SELECT r_regionkey,
+        |  'example.com' AS host,
+        |  '/r/' || replace(r_name, ' ', '_') AS path,
+        |  CAST(r_regionkey AS VARCHAR) AS qval,
+        |  r_name AS xval
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      // URL-safe path segment (Spark 4's parse_url rejects raw spaces).
+      t(s, dir, "region")
+        .withColumn("url", concat(lit("http://example.com/r/"),
+          regexp_replace(col("r_name"), " ", "_"),
+          lit("?k="), col("r_regionkey").cast("string")))
+        .withColumn("xml", concat(lit("<r><n>"), col("r_name"),
+          lit("</n></r>")))
+        .select(col("r_regionkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("k")).as("qval"),
+          xpath_string(col("xml"), lit("/r/n")).as("xval"))
+        .orderBy("r_regionkey")
+    })
+}
