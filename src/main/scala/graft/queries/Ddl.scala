@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** DDL / catalog / mutation surface (SURVEY.md §7 stage E): CREATE TABLE
+  * AS SELECT into the session catalog, ANALYZE TABLE COMPUTE STATISTICS
+  * (feeds the enabled CBO — table + column stats make the cost-based
+  * join reorder real), CREATE VIEW expansion, and the ACID trio
+  * MERGE / UPDATE / DELETE implemented as deterministic batch rewrites
+  * (SURVEY §7.5.3: no transactional storage in scope — a MERGE is a
+  * full-outer join rewrite producing the post-state, Hive-ACID's
+  * delta+compaction collapsed into one job).
+  *
+  * Scale notes: CTAS setup is create-if-absent per (session, sf) like
+  * the SMB tables — queries re-read, never re-write; the MERGE rewrite
+  * is a single shuffle join on the merge key + one write, which is
+  * exactly how batch MERGE executes at 100 TB (plus partition pruning
+  * to rewrite only touched partitions — demonstrated by the dynamic-
+  * partition overwrite in Sources).
+  */
+object Ddl extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // CTAS + ANALYZE: materialize a per-customer order summary in the
+    // catalog, compute table+column stats (CBO input), query it.
+    q("q_ddl_ctas_analyze",
+      """SELECT seg_band, COUNT(*) AS n_cust,
+        |  CAST(SUM(n_orders) AS BIGINT) AS orders_total
+        |FROM (
+        |  SELECT c.c_custkey,
+        |    CASE WHEN COUNT(o.o_orderkey) >= 10 THEN 'many'
+        |         WHEN COUNT(o.o_orderkey) >= 1 THEN 'some'
+        |         ELSE 'none' END AS seg_band,
+        |    COUNT(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY seg_band ORDER BY seg_band""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val tbl = s"g_cust_summary_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"))
+          .agg(count(o("o_orderkey")).as("n_orders"))
+          .withColumn("seg_band",
+            when(col("n_orders") >= 10, "many")
+              .when(col("n_orders") >= 1, "some").otherwise("none"))
+          .write.saveAsTable(tbl)
+        // Table + column stats: the catalyst CBO (enabled in tune())
+        // reads these for cardinality estimates / join reorder.
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      s.table(tbl)
+        .groupBy("seg_band")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("n_orders")).as("orders_total"))
+        .orderBy("seg_band")
+    },
+
+    // CREATE VIEW + query-through-view (CreateViewDesc): views expand at
+    // analysis time — the plan is identical to inlining the subquery.
+    q("q_ddl_view",
+      """SELECT r_name, COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("v_nation")
+      t(s, dir, "region").createOrReplaceTempView("v_region")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW v_nation_region AS " +
+        "SELECT n.*, r.r_name FROM v_nation n " +
+        "JOIN v_region r ON n.n_regionkey = r.r_regionkey")
+      s.sql("SELECT r_name, COUNT(*) AS n_nations FROM v_nation_region " +
+        "GROUP BY r_name ORDER BY r_name")
+    },
+
+    // MERGE INTO as a batch rewrite: target = customer balances, source =
+    // per-customer order revenue. WHEN MATCHED THEN UPDATE (add revenue),
+    // WHEN NOT MATCHED BY SOURCE keep row — expressed as a left join +
+    // projection (the scale shape: one shuffle join on the merge key).
+    // Output is a checksum of the post-MERGE state.
+    q("q_ddl_merge",
+      """WITH src AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |  FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal + COALESCE(rev, 0) AS DECIMAL(18,4)))
+        |       AS DOUBLE) AS bal_total,
+        |  CAST(SUM(CASE WHEN rev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM customer LEFT JOIN src ON c_custkey = k
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val target = t(s, dir, "customer")
+      val source = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      // MERGE rewrite: matched rows get the update applied; unmatched
+      // target rows pass through; (no NOT-MATCHED-INSERT branch here).
+      val merged = target.join(source, target("c_custkey") === source("k"),
+          "left")
+        .withColumn("c_acctbal_new",
+          col("c_acctbal") + coalesce(col("rev"), lit(0.0)))
+        .withColumn("was_updated", col("rev").isNotNull.cast("long"))
+      merged.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("c_acctbal_new"))).cast("double").as("bal_total"),
+          sum(col("was_updated")).as("n_updated"))
+        .orderBy("c_mktsegment")
+    },
+
+    // UPDATE + DELETE as batch rewrites (UpdateDeleteSemanticAnalyzer →
+    // full-rewrite): DELETE negative-balance rows, UPDATE the remainder
+    // (cap balances at 9000). Output checksums the post-state.
+    q("q_ddl_update_delete",
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_kept,
+        |  CAST(SUM(CAST(CASE WHEN c_acctbal > 9000 THEN 9000.0
+        |        ELSE c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) AS bal_total
+        |FROM customer WHERE NOT (c_acctbal < 0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val afterDelete = c.filter(!(col("c_acctbal") < 0))
+      val afterUpdate = afterDelete.withColumn("c_acctbal",
+        when(col("c_acctbal") > 9000, lit(9000.0)).otherwise(col("c_acctbal")))
+      afterUpdate.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(dec(col("c_acctbal"))).cast("double").as("bal_total"))
+        .orderBy("c_mktsegment")
+    })
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface (SURVEY.md §2.1): text/CSV/JSON serde families
+  * (LazySimpleSerDe, OpenCSVSerde, JsonSerDe), ORC read/write with
+  * predicate pushdown, partitioned writes with dynamic partitions
+  * (FileSinkOperator), and RegexSerDe-style line parsing.
+  *
+  * Each round-trip WRITES a derived dataset (to the JVM temp dir, keyed
+  * by the sf dir so scale factors don't collide), READS it back through
+  * the target format, and aggregates — the oracle computes the same
+  * aggregate straight from the source parquet, proving the format
+  * round-trip is lossless for the covered types.
+  *
+  * Scale notes (100 TB): all writes re-partition to a bounded file count
+  * (no 32-way shard of a 25-row dim, no single-file TB write);
+  * partitioned reads prove partition PRUNING (the status filter never
+  * scans other partitions' files — Hive's PartitionPruner, free in
+  * Spark's file source). Avro is omitted: the spark-avro connector jar
+  * is not on this cluster's classpath (only avro-core) — documented gap.
+  */
+object Sources extends QueryPack {
+
+  private def tmp(dir: String, name: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft_src_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" + name
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // CSV round-trip (OpenCSVSerde / LazySimpleSerDe): write nation as
+    // headered CSV, read back with an explicit schema (schema-on-read),
+    // aggregate. Types: bigint + string survive; csv is header+quote
+    // aware both directions.
+    q("q_src_csv",
+      """SELECT n_regionkey, COUNT(*) AS cnt,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "csv")
+      t(s, dir, "nation").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(p)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_regionkey", LongType)))
+      s.read.schema(schema).option("header", "true").csv(p)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_nationkey")).as("key_sum"),
+          min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
+    // JSON-lines round-trip (JsonSerDe): nested struct column written to
+    // json, read back (schema inference), struct field extracted.
+    q("q_src_json",
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id < 2000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "json")
+      t(s, dir, "events").filter(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type"),
+          struct(col("value").as("v"), col("user_id").as("u")).as("payload"))
+        .coalesce(4)
+        .write.mode("overwrite").json(p)
+      s.read.json(p)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("payload.v")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ORC round-trip with predicate + column pushdown (Hive's
+    // SearchArgument sarg): the read filter reaches the ORC reader
+    // (min/max stripe skipping), the projection prunes columns.
+    q("q_src_orc",
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey < 1000 AND l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "orc")
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .coalesce(4)
+        .write.mode("overwrite").orc(p)
+      s.read.orc(p)
+        .filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Text + regex parsing (RegexSerDe): pipe-delimited lines written as
+    // raw text, re-parsed with regexp_extract on read.
+    q("q_src_text_regex",
+      """SELECT CAST(r_regionkey AS VARCHAR) AS k, upper(r_name) AS name
+        |FROM region ORDER BY k""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "text")
+      t(s, dir, "region")
+        .select(concat(col("r_regionkey"), lit("|"), col("r_name"))
+          .as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(p)
+      s.read.text(p)
+        .select(
+          regexp_extract(col("value"), "^([0-9]+)\\|(.*)$", 1).as("k"),
+          upper(regexp_extract(col("value"), "^([0-9]+)\\|(.*)$", 2))
+            .as("name"))
+        .orderBy("k")
+    },
+
+    // Partitioned write + partition-pruned read (FileSinkOperator with
+    // dynamic partitions + PartitionPruner): one directory per
+    // o_orderstatus; the status filter on read scans ONLY that
+    // partition's files.
+    q("q_sink_partitioned",
+      """SELECT o_orderpriority, COUNT(*) AS cnt
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "part")
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .repartition(col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+      s.read.parquet(p)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    },
+
+    // INSERT OVERWRITE of ONE dynamic partition
+    // (spark.sql.sources.partitionOverwriteMode=dynamic — Hive's
+    // insert-overwrite-partition semantics): rewrite only status 'O'
+    // with discounted prices; other partitions untouched. The oracle
+    // reproduces the expected post-state.
+    q("q_sink_dynpart_overwrite",
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O'
+        |        THEN o_totalprice * 0.5 ELSE o_totalprice END
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "dynpart")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      // Base state: full table, partitioned by status.
+      o.repartition(col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+      // Dynamic overwrite of just the 'O' partition (halved prices).
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        o.filter(col("o_orderstatus") === "O")
+          .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+          .repartition(col("o_orderstatus"))
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+      } finally prev.foreach(
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      s.read.parquet(p)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+}
