@@ -200,6 +200,37 @@ object Aggregates extends QueryPack {
         .orderBy("lang")
     },
 
+    // percentile_approx (GenericUDAFPercentileApprox): with accuracy >>
+    // row count the sketch is exact and returns an ACTUAL data value —
+    // DuckDB's quantile_disc twin. (At real scale, lower the accuracy:
+    // the sketch is mergeable, so partial aggregation still applies.)
+    q("q_agg_percentile_approx",
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS ap50,
+        |  quantile_disc(l_extendedprice, 0.9) AS ap90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val l = t(s, dir, "lineitem")
+        l.groupBy("l_returnflag")
+          .agg(
+            percentile_approx(l("l_extendedprice"), lit(0.5), lit(1000000))
+              .as("ap50"),
+            percentile_approx(l("l_extendedprice"), lit(0.9), lit(1000000))
+              .as("ap90"))
+          .orderBy("l_returnflag")
+    },
+
+    // histogram_numeric (GenericUDAFHistogramNumeric): adaptive bin
+    // centers — algorithm-specific, no DuckDB twin → rows-only (the bin
+    // COUNT sum is asserted in tests to equal the row count).
+    qRows("q_agg_histogram") { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      l.agg(expr("histogram_numeric(l_extendedprice, 8)").as("h"))
+        .select(explode(col("h")).as("bin"))
+        .select(round(col("bin.x"), 2).as("x"), col("bin.y").as("y"))
+        .orderBy("x")
+    },
+
     // Exact percentile family (UDAFPercentile / GenericUDAFPercentileApprox).
     // Linear interpolation on sorted exact values — deterministic in both
     // engines; round(4) guards the last bit of the interpolation divide.

@@ -127,6 +127,39 @@ object Lateral extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // matchpath PTF (ql/udf/ptf/MatchPath.class — SURVEY.md §2.5, the one
+    // genuinely novel Hive operator): regex over per-user event-symbol
+    // sequences; here "ce" = an error immediately after a click. Oracle =
+    // the lag-window rewrite of that specific pattern.
+    q("q_ptf_matchpath",
+      """WITH sy AS (
+        |  SELECT user_id, epoch_us(ts) AS ord,
+        |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+        |      ELSE 'x' END AS sym
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, LAG(ord) OVER w AS match_ord
+        |  FROM (SELECT user_id, ord, sym,
+        |          LAG(sym) OVER (PARTITION BY user_id ORDER BY ord) AS psym
+        |        FROM sy)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ord)
+        |  QUALIFY sym = 'e' AND psym = 'c')
+        |SELECT user_id AS key, COUNT(*) AS n_matches,
+        |  CAST(MIN(match_ord) AS BIGINT) AS first_match_ord
+        |FROM m GROUP BY user_id ORDER BY key""".stripMargin) { (s, dir) =>
+      // µs ordinals on both sides (DuckDB truncates the ns column to µs).
+      val sy = t(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ord"),
+          when(col("event_type") === "click", "c")
+            .when(col("event_type") === "error", "e")
+            .otherwise("x").as("sym"))
+      MatchPath(sy, "user_id", "ord", "sym", "ce")
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("match_ord")).as("first_match_ord"))
+        .orderBy("key")
+    },
+
     // ScriptOperator: TRANSFORM ... USING 'cat' — rows piped through an
     // external process (SURVEY.md §2.7). Identity script: output = input
     // as tab-separated strings.

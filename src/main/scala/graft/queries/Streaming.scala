@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** Streaming slice (SURVEY.md §2.9 / stage F). The reference's
+  * "streaming" is transactional micro-batch INGEST (HiveStreamingConnection)
+  * — no watermarks or event-time windows. The Spark-native capability
+  * surface EXCEEDS it: tumbling / sliding / session event-time windows
+  * over the `events` table, runnable identically in batch (registered
+  * here, oracle-checked) and in Structured Streaming (StreamingSpec runs
+  * the SAME tumbling aggregation through readStream + AvailableNow and
+  * asserts it matches the batch result — the correctness harness is
+  * batch-only by design, Verify.scala writes static parquet).
+  *
+  * Scale notes (streaming at 100 TB/day): these windowed aggregations
+  * are groupBy(window, key) — partial aggregation per micro-batch, state
+  * store keyed by (window, key), watermark (set in the streaming twin)
+  * bounds state retention. Window starts are emitted as formatted
+  * strings: a COMPUTED timestamp round-trips tz-aware from Spark but
+  * naive from DuckDB, so strings keep the comparison engine-neutral.
+  */
+object Streaming extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour window per event type.
+    q("q_stream_tumbling",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |         '%Y-%m-%d %H:%M') AS wstart,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("wstart", "event_type")
+    },
+
+    // Sliding 1-hour window, 30-minute slide: every event lands in
+    // exactly two windows (the oracle materializes both memberships).
+    q("q_stream_sliding",
+      """WITH slots AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |           - i * INTERVAL '30 minutes' AS ws, value
+        |  FROM events, unnest([0, 1]) AS u(i))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS wstart,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM slots GROUP BY ws ORDER BY wstart""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+          col("cnt"), col("sum_value"))
+        .orderBy("wstart")
+    },
+
+    // Session windows, 10-minute gap, per user: Spark's session_window
+    // merges events closer than the gap; the oracle is the classic
+    // gaps-and-islands rewrite (a new session starts when the time since
+    // the previous event is >= the gap).
+    q("q_stream_session",
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP)
+        |              - LAG(CAST(ts AS TIMESTAMP)) OVER w
+        |              >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start")
+    })
+}
