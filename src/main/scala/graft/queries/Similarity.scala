@@ -74,42 +74,52 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rn")
     },
 
-    // LSH-bucketed ANN — the 100 TB path. 8 sign-bit hyperplane hashes
-    // → one 8-bit bucket id per vector; nearest neighbor searched only
-    // within the query's bucket. Fewer bits = bigger buckets = higher
-    // recall but more candidate work — tune bits so expected bucket size
-    // stays ~corpus/2^bits rows (at 100 TB: more bits + multi-probe).
-    // Rows-only: the bucket contents depend on xxhash64-derived
-    // hyperplanes the SQL oracle can't reproduce; AnnSpec asserts recall
+    // LSH-bucketed ANN — the 100 TB path. Multi-table random-hyperplane
+    // LSH: 10 tables × 6 sign bits; a vector lands in one 6-bit bucket
+    // PER TABLE and candidates are the union of its buckets. For a true
+    // neighbor at angle θ, P(same bit) = 1-θ/π ≈ 0.6 at the cosines in
+    // this corpus, so per-table co-bucket ≈ 0.6^6 and union recall
+    // ≈ 1-(1-0.6^6)^10 ≈ 0.4 — tune (bits, tables) so bucket size
+    // ≈ corpus/2^bits and recall meets target (multi-probe cuts tables).
+    // Rows-only: buckets depend on xxhash64-derived hyperplanes the SQL
+    // oracle can't reproduce; SimilaritySpec asserts validity + recall
     // against the brute-force baseline instead.
     qRows("q_ann_lsh_bucketed") { (s, dir) =>
       val dim = 64
+      val tables = 10
+      val bits = 6
       // Hyperplane k, component d = centered pseudo-random double from
       // xxhash64(k, d) — deterministic, generated distributed, no driver
       // randomness. spark.range keeps it a relation, not a collect.
-      val hp = s.range(8).select(col("id").cast("int").as("k"),
+      val hp = s.range(tables * bits).select(col("id").cast("int").as("k"),
         expr(s"transform(sequence(0, ${dim - 1}), d -> (CAST(pmod(xxhash64(id, d), 2000001) AS DOUBLE) / 1000000.0) - 1.0)")
           .as("hpv"))
       val e = withNorm(t(s, dir, "embeddings"))
-      // bucket = OR of sign bits: one row per (vector, hyperplane), then
-      // a groupBy — no 16× duplication of the embedding past this stage.
-      val bits = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      // One row per (vector, hyperplane) → per-table 6-bit bucket via a
+      // groupBy — the embedding array is never duplicated 60×.
+      val buckets = e.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(hp))
-        .select(col("vec_id"),
+        .select(col("vec_id"), expr(s"k div $bits").as("tbl"),
           when(dot("embedding", "hpv") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(0L).as("bit"))
-        .groupBy("vec_id")
+            expr(s"shiftleft(CAST(1 AS BIGINT), k % $bits)"))
+            .otherwise(0L).as("bit"))
+        .groupBy("vec_id", "tbl")
         .agg(sum(col("bit")).cast("long").as("bucket"))
-      val withB = e.join(bits, "vec_id")
-      val l = withB.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("bucket"))
-      val r = withB.select(col("vec_id").as("cand_id"),
-        col("embedding").as("ce"), col("nrm").as("cn"),
-        col("bucket").as("cbucket"))
+      val l = buckets.select(col("vec_id").as("q_id"), col("tbl"),
+        col("bucket"))
+      val r = buckets.select(col("vec_id").as("cand_id"),
+        col("tbl").as("ctbl"), col("bucket").as("cbucket"))
+      val cand = l.join(r, col("tbl") === col("ctbl") &&
+          col("bucket") === col("cbucket") && col("q_id") =!= col("cand_id"))
+        .select("q_id", "cand_id").distinct()
+      // Exact re-score of the candidate union, top-1 per query.
+      val qv = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      val cv = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
-      l.join(r, col("bucket") === col("cbucket") &&
-          col("q_id") =!= col("cand_id"))
+      cand.join(qv, "q_id").join(cv, "cand_id")
         .withColumn("cos_sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall/consistency checks for the non-SQL-oracle similarity
+  * operators: LSH-bucketed ANN vs the brute-force baseline, and SimHash
+  * candidates vs exact shingle-Jaccard near-dups.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("LSH ANN neighbors are valid and often the true nearest") {
+    // Brute-force true top-1 for EVERY vector (the registered topk query
+    // only covers 5 query vectors — recompute over the full corpus).
+    val e = T.t(spark, sfDir, "embeddings")
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")))
+    val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
+    val cs = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    val brute = qs.join(cs, col("cand_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")
+        / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        r.getAs[Double]("cos_sim")).toMap
+    val lsh = SparkEntry.queries("q_ann_lsh_bucketed")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(lsh.nonEmpty, "LSH produced no neighbors at all")
+    var exactTop1 = 0
+    for ((q, lcos) <- lsh) {
+      val trueCos = brute(q)
+      assert(lcos <= trueCos + 1e-9, s"query $q: LSH cos $lcos > $trueCos")
+      if (lcos >= trueCos - 1e-9) exactTop1 += 1
+    }
+    val recall = exactTop1.toDouble / lsh.length
+    assert(recall >= 0.2, s"LSH top-1 recall $recall too low")
+  }
+
+  test("SimHash candidate pairs are real near-duplicates") {
+    // Ground truth: exact 3-gram Jaccard >= 0.8 pairs (same definition
+    // as q_dedup_minhash, which IS oracle-verified).
+    val truth = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming<=3 candidates should overwhelmingly be true near-dups and
+    // should recover most of them (64-bit SimHash on ~100-token docs).
+    val hits = cand.intersect(truth).size
+    assert(truth.nonEmpty)
+    assert(hits.toDouble / truth.size >= 0.6,
+      s"SimHash recall ${hits.toDouble / truth.size} ($hits of ${truth.size})")
+    if (cand.nonEmpty)
+      assert(hits.toDouble / cand.size >= 0.6,
+        s"SimHash precision ${hits.toDouble / cand.size}")
+  }
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs (same filter)") {
+    // Since q_dedup_minhash's own oracle is all-pairs exact Jaccard,
+    // assert the symmetric difference against a direct all-pairs Spark
+    // computation is empty on the smoke SF.
+    val sh = T.t(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(w) - 2)," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+          " ' ', element_at(w, i + 2))))").as("s"))
+    val a = sh.select(col("doc_id").as("a_id"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("u", size(array_union(col("sa"), col("sb"))))
+      .filter(col("i") * 10 >= col("u") * 8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh === exact)
+  }
+}

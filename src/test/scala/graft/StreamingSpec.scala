@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The registered window queries are batch twins; this spec runs the
+  * SAME tumbling aggregation through Structured Streaming (file source →
+  * watermark → windowed agg → memory sink, Trigger.AvailableNow) and
+  * asserts it reproduces the batch answer — the ingest-parity slice of
+  * SURVEY §2.9.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("streaming tumbling-window agg matches the batch twin") {
+    // File-source schema: ts arrives as raw nanos (the session reads
+    // parquet TIMESTAMP(NANOS) via nanosAsLong — same as T.t).
+    HiveCompatFunctions.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // File stream source requires a DIRECTORY: stage the events file
+    // into one (this is also the shape of a real ingest drop-zone).
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("event_type"), col("cnt"), col("sum_value"))
+    val q = stream.writeStream
+      .format("memory").queryName("t_stream_tumbling")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("t_stream_tumbling")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+}
