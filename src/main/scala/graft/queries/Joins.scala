@@ -212,6 +212,35 @@ object Joins extends QueryPack {
         .orderBy("o_orderpriority")
     },
 
+    // Skew-handling join via SALTING (Hive SkewJoinOptimizer §2.3; AQE's
+    // runtime skew split is also enabled, but salting is the explicit
+    // plan-level fix): the fact side keys collapse to 10 hot values
+    // (every key ~10% of rows — true skew); the dim side is exploded ×16
+    // salts, the fact side picks a deterministic salt, so each hot key
+    // spreads over 16 reducers. Result is identical to the unsalted join.
+    q("q_join_skew_salted",
+      """SELECT hot, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  MIN(tag) AS tag
+        |FROM (SELECT l_orderkey % 10 AS hot, l_quantity FROM lineitem) f
+        |JOIN (SELECT r_regionkey * 2 AS hot, r_name AS tag FROM region) d
+        |  USING (hot)
+        |GROUP BY hot ORDER BY hot""".stripMargin) { (s, dir) =>
+      val salts = 16
+      val f = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 10).as("hot"), col("l_quantity"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts))
+            .as("salt"))
+      val d = t(s, dir, "region")
+        .select((col("r_regionkey") * 2).as("hot"), col("r_name").as("tag"))
+        .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+      f.join(d, Seq("hot", "salt"))
+        .groupBy("hot")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+          min(col("tag")).as("tag"))
+        .orderBy("hot")
+    },
+
     // Null-safe equality join (Hive `<=>`, GenericUDFOPEqualNS).
     q("q_join_nullsafe",
       """WITH a AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg

@@ -113,6 +113,27 @@ object Sources extends QueryPack {
         .orderBy("k")
     },
 
+    // JDBC external handler (SURVEY §2.1: jdbc-handler) against embedded
+    // Derby: write nation over JDBC, read it back with predicate
+    // pushdown (the filter ships to the database as SQL — check
+    // PushedFilters in the JDBCScan), aggregate. At 100 TB the same
+    // read call adds partitionColumn/numPartitions for parallel pulls.
+    q("q_src_jdbc",
+      """SELECT n_regionkey, COUNT(*) AS cnt, MIN(n_name) AS first_name
+        |FROM nation WHERE n_nationkey >= 5
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val url = "jdbc:derby:" + tmp(dir, "jdbcdb") + ";create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      t(s, dir, "nation")
+        .write.mode("overwrite").jdbc(url, "NATION_JDBC", props)
+      s.read.jdbc(url, "NATION_JDBC", props)
+        .filter(col("n_nationkey") >= 5)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"), min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
     // Partitioned write + partition-pruned read (FileSinkOperator with
     // dynamic partitions + PartitionPruner): one directory per
     // o_orderstatus; the status filter on read scans ONLY that
