@@ -69,11 +69,14 @@ object Sorting extends QueryPack {
     },
 
     // DISTRIBUTE BY + SORT BY (CLUSTER BY): per-partition order is not a
-    // global contract → rows-only check. This is the write-time layout
-    // primitive (co-location for SMB joins, run-length-friendly sort).
+    // global contract → rows-only check here; SortingSpec asserts the
+    // partition-local sortedness contract. Partition count follows the
+    // session's shuffle parallelism (at 100 TB: sized so each partition
+    // is a few hundred MB), not a magic constant. This is the write-time
+    // layout primitive (co-location for SMB joins, RLE-friendly sort).
     qRows("q_cluster_by") { (s, dir) =>
       t(s, dir, "lineitem")
-        .repartition(32, col("l_orderkey"))
+        .repartition(col("l_orderkey"))
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .select("l_orderkey", "l_linenumber", "l_quantity")
     })
