@@ -263,27 +263,85 @@ object Functions extends QueryPack {
         .orderBy("r_regionkey")
     },
 
+    // Interval types (§1.2: YearMonthIntervalType / DayTimeIntervalType —
+    // GenericUDFToIntervalYearMonth/DayTime): interval arithmetic on
+    // timestamps, results normalized to dates/strings for the oracle.
+    q("q_fn_interval",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL '1 year 2 months' AS DATE) AS plus_ym,
+        |  CAST(o_orderdate - INTERVAL '1 year 2 months' AS DATE) AS minus_ym,
+        |  strftime(o_orderdate + INTERVAL '3 days 4 hours 5 minutes',
+        |           '%Y-%m-%d %H:%M') AS plus_dt
+        |FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 40)
+        .select(col("o_orderkey"),
+          expr("CAST(o_orderdate + INTERVAL '1-2' YEAR TO MONTH AS DATE)")
+            .as("plus_ym"),
+          expr("CAST(o_orderdate - INTERVAL '1-2' YEAR TO MONTH AS DATE)")
+            .as("minus_ym"),
+          date_format(
+            expr("o_orderdate + INTERVAL '3 04:05' DAY TO MINUTE"),
+            "yyyy-MM-dd HH:mm").as("plus_dt"))
+        .orderBy("o_orderkey")
+    },
+
+    // CHAR(n)/VARCHAR(n) semantics (§1.2: CharTypeInfo/VarcharTypeInfo).
+    // Spark enforces these at TABLE boundaries, not on cast: writing into
+    // a CHAR(12) column pads to 12 (read-side padding on by default).
+    // Delta vs Hive, documented: Hive silently truncates VARCHAR
+    // overflow; Spark rejects it — so the overflow is truncated before
+    // insert.
+    q("q_fn_char_varchar",
+      """SELECT r_regionkey,
+        |  rpad(r_name, 12, ' ') AS as_char,
+        |  length(rpad(r_name, 12, ' ')) AS char_len,
+        |  substring(r_name, 1, 4) AS as_varchar
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val tbl = s"g_charvarchar_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        s.sql(s"CREATE TABLE $tbl (r_regionkey BIGINT, as_char CHAR(12)," +
+          " as_varchar VARCHAR(4)) USING parquet")
+        t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"),
+            substring(col("r_name"), 1, 4))
+          .write.insertInto(tbl)
+      }
+      s.table(tbl)
+        .select(col("r_regionkey"), col("as_char"),
+          length(col("as_char")).as("char_len"), col("as_varchar"))
+        .orderBy("r_regionkey")
+    },
+
     // URL + XML extraction (GenericUDFParseUrl, UDFXPath* — §2.8) over
     // synthesized url/xml columns; DuckDB twins are regexp extractions.
     q("q_fn_url_xml",
       """SELECT r_regionkey,
+        |  'http' AS proto,
         |  'example.com' AS host,
         |  '/r/' || replace(r_name, ' ', '_') AS path,
         |  CAST(r_regionkey AS VARCHAR) AS qval,
-        |  r_name AS xval
+        |  r_name AS xval,
+        |  r_regionkey * 10 AS xnum,
+        |  CAST(r_regionkey % 2 = 0 AS BOOLEAN) AS xbool
         |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
       // URL-safe path segment (Spark 4's parse_url rejects raw spaces).
       t(s, dir, "region")
         .withColumn("url", concat(lit("http://example.com/r/"),
           regexp_replace(col("r_name"), " ", "_"),
           lit("?k="), col("r_regionkey").cast("string")))
-        .withColumn("xml", concat(lit("<r><n>"), col("r_name"),
-          lit("</n></r>")))
+        .withColumn("xml", concat(
+          lit("<r><n>"), col("r_name"), lit("</n><v>"),
+          col("r_regionkey") * 10, lit("</v><b>"),
+          (col("r_regionkey") % 2 === 0).cast("string"), lit("</b></r>")))
         .select(col("r_regionkey"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
           parse_url(col("url"), lit("HOST")).as("host"),
           parse_url(col("url"), lit("PATH")).as("path"),
           parse_url(col("url"), lit("QUERY"), lit("k")).as("qval"),
-          xpath_string(col("xml"), lit("/r/n")).as("xval"))
+          xpath_string(col("xml"), lit("/r/n")).as("xval"),
+          expr("xpath_long(xml, '/r/v')").as("xnum"),
+          expr("xpath_boolean(xml, '/r/b[.=\"true\"]')").as("xbool"))
         .orderBy("r_regionkey")
     })
 }

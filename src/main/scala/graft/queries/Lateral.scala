@@ -127,6 +127,22 @@ object Lateral extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // replicate_rows UDTF (GenericUDTFReplicateRows — §2.8 mapping:
+    // explode(array_repeat())): each region row emitted key+1 times.
+    q("q_replicate_rows",
+      """SELECT r_regionkey, r_name, COUNT(*) AS copies
+        |FROM (SELECT r_regionkey, r_name,
+        |        unnest(range(0, r_regionkey + 1)) AS i FROM region)
+        |GROUP BY r_regionkey, r_name ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"),
+          explode(array_repeat(lit(1), (col("r_regionkey") + 1).cast("int")))
+            .as("i"))
+        .groupBy("r_regionkey", "r_name")
+        .agg(count(lit(1)).as("copies"))
+        .orderBy("r_regionkey")
+    },
+
     // matchpath PTF (ql/udf/ptf/MatchPath.class — SURVEY.md §2.5, the one
     // genuinely novel Hive operator): regex over per-user event-symbol
     // sequences; here "ce" = an error immediately after a click. Oracle =

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.functions._
+
+/** Subquery surface (SURVEY.md §4.1 CBO layer: HiveSubQueryRemoveRule —
+  * IN / EXISTS / correlated-scalar subqueries decorrelated into joins,
+  * with `sq_count_check` guarding scalar cardinality). Catalyst's
+  * RewriteCorrelatedScalarSubquery / RewritePredicateSubquery are the
+  * twins; these queries prove the decorrelation produces oracle-correct
+  * results, including the NULL-semantics trap of NOT IN.
+  *
+  * Scale notes: every subquery here decorrelates to a shuffle or
+  * broadcast join — no per-row re-execution (check: the plans contain
+  * joins, never a subquery node under a filter).
+  */
+object Subqueries extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Correlated SCALAR subquery in the projection → left outer join +
+    // aggregate (sq_count_check semantics: at most one row per key).
+    q("q_subq_scalar",
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    AS n_orders,
+        |  (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c WHERE c_custkey < 40
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT COUNT(*) FROM sq_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |  (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM sq_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_price
+          |FROM sq_customer c WHERE c_custkey < 40
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // IN subquery → left semi join.
+    q("q_subq_in",
+      """SELECT c_mktsegment, COUNT(*) AS cnt
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS cnt
+          |FROM sq_customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM sq_orders
+          |                    WHERE o_totalprice > 400000)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    // NOT IN with a NULLABLE inner side — the classic three-valued-logic
+    // trap (one inner NULL empties the result unless handled): inner
+    // side made null-free by predicate, outer NULLs produced via NULLIF
+    // to prove the semantics on the outer side too.
+    q("q_subq_not_in",
+      """SELECT COUNT(*) AS cnt,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM (SELECT NULLIF(c_custkey, 7) AS k, c_custkey FROM customer)
+        |WHERE k NOT IN (SELECT o_custkey FROM orders
+        |                WHERE o_totalprice > 450000
+        |                  AND o_custkey IS NOT NULL)""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT COUNT(*) AS cnt,
+          |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+          |FROM (SELECT NULLIF(c_custkey, 7) AS k, c_custkey
+          |      FROM sq_customer)
+          |WHERE k NOT IN (SELECT o_custkey FROM sq_orders
+          |                WHERE o_totalprice > 450000
+          |                  AND o_custkey IS NOT NULL)""".stripMargin)
+    },
+
+    // Correlated EXISTS with an extra correlated predicate.
+    q("q_subq_exists_corr",
+      """SELECT s_nationkey, COUNT(*) AS cnt
+        |FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_nationkey = s.s_nationkey
+        |                AND c.c_acctbal > s.s_acctbal)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      t(s, dir, "supplier").createOrReplaceTempView("sq_supplier")
+      s.sql(
+        """SELECT s_nationkey, COUNT(*) AS cnt
+          |FROM sq_supplier s
+          |WHERE EXISTS (SELECT 1 FROM sq_customer c
+          |              WHERE c.c_nationkey = s.s_nationkey
+          |                AND c.c_acctbal > s.s_acctbal)
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
+
+    // UNIQUE JOIN (HiveQL extension, JoinDesc.UNIQUE_JOIN): multiway
+    // full-outer-style join preserving unmatched rows from EVERY input —
+    // composed from full_outer joins (SURVEY §2.3's prescribed mapping).
+    q("q_join_unique",
+      """WITH a AS (SELECT c_nationkey AS k, COUNT(*) AS a_cnt
+        |           FROM customer WHERE c_acctbal < -500 GROUP BY 1),
+        |     b AS (SELECT s_nationkey AS k, COUNT(*) AS b_cnt
+        |           FROM supplier WHERE s_acctbal > 7000 GROUP BY 1),
+        |     c AS (SELECT n_nationkey AS k, COUNT(*) AS c_cnt
+        |           FROM nation WHERE n_regionkey < 2 GROUP BY 1)
+        |SELECT COALESCE(a.k, b.k, c.k) AS k,
+        |  COALESCE(a_cnt, 0) AS a_cnt, COALESCE(b_cnt, 0) AS b_cnt,
+        |  COALESCE(c_cnt, 0) AS c_cnt
+        |FROM a FULL JOIN b ON a.k = b.k
+        |       FULL JOIN c ON COALESCE(a.k, b.k) = c.k
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_acctbal") < -500)
+        .groupBy(col("c_nationkey").as("ak")).agg(count(lit(1)).as("a_cnt"))
+      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 7000)
+        .groupBy(col("s_nationkey").as("bk")).agg(count(lit(1)).as("b_cnt"))
+      val c = t(s, dir, "nation").filter(col("n_regionkey") < 2)
+        .groupBy(col("n_nationkey").as("ck")).agg(count(lit(1)).as("c_cnt"))
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .join(c, coalesce(col("ak"), col("bk")) === col("ck"), "full_outer")
+        .select(coalesce(col("ak"), col("bk"), col("ck")).as("k"),
+          coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+          coalesce(col("b_cnt"), lit(0L)).as("b_cnt"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt"))
+        .orderBy("k")
+    })
+}

@@ -90,6 +90,23 @@ object TextAnalysis extends QueryPack {
         .orderBy("source")
     },
 
+    // Hive `sentences` (GenericUDFSentences §2.8): locale-aware sentence/
+    // word tokenization. The corpus is punctuation-free lowercase words,
+    // where sentences() degenerates to one sentence of split words — the
+    // DuckDB twin is string_split (documented equivalence on this data).
+    q("q_text_sentences",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  array_to_string(string_split(text, ' ')[1:5], ',') AS first5
+        |FROM documents WHERE doc_id < 15 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 15)
+        .withColumn("sent", expr("sentences(text)"))
+        .select(col("doc_id"),
+          size(col("sent").getItem(0)).as("n_words"),
+          array_join(slice(col("sent").getItem(0), 1, 5), ",").as("first5"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprinting: md5 over normalized text (lowercase,
     // collapsed whitespace). 128-bit keys are what a 100 TB dedup
     // shuffles; min(fp) is a deterministic per-group sample.
