@@ -54,6 +54,23 @@ class PlanSpec extends AnyFunSuite {
       p.contains("o_orderstatus"), "status filter not a partition filter")
   }
 
+  test("near-dup and ANN pipelines never plan a cartesian product") {
+    // The bucket-confined-quadratic claim, enforced: candidate
+    // generation must be equi-joins on (band, hash) / (table, bucket),
+    // never an all-pairs nested loop.
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash",
+        "q_ann_lsh_bucketed")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      // The ANN query legitimately broadcast-crosses each vector with
+      // the 60-row hyperplane relation; only the text near-dup paths
+      // must be loop-free end to end.
+      if (name != "q_ann_lsh_bucketed")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested loop")
+    }
+  }
+
   test("projection pruning reaches the scan (narrow ReadSchema)") {
     val p = plan("q_sort_topn")
     // The 3-column projection must prune the 9-column orders schema.
