@@ -113,6 +113,31 @@ object Sources extends QueryPack {
         .orderBy("k")
     },
 
+    // Avro round-trip (SURVEY §2.1: AvroSerDe) via [[AvroIO]] — the
+    // Hadoop AvroKey formats bridged at the RDD layer, since the
+    // spark-avro connector jar is absent from this classpath.
+    q("q_src_avro",
+      """SELECT n_regionkey, COUNT(*) AS cnt,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+        |  MAX(n_name) AS last_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "avro")
+      val src = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      // Hadoop output formats refuse to overwrite: fresh subdir per run
+      // would leak, so delete-then-write (idempotent, JVM temp dir).
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      AvroIO.write(src, p)
+      AvroIO.read(s, p, src.schema)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_nationkey")).as("key_sum"),
+          max(col("n_name")).as("last_name"))
+        .orderBy("n_regionkey")
+    },
+
     // JDBC external handler (SURVEY §2.1: jdbc-handler) against embedded
     // Derby: write nation over JDBC, read it back with predicate
     // pushdown (the filter ships to the database as SQL — check
