@@ -14,6 +14,48 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkTestBase._
 
+  test("foreachBatch upsert ingest reproduces the batch table (ACID-ingest parity)") {
+    // Hive's "streaming" = transactional micro-batch ingest into a
+    // table (SURVEY §2.9). Parity demo: stream events, foreachBatch
+    // appends each micro-batch into a partitioned parquet table
+    // (partition per event_type ≈ delta-per-txn, compaction = dynamic
+    // partition overwrite), final table state must equal the batch read.
+    HiveCompatFunctions.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-sink").toString + "/tbl"
+    val q = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartition(col("event_type"))
+          .write.mode("append").partitionBy("event_type").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ingested = spark.read.parquet(sinkDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = T.t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(ingested === direct)
+  }
+
   test("streaming tumbling-window agg matches the batch twin") {
     // File-source schema: ts arrives as raw nanos (the session reads
     // parquet TIMESTAMP(NANOS) via nanosAsLong — same as T.t).
