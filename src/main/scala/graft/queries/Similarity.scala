@@ -127,6 +127,74 @@ object Similarity extends QueryPack {
         .orderBy("q_id")
     },
 
+    // Embedding-cosine closest pairs (the "embedding near-dup" operator;
+    // this corpus's max pairwise cosine is ~0.51, so a 0.99 threshold
+    // would be vacuous — top-k closest pairs exercises the same shape):
+    // exact over a bounded subset; the LSH/IVF queries are the scale
+    // path for the same computation. Ranking on the ROUNDED cosine with
+    // id tie-breaks keeps both engines' order identical.
+    q("q_sim_cosine_pairs",
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS nrm
+        |  FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |        / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = withNorm(t(s, dir, "embeddings").filter(col("vec_id") < 300))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos_sim",
+          round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .select("a_id", "b_id", "cos_sim")
+        .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+        .limit(10)
+    },
+
+    // IVF-cell ANN — the clustered alternative to hyperplane LSH: 16
+    // deterministic seed vectors act as centroids, every vector is
+    // assigned to its nearest centroid's cell (an inverted file), and
+    // neighbors are searched within the query's cell only (nprobe=1; at
+    // scale, probe the p nearest cells and train real k-means
+    // centroids). Rows-only: cell assignment has no SQL oracle;
+    // SimilaritySpec asserts validity against brute force.
+    qRows("q_ann_ivf_cells") { (s, dir) =>
+      val e = withNorm(t(s, dir, "embeddings"))
+      val cents = broadcast(e.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+          col("nrm").as("cent_nrm")))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = e.crossJoin(cents)
+        .withColumn("cent_cos",
+          dot("embedding", "cent") / (col("nrm") * col("cent_nrm")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cent_id").as("cell"))
+      val l = assigned.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"), col("cell"))
+      val r = assigned.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"),
+        col("cell").as("ccell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      l.join(r, col("cell") === col("ccell") && col("q_id") =!= col("cand_id"))
+        .withColumn("cos_sim",
+          round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("q_id", "cand_id", "cos_sim")
+        .orderBy("q_id")
+    },
+
     // Embedding column statistics per label: count + decimal-stabilized
     // mean of the (rounded) L2 norm. Rounding the per-row norm to 6
     // decimals absorbs any last-ulp association difference; the mean is

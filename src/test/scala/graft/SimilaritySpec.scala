@@ -42,6 +42,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH top-1 recall $recall too low")
   }
 
+  test("IVF-cell ANN neighbors are valid (never beat brute force)") {
+    val e = T.t(spark, sfDir, "embeddings")
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")))
+    val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
+    val cs = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    val brute = qs.join(cs, col("cand_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")
+        / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        r.getAs[Double]("cos_sim")).toMap
+    val ivf = SparkEntry.queries("q_ann_ivf_cells")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ivf.nonEmpty, "IVF produced no neighbors")
+    for ((q, c) <- ivf)
+      assert(c <= brute(q) + 1e-9, s"query $q: IVF cos $c > brute ${brute(q)}")
+  }
+
   test("SimHash candidate pairs are real near-duplicates") {
     // Ground truth: exact 3-gram Jaccard >= 0.8 pairs (same definition
     // as q_dedup_minhash, which IS oracle-verified).
