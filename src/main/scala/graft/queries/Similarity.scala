@@ -213,6 +213,29 @@ object Similarity extends QueryPack {
         .orderBy("label")
     },
 
+    // Multimodal frame fan-out: each media item explodes into its
+    // sampled frames (sequence 1..n_frames) with deterministic per-frame
+    // metadata — the media→frame partitioning pattern of a video
+    // pipeline (frame rows, not media blobs, are what shuffles; a real
+    // decoder would emit frame tensors from the same mapPartitions batch
+    // shape as the stub below).
+    q("q_multimodal_frames",
+      """SELECT doc_id, CAST(frame AS INT) AS frame,
+        |  CAST((doc_id * 131 + frame * 17) % 1000 AS BIGINT) AS frame_sig,
+        |  CAST(frame * 40 AS BIGINT) AS ts_ms
+        |FROM (SELECT doc_id, unnest(range(1, 1 + n_chars % 10 + 1)) AS frame
+        |      FROM documents WHERE doc_id < 15)
+        |ORDER BY doc_id, frame""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 15)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, CAST(1 + n_chars % 10 AS INT))"))
+            .as("frame"))
+        .select(col("doc_id"), col("frame"),
+          ((col("doc_id") * 131 + col("frame") * 17) % 1000).as("frame_sig"),
+          (col("frame") * 40).cast("long").as("ts_ms"))
+        .orderBy("doc_id", "frame")
+    },
+
     // Multimodal slice: documents' text re-encoded as an opaque BINARY
     // payload column with typed metadata, then "decoded" by a
     // deterministic STUB (the real decoder — image/audio libs — is not in
