@@ -112,6 +112,30 @@ object Ddl extends QueryPack {
         .orderBy("c_mktsegment")
     },
 
+    // Materialized-view rewrite ([Hive3+] HiveMaterializedViewsRegistry
+    // — SURVEY §1.1): register an MV for a lineitem aggregate, then run
+    // the SAME aggregate built independently from base tables — the
+    // custom Catalyst rule (MaterializedViews.Rewrite) substitutes the
+    // MV scan by canonical-plan equality. MvSpec proves the plan reads
+    // the MV table; the oracle proves the answer is still right.
+    q("q_ddl_mv_rewrite",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      def defining = {
+        val l = t(s, dir, "lineitem")
+        l.groupBy("l_returnflag", "l_linestatus")
+          .agg(dsum(l("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      }
+      MaterializedViews.register(s, s"g_mv_qty_$tag", defining)
+      // A fresh, independently-built instance of the same aggregate:
+      // the rewrite rule must recognize it by canonical equality.
+      defining.orderBy("l_returnflag", "l_linestatus")
+    },
+
     // UPDATE + DELETE as batch rewrites (UpdateDeleteSemanticAnalyzer →
     // full-rewrite): DELETE negative-balance rows, UPDATE the remainder
     // (cap balances at 9000). Output checksums the post-state.
