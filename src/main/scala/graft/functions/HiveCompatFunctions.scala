@@ -33,6 +33,10 @@ object HiveCompatFunctions {
       spark.udf.register("context_ngrams_after",
         org.apache.spark.sql.functions.udaf(
           new ContextNGramsAgg(Seq(Some("spark"), None), 20)))
+      // Native codegen'd Expression (not a UDF): see JaccardParts.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "jaccard_parts",
+        exprs => JaccardParts(exprs(0), exprs(1)), "built-in")
     }
 
   // --- string gaps -------------------------------------------------------

@@ -114,12 +114,15 @@ object Dedup extends QueryPack {
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
         .distinct()
-      // Exact re-score on the shingle sets; integer-math threshold.
+      // Exact re-score on the shingle sets; integer-math threshold. The
+      // kernel is the native one-pass JaccardParts expression (codegen'd
+      // — halves per-pair allocation vs array_intersect+array_union).
       val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
       val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
       cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("n_union", size(array_union(col("sa"), col("sb"))))
+        .withColumn("jp", expr("jaccard_parts(sa, sb)"))
+        .withColumn("n_inter", expr("shiftright(jp, 32)").cast("int"))
+        .withColumn("n_union", (col("jp").bitwiseAND(0xFFFFFFFFL)).cast("int"))
         .filter(col("n_inter") * 10 >= col("n_union") * 8)
         .select("a_id", "b_id", "n_inter", "n_union")
         .orderBy("a_id", "b_id")

@@ -56,6 +56,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(ingested === direct)
   }
 
+  test("mapGroupsWithState custom state matches the batch aggregate") {
+    // SURVEY §2.9's custom-state surface: per-user event counting kept
+    // in explicit GroupState (the KeyValueGroupedDataset API a pipeline
+    // uses when built-in windows can't express its state machine).
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    HiveCompatFunctions.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-state-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val q = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user, events, state) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "cnt")
+      .writeStream.format("memory").queryName("t_state_counts")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // Update mode emits the latest state per key; with a single
+    // AvailableNow batch that IS the final count.
+    val stateful = spark.table("t_state_counts")
+      .groupBy("user_id").agg(max("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = T.t(spark, sfDir, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stateful === batch)
+  }
+
   test("streaming tumbling-window agg matches the batch twin") {
     // File-source schema: ts arrives as raw nanos (the session reads
     // parquet TIMESTAMP(NANOS) via nanosAsLong — same as T.t).
