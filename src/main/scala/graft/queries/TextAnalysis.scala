@@ -90,6 +90,25 @@ object TextAnalysis extends QueryPack {
         .orderBy("source")
     },
 
+    // Rolling-hash document fingerprint: a polynomial hash folded over
+    // per-token codes — the incremental-fingerprint primitive (vs the
+    // cryptographic md5 below), computed as a codegen'd higher-order
+    // fold on both engines, no UDF.
+    q("q_text_rolling_hash",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> len(t) * 131 + ascii(t))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS rhash
+        |FROM documents WHERE doc_id < 25 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 25)
+        .select(col("doc_id"), expr(
+          "aggregate(transform(split(text, ' ')," +
+            " t -> length(t) * 131 + ascii(t)), CAST(7 AS BIGINT)," +
+            " (h, c) -> (h * 31 + c) % 1000000007)").as("rhash"))
+        .orderBy("doc_id")
+    },
+
     // Hive `sentences` (GenericUDFSentences §2.8): locale-aware sentence/
     // word tokenization. The corpus is punctuation-free lowercase words,
     // where sentences() degenerates to one sentence of split words — the
