@@ -263,6 +263,26 @@ object Functions extends QueryPack {
         .orderBy("r_regionkey")
     },
 
+    // Encoding family (§2.8: bin / hex / unhex / base64 / unbase64).
+    q("q_fn_encoding",
+      """SELECT r_regionkey,
+        |  bin(r_regionkey + 40) AS b,
+        |  hex(r_regionkey * 1000) AS hx,
+        |  hex(r_name) AS hs,
+        |  to_base64(r_name::BLOB) AS b64,
+        |  from_base64(to_base64(r_name::BLOB))::VARCHAR AS rt
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "region")
+        .select(col("r_regionkey"),
+          bin(col("r_regionkey") + 40).as("b"),
+          hex(col("r_regionkey") * 1000).as("hx"),
+          hex(col("r_name")).as("hs"),
+          base64(col("r_name").cast("binary")).as("b64"),
+          unbase64(base64(col("r_name").cast("binary"))).cast("string")
+            .as("rt"))
+        .orderBy("r_regionkey")
+    },
+
     // Interval types (§1.2: YearMonthIntervalType / DayTimeIntervalType —
     // GenericUDFToIntervalYearMonth/DayTime): interval arithmetic on
     // timestamps, results normalized to dates/strings for the oracle.
