@@ -263,6 +263,29 @@ object Functions extends QueryPack {
         .orderBy("r_regionkey")
     },
 
+    // Misc registry remainder (§2.8): elt, space, factorial,
+    // char_length vs octet_length (multibyte!), locate/position.
+    q("q_fn_misc",
+      """SELECT r_regionkey,
+        |  (['alpha', 'beta', 'gamma'])[CAST(r_regionkey % 3 + 1 AS INT)] AS elt_v,
+        |  repeat(' ', CAST(r_regionkey AS INT)) || '|' AS sp,
+        |  CAST(factorial(CAST(r_regionkey + 1 AS INT)) AS BIGINT) AS fact,
+        |  length(r_name || 'é') AS n_chars,
+        |  octet_length(encode(r_name || 'é')) AS n_bytes,
+        |  strpos(r_name, 'A') AS loc
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "region")
+        .select(col("r_regionkey"),
+          element_at(array(lit("alpha"), lit("beta"), lit("gamma")),
+            (col("r_regionkey") % 3 + 1).cast("int")).as("elt_v"),
+          concat(expr("space(CAST(r_regionkey AS INT))"), lit("|")).as("sp"),
+          factorial((col("r_regionkey") + 1).cast("int")).as("fact"),
+          length(concat(col("r_name"), lit("é"))).as("n_chars"),
+          octet_length(concat(col("r_name"), lit("é"))).as("n_bytes"),
+          locate("A", col("r_name")).as("loc"))
+        .orderBy("r_regionkey")
+    },
+
     // Encoding family (§2.8: bin / hex / unhex / base64 / unbase64).
     q("q_fn_encoding",
       """SELECT r_regionkey,
