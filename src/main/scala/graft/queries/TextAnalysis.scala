@@ -90,6 +90,47 @@ object TextAnalysis extends QueryPack {
         .orderBy("source")
     },
 
+    // TF-IDF top terms per document: term frequency × inverse document
+    // frequency — the classic two-level text aggregation (per-(doc,term)
+    // tf, per-term df, corpus N broadcast as a scalar, join, window
+    // top-k). Exact int counts; the only float is the final ln(N/df)
+    // product, rounded identically in both engines before ranking.
+    q("q_text_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+        |       GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rn, term, tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 AND doc_id < 10 ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("doc_id") < 10)
+        .select("doc_id", "rn", "term", "tfidf")
+        .orderBy("doc_id", "rn")
+    },
+
     // Rolling-hash document fingerprint: a polynomial hash folded over
     // per-token codes — the incremental-fingerprint primitive (vs the
     // cryptographic md5 below), computed as a codegen'd higher-order
