@@ -25,14 +25,18 @@ object AvroIO {
 
   private def avroSchemaJson(schema: StructType): String = {
     val fields = schema.fields.map { f =>
-      val t = f.dataType match {
+      val base = f.dataType match {
         case LongType => "\"long\""
         case IntegerType => "\"int\""
         case DoubleType => "\"double\""
         case StringType => "\"string\""
         case other => sys.error(s"unsupported avro mapping: $other")
       }
-      s"""{"name":"${f.name}","type":$t}"""
+      // Nullable columns become Avro null-unions (null first so the
+      // field default can be null).
+      val t = if (f.nullable) s"""["null",$base]""" else base
+      val dflt = if (f.nullable) ""","default":null""" else ""
+      s"""{"name":"${f.name}","type":$t$dflt}"""
     }.mkString(",")
     s"""{"type":"record","name":"GraftRow","fields":[$fields]}"""
   }
