@@ -71,6 +71,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("correlated subqueries decorrelate to joins (no per-row re-execution)") {
+    for (name <- Seq("q_subq_scalar", "q_subq_exists_corr")) {
+      val p = plan(name)
+      assert(p.contains("Join"), s"$name has no join after decorrelation")
+      assert(!p.contains("ScalarSubquery"),
+        s"$name still evaluates a scalar subquery per row")
+    }
+  }
+
   test("projection pruning reaches the scan (narrow ReadSchema)") {
     val p = plan("q_sort_topn")
     // The 3-column projection must prune the 9-column orders schema.
