@@ -1,6 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,14 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object HiveCompatFunctions {
 
-  private val registered = ConcurrentHashMap.newKeySet[String]()
+  // Keyed on the session OBJECT (SparkSession uses identity equality),
+  // not identityHashCode: hash values are not unique across live
+  // sessions and are reused after GC, which would silently skip
+  // registration — including the load-bearing nanosAsLong conf — for a
+  // colliding session. WeakHashMap lets dead sessions be collected.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotent per-session registration of SQL-visible functions and
     * session-wide conf that affects reads (set once here, not per-read —
     * a per-table `conf.set` would be a racy hidden side effect).
     */
   def ensure(spark: SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark).toString)) {
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
       // events.ts is parquet INT64 TIMESTAMP(NANOS); Spark 4 only reads it
       // via the legacy nanos-as-long path (see T.t).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -36,7 +42,11 @@ object HiveCompatFunctions {
       // Native codegen'd Expression (not a UDF): see JaccardParts.
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "jaccard_parts",
-        exprs => JaccardParts(exprs(0), exprs(1)), "built-in")
+        exprs => {
+          require(exprs.length == 2,
+            s"jaccard_parts requires exactly 2 arguments, got ${exprs.length}")
+          JaccardParts(exprs(0), exprs(1))
+        }, "built-in")
     }
 
   // --- string gaps -------------------------------------------------------

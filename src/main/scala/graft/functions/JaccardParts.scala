@@ -1,13 +1,18 @@
 package graft
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass set intersection+union sizes for two string arrays, packed
-  * as `(|A ∩ B| << 32) | |A ∪ B|` — the near-dup re-scoring kernel.
+  * as `(|A ∩ B| << 32) | (|A ∪ B| & 0xFFFFFFFF)` — the near-dup
+  * re-scoring kernel. Each input array holds at most Int.MaxValue
+  * elements, so |∩| fits in 32 bits; |∪| can reach 2^32-2 and is summed
+  * in LONG space before masking, so the packed low word is exact for
+  * every representable input.
   *
   * Why a native Catalyst Expression (SURVEY §7 extension order (b)):
   * the composed form `size(array_intersect(a,b)) + size(array_union(a,b))`
@@ -15,11 +20,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * plus the internal hash sets twice) per pair; at 100 TB the rescore
   * runs per candidate pair and this halves its allocation. `doGenCode`
   * keeps the whole computation inside whole-stage codegen — no UDF
-  * boxing, no codegen fence.
+  * boxing, no codegen fence. (The generated Java deliberately uses raw
+  * HashSet and single-step local assignments: janino rejects generics
+  * and misparses `((long) x) << 32`-style cast-then-shift expressions.)
+  *
+  * checkInputDataTypes turns a wrong-typed call into an analysis error
+  * instead of an executor ClassCastException.
   */
 case class JaccardParts(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "jaccard_parts requires two array<string> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
   override def dataType: DataType = LongType
   override def prettyName: String = "jaccard_parts"
 
@@ -41,8 +59,8 @@ case class JaccardParts(left: Expression, right: Expression)
       if (bset.add(s) && aset.contains(s)) inter += 1
       i += 1
     }
-    val union = aset.size + bset.size - inter
-    (inter.toLong << 32) | (union.toLong & 0xFFFFFFFFL)
+    val union = aset.size.toLong + bset.size.toLong - inter
+    (inter.toLong << 32) | (union & 0xFFFFFFFFL)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -53,20 +71,25 @@ case class JaccardParts(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val inter = ctx.freshName("inter")
-      val hs = "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>"
+      val hi = ctx.freshName("hi")
+      val uni = ctx.freshName("uni")
       s"""
-         |$hs $aset = new $hs();
+         |java.util.HashSet $aset = new java.util.HashSet();
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  $aset.add($a.getUTF8String($i));
          |}
-         |$hs $bset = new $hs();
+         |java.util.HashSet $bset = new java.util.HashSet();
          |int $inter = 0;
          |for (int $i = 0; $i < $b.numElements(); $i++) {
          |  org.apache.spark.unsafe.types.UTF8String $s = $b.getUTF8String($i);
          |  if ($bset.add($s) && $aset.contains($s)) $inter++;
          |}
-         |${ev.value} = (((long) $inter) << 32)
-         |  | ((long) ($aset.size() + $bset.size() - $inter) & 0xFFFFFFFFL);
+         |long $hi = $inter;
+         |$hi = $hi << 32;
+         |long $uni = $aset.size();
+         |$uni += $bset.size();
+         |$uni -= $inter;
+         |${ev.value} = $hi | ($uni & 0xFFFFFFFFL);
        """.stripMargin
     })
 }

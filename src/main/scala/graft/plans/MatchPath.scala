@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * unsorted). Instead: repartition by key + sortWithinPartitions
   * (key, ord) — Spark's sort-based shuffle does the ordering, exactly
   * like Hive's PTFOperator receives reduce-sorted rows — then a single
-  * pass over each partition groups CONSECUTIVE keys. Memory is bounded
-  * by one group's symbol string (1 byte/row), not its rows — a 1e9-row
-  * key costs ~1 GB of chars, and the row payload is never buffered.
+  * pass over each partition groups CONSECUTIVE keys. Memory is
+  * O(rows-per-group), ~10 B/row (an 8 B ordinal buffer plus a 2 B/char
+  * symbol StringBuilder) — the full row payload is never buffered, but
+  * the per-group buffers are real: a 1e9-row key costs ~10 GB, and a
+  * group beyond 2^31 symbols overflows the StringBuilder — segment such
+  * keys upstream (e.g. bucket the ordinal range) before calling.
+  * NULL keys hash into one partition and are processed as their own
+  * group, matching Hive's PTF partitioning of NULLs.
   */
 object MatchPath {
 
@@ -44,15 +49,19 @@ object MatchPath {
         // allowed) — a zero-width lookahead makes the regex engine do
         // per-position anchoring; group(1) carries the matched span.
         val re = ("(?=(" + rx + "))").r
-        // One pass; consecutive-key runs form the groups.
-        new Iterator[Iterator[(Long, Long, Int)]] {
+        // One pass; consecutive-key runs form the groups. Keys are read
+        // as boxed longs so a NULL key is a valid group of its own
+        // (getLong on a NULL cell would NPE).
+        def keyAt(r: Row): java.lang.Long =
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        new Iterator[Iterator[(java.lang.Long, Long, Int)]] {
           val it = rows.buffered
           def hasNext = it.hasNext
-          def next(): Iterator[(Long, Long, Int)] = {
-            val key = it.head.getLong(0)
+          def next(): Iterator[(java.lang.Long, Long, Int)] = {
+            val key = keyAt(it.head)
             val ords = scala.collection.mutable.ArrayBuffer.empty[Long]
             val sb = new StringBuilder
-            while (it.hasNext && it.head.getLong(0) == key) {
+            while (it.hasNext && java.util.Objects.equals(keyAt(it.head), key)) {
               val r: Row = it.next()
               ords += r.getLong(1)
               sb += (if (r.isNullAt(2) || r.getString(2).isEmpty) ' '

@@ -4,7 +4,8 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -22,8 +23,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * registered plan with a scan of the materialized table — exprIds are
   * re-bound with an aliasing Project so the substitution is transparent
   * to the rest of the plan. Like Hive, rewrites serve STALE data if the
-  * base tables change after materialization; REFRESH = re-register
-  * (documented gap: no incremental maintenance).
+  * base tables change after materialization; `refresh` re-materializes
+  * and re-records, `unregister` stops rewriting (documented gap: no
+  * incremental maintenance).
+  *
+  * Registry state is scoped PER SESSION (WeakHashMap keyed on the
+  * session object): a plan registered in one session never rewrites a
+  * matching plan in another session to the first session's snapshot
+  * files, and dead sessions drop their registrations with GC.
   *
   * Scale notes: this is the classic aggregate-reuse play — a 100 TB
   * scan+agg collapses to a read of the (tiny) materialized result, and
@@ -31,13 +38,27 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object MaterializedViews {
 
-  /** canonicalized defining plan -> (table name, cached optimized scan
-    * of the table). The scan is resolved ONCE at registration so the
-    * rule never launches a nested query execution inside the optimizer
-    * (that nesting is a stack-overflow vector).
+  /** Per-session rewrite state: canonicalized defining plan -> (table
+    * name, cached optimized scan of the table). The scan is resolved
+    * ONCE at registration so the rule never launches a nested query
+    * execution inside the optimizer (that nesting is a stack-overflow
+    * vector).
     */
-  private val registry = TrieMap[LogicalPlan, (String, LogicalPlan)]()
-  private val ruleInstalled = TrieMap[String, Boolean]()
+  private final class SessionState {
+    val registry = TrieMap[LogicalPlan, (String, LogicalPlan)]()
+    var ruleInstalled = false
+  }
+
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, SessionState]()
+
+  private def stateOf(spark: SparkSession): SessionState =
+    sessions.synchronized {
+      var st = sessions.get(spark)
+      if (st == null) { st = new SessionState; sessions.put(spark, st) }
+      st
+    }
+
   private val applying = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
@@ -45,32 +66,57 @@ object MaterializedViews {
   def register(spark: SparkSession, name: String, defining: DataFrame): Unit = {
     if (!spark.catalog.tableExists(name))
       defining.write.saveAsTable(name)
+    record(spark, name, defining)
+  }
+
+  /** Re-materialize `name` from `defining` and re-point the rewrite at
+    * the fresh snapshot (Hive's ALTER MATERIALIZED VIEW ... REBUILD).
+    */
+  def refresh(spark: SparkSession, name: String, defining: DataFrame): Unit = {
+    unregister(spark, name)
+    defining.write.mode("overwrite").saveAsTable(name)
+    record(spark, name, defining)
+  }
+
+  /** Drop every rewrite that targets table `name` in this session. */
+  def unregister(spark: SparkSession, name: String): Unit = {
+    val st = stateOf(spark)
+    st.registry.filterInPlace { case (_, (n, _)) => n != name }
+  }
+
+  private def record(spark: SparkSession, name: String,
+      defining: DataFrame): Unit = {
     // extraOptimizations run AFTER the main optimizer batches, so the
     // incoming subtrees are optimized — match on the OPTIMIZED canonical
     // form of the defining query. If the rule is already installed and
     // rewrote this very plan (re-registration), the optimized form reads
     // the MV itself — never register that, or the rule would chase its
     // own output.
+    val st = stateOf(spark)
     val optimized = defining.queryExecution.optimizedPlan
     val readsMv = optimized.collectLeaves().exists(_.toString.contains(name))
     if (!readsMv) {
       val scan = spark.table(name).queryExecution.optimizedPlan
-      registry.putIfAbsent(optimized.canonicalized, (name, scan))
+      st.registry.putIfAbsent(optimized.canonicalized, (name, scan))
     }
-    ensureRule(spark)
+    sessions.synchronized {
+      if (!st.ruleInstalled) {
+        // extraOptimizations is itself per-session state, so the rule —
+        // closed over this session's registry — only ever sees plans
+        // from the session that registered the MV.
+        spark.experimental.extraOptimizations ++= Seq(new Rewrite(st.registry))
+        st.ruleInstalled = true
+      }
+    }
   }
-
-  private def ensureRule(spark: SparkSession): Unit =
-    if (ruleInstalled.putIfAbsent(
-        System.identityHashCode(spark).toString, true).isEmpty) {
-      spark.experimental.extraOptimizations ++= Seq(new Rewrite)
-    }
 
   /** Replaces registered subtrees bottom-up; a hit substitutes the
     * cached MV scan re-aliased to the replaced subtree's output
     * attributes. Re-entrant applications (nested optimizations) no-op.
     */
-  final class Rewrite extends Rule[LogicalPlan] {
+  final class Rewrite(
+      registry: TrieMap[LogicalPlan, (String, LogicalPlan)])
+      extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (applying.get()) plan
       else {
@@ -87,8 +133,16 @@ object MaterializedViews {
             }
             // Positional re-bind (table column order = defining schema
             // order): keep original exprIds so parents are untouched.
+            // The parquet-backed MV scan is all-nullable, but parents
+            // were analyzed against the ORIGINAL output (e.g. a
+            // non-nullable count(*)): restore non-nullability with
+            // AssertNotNull — sound because the MV rows ARE the
+            // defining query's rows — and carry the original metadata.
             val projectList = p.output.zip(mv.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId)
+              val child: Expression =
+                if (!o.nullable && n.nullable) AssertNotNull(n) else n
+              Alias(child, o.name)(exprId = o.exprId,
+                explicitMetadata = Some(o.metadata))
             }
             Project(projectList, mv)
         } finally applying.set(false)

@@ -220,15 +220,35 @@ object Aggregates extends QueryPack {
           .orderBy("l_returnflag")
     },
 
-    // histogram_numeric (GenericUDAFHistogramNumeric): adaptive bin
-    // centers — algorithm-specific, no DuckDB twin → rows-only (the bin
-    // COUNT sum is asserted in tests to equal the row count).
-    qRows("q_agg_histogram") { (s, dir) =>
+    // Histogram (GenericUDAFHistogramNumeric's use case): 8 equal-width
+    // bins over [min, max], oracle-checked — bin = least(floor((v - mn)
+    // / w), 7) is pure IEEE double math both engines evaluate
+    // identically, x is the bin center. (Hive's ADAPTIVE bin placement —
+    // histogram_numeric itself — has no SQL twin; RegistrySpec exercises
+    // the UDAF directly and asserts its bin-mass invariant.) The min/max
+    // pre-pass is one cheap scan + broadcast; at 100 TB the same shape
+    // holds — two scans, no shuffle of the big side beyond the 8-key agg.
+    q("q_agg_histogram",
+      """WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        |           FROM lineitem),
+        |d AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 8)), 7) AS INT)
+        |        AS bin, mn, mx
+        |      FROM lineitem, b)
+        |SELECT bin, ROUND(MIN(mn) + (bin + 0.5) * ((MIN(mx) - MIN(mn)) / 8), 2) AS x,
+        |  COUNT(*) AS y
+        |FROM d GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
       val l = t(s, dir, "lineitem")
-      l.agg(expr("histogram_numeric(l_extendedprice, 8)").as("h"))
-        .select(explode(col("h")).as("bin"))
-        .select(round(col("bin.x"), 2).as("x"), col("bin.y").as("y"))
-        .orderBy("x")
+      val mm = l.agg(min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      l.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("l_extendedprice") - col("mn"))
+            / ((col("mx") - col("mn")) / 8)), lit(7L)).cast("int"))
+        .groupBy("bin")
+        .agg(round(min(col("mn")) + (col("bin") + lit(0.5))
+            * ((min(col("mx")) - min(col("mn"))) / 8), 2).as("x"),
+          count(lit(1)).as("y"))
+        .orderBy("bin")
     },
 
     // Exact percentile family (UDAFPercentile / GenericUDAFPercentileApprox).

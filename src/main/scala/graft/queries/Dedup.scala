@@ -103,10 +103,15 @@ object Dedup extends QueryPack {
         explode(array(bandCols: _*)).as("bh"))
         .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
       // Skew guard: cap candidate buckets (degenerate boilerplate bucket
-      // would otherwise make one task quadratic).
-      val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "h")
-      val capped = banded.withColumn("bsz", count(lit(1)).over(wb))
-        .filter(col("bsz") <= 1000).drop("bsz")
+      // would otherwise make one task quadratic). Keep the FIRST 1000
+      // members by doc_id rather than dropping the whole bucket — an
+      // oversized bucket degrades (its first 1000 docs still pair up)
+      // instead of silently losing every candidate inside it, and the
+      // choice is deterministic so verified-green stays green.
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "h").orderBy("doc_id")
+      val capped = banded.withColumn("rnk", row_number().over(wb))
+        .filter(col("rnk") <= 1000).drop("rnk")
       val l = capped.as("l")
       val r = capped.as("r")
       val cand = l.join(r,
@@ -159,8 +164,16 @@ object Dedup extends QueryPack {
         explode(array(bands: _*)).as("bh"))
         .select(col("doc_id"), col("simhash"),
           col("bh.band").as("band"), col("bh.bv").as("bv"))
-      val l = banded.as("l")
-      val r = banded.as("r")
+      // Same skew guard as the MinHash path: a boilerplate-heavy corpus
+      // collapses a 16-bit band value into one huge bucket; keep the
+      // first 1000 members per (band, value) deterministically so the
+      // worst case degrades instead of going quadratic in one task.
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bv").orderBy("doc_id")
+      val capped = banded.withColumn("rnk", row_number().over(wb))
+        .filter(col("rnk") <= 1000).drop("rnk")
+      val l = capped.as("l")
+      val r = capped.as("r")
       l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv")
           && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),

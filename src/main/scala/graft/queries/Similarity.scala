@@ -81,13 +81,19 @@ object Similarity extends QueryPack {
     // this corpus, so per-table co-bucket ≈ 0.6^6 and union recall
     // ≈ 1-(1-0.6^6)^10 ≈ 0.4 — tune (bits, tables) so bucket size
     // ≈ corpus/2^bits and recall meets target (multi-probe cuts tables).
+    // Sizing rule: bits ≈ log2(corpus / targetBucketSize); expected
+    // occupancy is corpus/2^bits per (table, bucket), and bucketCap
+    // bounds the worst case — a degenerate bucket (mass-duplicated
+    // embeddings, or a cluster the hyperplanes can't split) otherwise
+    // makes ONE task quadratic while every other task idles.
     // Rows-only: buckets depend on xxhash64-derived hyperplanes the SQL
     // oracle can't reproduce; SimilaritySpec asserts validity + recall
     // against the brute-force baseline instead.
     qRows("q_ann_lsh_bucketed") { (s, dir) =>
       val dim = 64
       val tables = 10
-      val bits = 6
+      val bits = 6        // 2^6 = 64 buckets/table; raise with corpus size
+      val bucketCap = 1000 // max members considered per (table, bucket)
       // Hyperplane k, component d = centered pseudo-random double from
       // xxhash64(k, d) — deterministic, generated distributed, no driver
       // randomness. spark.range keeps it a relation, not a collect.
@@ -105,9 +111,18 @@ object Similarity extends QueryPack {
             .otherwise(0L).as("bit"))
         .groupBy("vec_id", "tbl")
         .agg(sum(col("bit")).cast("long").as("bucket"))
-      val l = buckets.select(col("vec_id").as("q_id"), col("tbl"),
+      // Skew guard (mirrors the MinHash band cap): keep at most bucketCap
+      // members per (table, bucket), deterministically by vec_id — an
+      // oversized bucket degrades to its first bucketCap members instead
+      // of one quadratic straggler task. Candidates lost here can still
+      // surface via the other 9 tables.
+      val wbk = org.apache.spark.sql.expressions.Window
+        .partitionBy("tbl", "bucket").orderBy("vec_id")
+      val capped = buckets.withColumn("rnk", row_number().over(wbk))
+        .filter(col("rnk") <= bucketCap).drop("rnk")
+      val l = capped.select(col("vec_id").as("q_id"), col("tbl"),
         col("bucket"))
-      val r = buckets.select(col("vec_id").as("cand_id"),
+      val r = capped.select(col("vec_id").as("cand_id"),
         col("tbl").as("ctbl"), col("bucket").as("cbucket"))
       val cand = l.join(r, col("tbl") === col("ctbl") &&
           col("bucket") === col("cbucket") && col("q_id") =!= col("cand_id"))
@@ -161,32 +176,45 @@ object Similarity extends QueryPack {
     // IVF-cell ANN — the clustered alternative to hyperplane LSH: 16
     // deterministic seed vectors act as centroids, every vector is
     // assigned to its nearest centroid's cell (an inverted file), and
-    // neighbors are searched within the query's cell only (nprobe=1; at
-    // scale, probe the p nearest cells and train real k-means
-    // centroids). Rows-only: cell assignment has no SQL oracle;
-    // SimilaritySpec asserts validity against brute force.
+    // each query probes its nprobe=2 nearest cells (at scale: train real
+    // k-means centroids, raise ncells with corpus so cell size stays
+    // ~constant, and tune nprobe for the recall target). cellCap bounds
+    // the per-cell candidate list — a hot cell degrades to its first
+    // cellCap members instead of an N²/ncells straggler task.
+    // Rows-only: cell assignment has no SQL oracle; SimilaritySpec
+    // asserts validity + recall against brute force.
     qRows("q_ann_ivf_cells") { (s, dir) =>
+      val nprobe = 2
+      val cellCap = 2000
       val e = withNorm(t(s, dir, "embeddings"))
       val cents = broadcast(e.filter(col("vec_id") % 31 === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
           col("nrm").as("cent_nrm")))
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))
-      val assigned = e.crossJoin(cents)
+      val ranked = e.crossJoin(cents)
         .withColumn("cent_cos",
           dot("embedding", "cent") / (col("nrm") * col("cent_nrm")))
         .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("cent_id").as("cell"))
-      val l = assigned.select(col("vec_id").as("q_id"),
-        col("embedding").as("qe"), col("nrm").as("qn"), col("cell"))
-      val r = assigned.select(col("vec_id").as("cand_id"),
-        col("embedding").as("ce"), col("nrm").as("cn"),
-        col("cell").as("ccell"))
+      // Inverted file: every vector lives in exactly ONE cell (arn=1),
+      // capped per cell deterministically by vec_id.
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy("cand_id")
+      val index = ranked.filter(col("arn") === 1)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cent_id").as("cell"))
+        .withColumn("crnk", row_number().over(wCell))
+        .filter(col("crnk") <= cellCap).drop("crnk")
+      // Probe list: each query searches its nprobe nearest cells. A
+      // candidate sits in one cell, so a (q, cand) pair matches at most
+      // once — no dedup needed before re-scoring.
+      val probes = ranked.filter(col("arn") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cent_id").as("ccell"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
-      l.join(r, col("cell") === col("ccell") && col("q_id") =!= col("cand_id"))
+      probes.join(index, col("ccell") === col("cell") &&
+          col("q_id") =!= col("cand_id"))
         .withColumn("cos_sim",
           round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
         .withColumn("rn", row_number().over(w))

@@ -68,16 +68,34 @@ object Sorting extends QueryPack {
         .agg(count(lit(1)).as("cnt"), dsum(l("l_quantity")).as("sum_qty"))
     },
 
-    // DISTRIBUTE BY + SORT BY (CLUSTER BY): per-partition order is not a
-    // global contract → rows-only check here; SortingSpec asserts the
-    // partition-local sortedness contract. Partition count follows the
-    // session's shuffle parallelism (at 100 TB: sized so each partition
-    // is a few hundred MB), not a magic constant. This is the write-time
-    // layout primitive (co-location for SMB joins, RLE-friendly sort).
-    qRows("q_cluster_by") { (s, dir) =>
-      t(s, dir, "lineitem")
+    // DISTRIBUTE BY + SORT BY (CLUSTER BY): the write-time layout
+    // primitive (co-location for SMB joins, RLE-friendly sort).
+    // Partition count follows the session's shuffle parallelism (at
+    // 100 TB: sized so each partition is a few hundred MB). The oracle
+    // checks the clustering invariant RELATIONALLY: after DISTRIBUTE BY
+    // l_orderkey, every key lives in exactly one partition, so the max
+    // over keys of distinct-partition-count is the literal 1 the oracle
+    // emits; cnt/sum_qty prove the shuffle lost/duplicated nothing.
+    // (Partition-local sortedness — not relationally observable — stays
+    // asserted in SortingSpec.)
+    q("q_cluster_by",
+      """SELECT l_orderkey % 10 AS bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(1 AS BIGINT) AS max_parts_per_key
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val clustered = t(s, dir, "lineitem")
         .repartition(col("l_orderkey"))
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("pid", spark_partition_id())
+      clustered.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("k_cnt"),
+          sum(dec(col("l_quantity"))).as("k_qty"),
+          countDistinct(col("pid")).as("k_parts"))
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(sum(col("k_cnt")).cast("long").as("cnt"),
+          sum(col("k_qty")).cast("double").as("sum_qty"),
+          max(col("k_parts")).as("max_parts_per_key"))
+        .orderBy("bucket")
     })
 }

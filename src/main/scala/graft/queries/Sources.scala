@@ -20,8 +20,9 @@ import org.apache.spark.sql.types._
   * (no 32-way shard of a 25-row dim, no single-file TB write);
   * partitioned reads prove partition PRUNING (the status filter never
   * scans other partitions' files — Hive's PartitionPruner, free in
-  * Spark's file source). Avro is omitted: the spark-avro connector jar
-  * is not on this cluster's classpath (only avro-core) — documented gap.
+  * Spark's file source). Avro rides the avro-core jar directly (no
+  * spark-avro connector on this classpath) via [[graft.AvroIO]] — see
+  * q_src_avro below.
   */
 object Sources extends QueryPack {
 

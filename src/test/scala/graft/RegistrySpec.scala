@@ -29,8 +29,26 @@ class RegistrySpec extends AnyFunSuite {
   test("histogram bin counts sum to the row count") {
     val bins = SparkEntry.queries("q_agg_histogram")(spark, sfDir)
     val total = bins.agg(org.apache.spark.sql.functions.sum("y"))
-      .collect()(0).getDouble(0)
+      .collect()(0).getLong(0)
     val rows = T.t(spark, sfDir, "lineitem").count()
-    assert(math.round(total) === rows)
+    assert(total === rows)
+  }
+
+  test("histogram_numeric (adaptive bins) preserves total mass") {
+    // The Hive UDAF itself (GenericUDAFHistogramNumeric semantics):
+    // adaptive centers have no SQL oracle, so assert the invariants —
+    // requested bin count and total bin mass = row count.
+    import org.apache.spark.sql.functions._
+    val h = T.t(spark, sfDir, "lineitem")
+      .agg(expr("histogram_numeric(l_extendedprice, 8)").as("h"))
+      .select(explode(col("h")).as("bin"))
+      .select(col("bin.x").as("x"), col("bin.y").as("y"))
+    assert(h.count() === 8)
+    val mass = h.agg(sum("y")).collect()(0).getDouble(0)
+    val rows = T.t(spark, sfDir, "lineitem").count()
+    assert(math.round(mass) === rows)
+    // Centers must be ordered and within the data range.
+    val xs = h.orderBy("x").collect().map(_.getDouble(0))
+    assert(xs.sameElements(xs.sorted))
   }
 }

@@ -62,8 +62,17 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = SparkEntry.queries("q_ann_ivf_cells")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(ivf.nonEmpty, "IVF produced no neighbors")
-    for ((q, c) <- ivf)
+    var exactTop1 = 0
+    for ((q, c) <- ivf) {
       assert(c <= brute(q) + 1e-9, s"query $q: IVF cos $c > brute ${brute(q)}")
+      if (c >= brute(q) - 1e-9) exactTop1 += 1
+    }
+    // nprobe=2 over 16 pseudo-centroid cells: the true top-1 must land in
+    // one of the query's two nearest cells often enough to be a usable
+    // index — floor measured on the frozen corpus with margin.
+    val recall = exactTop1.toDouble / ivf.length
+    info(s"IVF nprobe=2 top-1 recall = $recall (${ivf.length} queries)")
+    assert(recall >= 0.3, s"IVF top-1 recall $recall below floor 0.3")
   }
 
   test("SimHash candidate pairs are real near-duplicates") {
