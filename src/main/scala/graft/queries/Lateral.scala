@@ -176,6 +176,52 @@ object Lateral extends QueryPack {
         .orderBy("key")
     },
 
+    // matchpath with a QUANTIFIER: "cx*e" = a click, any run of
+    // non-click/non-error events, then an error. Exercises the regex
+    // surface beyond fixed strings (Hive matchpath's sym* syntax).
+    // Oracle = gaps-and-islands rewrite: an 'e' row matches iff the
+    // nearest preceding non-'x' row is a 'c' (x* consumes the run, so
+    // each anchor 'c' matches exactly at the FIRST following non-x when
+    // it's an 'e'); match length = the row distance c→e + 1.
+    q("q_ptf_matchpath_star",
+      """WITH sy AS (
+        |  SELECT user_id, epoch_us(ts) AS ord,
+        |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+        |      ELSE 'x' END AS sym
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ord, sym,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ord) AS rn
+        |  FROM sy),
+        |nx AS (
+        |  SELECT user_id, ord, sym, rn,
+        |    MAX(CASE WHEN sym <> 'x' THEN rn END) OVER
+        |      (PARTITION BY user_id ORDER BY ord
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_nonx_rn
+        |  FROM r),
+        |m AS (
+        |  SELECT e.user_id, c.ord AS match_ord, e.rn - c.rn + 1 AS match_len
+        |  FROM nx e JOIN r c
+        |    ON e.user_id = c.user_id AND e.prev_nonx_rn = c.rn
+        |  WHERE e.sym = 'e' AND c.sym = 'c')
+        |SELECT user_id AS key, COUNT(*) AS n_matches,
+        |  CAST(MIN(match_ord) AS BIGINT) AS first_match_ord,
+        |  CAST(SUM(match_len) AS BIGINT) AS len_sum
+        |FROM m GROUP BY user_id ORDER BY key""".stripMargin) { (s, dir) =>
+      val sy = t(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ord"),
+          when(col("event_type") === "click", "c")
+            .when(col("event_type") === "error", "e")
+            .otherwise("x").as("sym"))
+      MatchPath(sy, "user_id", "ord", "sym", "cx*e")
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("match_ord")).as("first_match_ord"),
+          sum(col("match_len")).cast("long").as("len_sum"))
+        .orderBy("key")
+    },
+
     // ScriptOperator: TRANSFORM ... USING 'cat' — rows piped through an
     // external process (SURVEY.md §2.7). Identity script: output = input
     // as tab-separated strings.

@@ -9,8 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class SortingSpec extends AnyFunSuite {
   import SparkTestBase._
 
-  test("q_cluster_by is key-partitioned and sorted within partitions") {
-    val df = SparkEntry.queries("q_cluster_by")(spark, sfDir)
+  test("cluster-by layout is key-partitioned and sorted within partitions") {
+    // Same CLUSTER BY layout q_cluster_by builds (that query now emits
+    // the relational invariant aggregate for its oracle; the raw
+    // partition-local sortedness contract is only observable here).
+    val df = T.t(spark, sfDir, "lineitem")
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
     val perPartition = df
       .select(spark_partition_id().as("pid"), col("l_orderkey"),
         col("l_linenumber"))
