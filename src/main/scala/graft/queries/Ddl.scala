@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * (feeds the enabled CBO — table + column stats make the cost-based
   * join reorder real), CREATE VIEW expansion, and the ACID trio
   * MERGE / UPDATE / DELETE implemented as deterministic batch rewrites
-  * (SURVEY §7.5.3: no transactional storage in scope — a MERGE is a
-  * full-outer join rewrite producing the post-state, Hive-ACID's
-  * delta+compaction collapsed into one job).
+  * (SURVEY §7.5.3), in two flavors: single-job batch rewrites (the
+  * q_ddl_* queries below), and REAL delta-file MVCC with tombstones,
+  * write-id snapshots and compaction via [[graft.AcidTable]] (the
+  * q_acid_* queries — Hive ACID v2's delete+insert delta mechanics).
   *
   * Scale notes: CTAS setup is create-if-absent per (session, sf) like
   * the SMB tables — queries re-read, never re-write; the MERGE rewrite
@@ -22,7 +23,81 @@ import org.apache.spark.sql.functions._
   */
 object Ddl extends QueryPack {
 
+  /** Shared ACID demo table: customer put through a fixed write-id
+    * history. Create-once per (JVM, sf dir) — reruns read, never
+    * rewrite, so every snapshot below is deterministic.
+    *   w1 CREATE  = customer
+    *   w2 INSERT  = ingest batch (custkey ≤ 100, shifted key, INGESTED)
+    *   w3 DELETE  = negative balances tombstoned
+    *   w4 UPDATE  = balances capped at 9000 (delete+insert, one write)
+    */
+  private def acidDemo(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root = System.getProperty("java.io.tmpdir") + "/graft_acid_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    AcidTable.synchronized {
+      if (!AcidTable.exists(s, root)) {
+        val c = t(s, dir, "customer")
+        AcidTable.create(s, root, c)
+        AcidTable.insert(s, root, c.filter(col("c_custkey") <= 100)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("c_mktsegment", lit("INGESTED")))
+        AcidTable.delete(s, root, col("c_acctbal") < 0)
+        AcidTable.update(s, root, col("c_acctbal") > 9000,
+          Map("c_acctbal" -> lit(9000.0)))
+      }
+    }
+    root
+  }
+
+  /** DuckDB twin of the w2 state (base + ingest batch). */
+  private val acidOracleAll =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+      |  'INGESTED'
+      |  FROM customer WHERE c_custkey <= 100""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+
+    // ACID delta-file lifecycle, merge-on-read (AcidInputFormat —
+    // SURVEY §2.1): latest snapshot after create→ingest→delete→update,
+    // each a real delta dir with tombstones by ROW__ID. The oracle
+    // replays the same history relationally.
+    q("q_acid_merge_delta",
+      s"""WITH t AS ($acidOracleAll),
+         |after AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_acctbal > 9000 THEN 9000.0 ELSE c_acctbal END AS bal
+         |  FROM t WHERE NOT (c_acctbal < 0))
+         |SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS bal_total
+         |FROM after GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, dir) =>
+        AcidTable.read(s, acidDemo(s, dir))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("c_acctbal"))).cast("double").as("bal_total"))
+          .orderBy("c_mktsegment")
+    },
+
+    // Snapshot (time-travel) read at write id 3: the delete is visible,
+    // the update is not — balances still uncapped. Proves write-id
+    // isolation, not just final state.
+    q("q_acid_time_travel",
+      s"""WITH t AS ($acidOracleAll)
+         |SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_total
+         |FROM t WHERE NOT (c_acctbal < 0)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, dir) =>
+        AcidTable.read(s, acidDemo(s, dir), asOf = Some(3L))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("c_acctbal"))).cast("double").as("bal_total"))
+          .orderBy("c_mktsegment")
+    },
 
     // CTAS + ANALYZE: materialize a per-customer order summary in the
     // catalog, compute table+column stats (CBO input), query it.

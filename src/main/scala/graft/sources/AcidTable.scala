@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ACID delta-file table layout with merge-on-read and compaction —
+  * Hive's transactional-table mechanics (SURVEY.md §1.1 / §2.1:
+  * ql/io/{AcidInputFormat, AcidOutputFormat}.class, delta-file MVCC +
+  * background compaction), re-expressed Spark-first on plain parquet.
+  *
+  * Layout under `root/` (write ids strictly increase, dir rename is the
+  * commit point — same protocol as Hive's delta_w directories):
+  *   base_<w>/           full snapshot as of write w (parquet)
+  *   delta_<w>_insert/   rows added by write w
+  *   delta_<w>_delete/   ROW__IDs tombstoned by write w
+  *
+  * Every row carries `row__id` = STRUCT(write_id, row_id) — Hive's
+  * ROW__ID(writeId, bucket, rowId) minus the bucket leg (Spark's file
+  * source has no bucket identity on read; write_id + a per-write
+  * monotonic id is already globally unique). UPDATE = delete + insert
+  * in one write id, exactly Hive ACID v2.
+  *
+  * Merge-on-read = (base ∪ inserts) ANTI JOIN deletes on row__id. The
+  * delete side is the small side by construction (tombstones since the
+  * last compaction, not data), so it is broadcast — the 100 TB read
+  * costs one scan plus a broadcast hash anti join, no shuffle of the
+  * data side. When tombstones outgrow broadcast range, that IS the
+  * signal to compact (Hive's compactor threshold, same economics).
+  * `compact` folds everything into a new base_<w> and drops older dirs
+  * (Hive's major compaction + cleaner; history before the new base is
+  * gone — same freshness contract). Snapshot reads (`asOf`) replay
+  * only deltas with write id ≤ the requested snapshot.
+  *
+  * At 100 TB the layout extends per-partition (root/part=x/base_w/...)
+  * so deletes and compaction touch only affected partitions; the
+  * merge-on-read plan is unchanged.
+  */
+object AcidTable {
+
+  private val RID = "row__id"
+
+  private def fs(s: SparkSession, root: String) =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def withRid(df: DataFrame, w: Long): DataFrame =
+    df.withColumn(RID,
+      struct(lit(w).as("write_id"),
+        monotonically_increasing_id().as("row_id")))
+
+  /** All (kind, writeId) dirs present, ascending by writeId. */
+  private def writes(s: SparkSession, root: String): Seq[(String, Long)] = {
+    val f = fs(s, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName).flatMap {
+      case n if n.startsWith("base_") =>
+        Some(("base", n.stripPrefix("base_").toLong))
+      case n if n.startsWith("delta_") && n.endsWith("_insert") =>
+        Some(("insert", n.stripPrefix("delta_").stripSuffix("_insert").toLong))
+      case n if n.startsWith("delta_") && n.endsWith("_delete") =>
+        Some(("delete", n.stripPrefix("delta_").stripSuffix("_delete").toLong))
+      case _ => None
+    }.sortBy(_._2)
+  }
+
+  def exists(s: SparkSession, root: String): Boolean =
+    writes(s, root).nonEmpty
+
+  /** Highest committed write id (0 = empty table). */
+  def currentWriteId(s: SparkSession, root: String): Long =
+    writes(s, root).map(_._2).maxOption.getOrElse(0L)
+
+  /** Create the table: `df` becomes base_1. */
+  def create(s: SparkSession, root: String, df: DataFrame): Unit =
+    withRid(df, 1L).write.parquet(s"$root/base_1")
+
+  /** Snapshot read. `asOf` = write id (None = latest). Returns data
+    * columns + `row__id`.
+    */
+  def read(s: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val all = writes(s, root)
+    require(all.nonEmpty, s"no ACID table at $root")
+    val snap = asOf.getOrElse(all.map(_._2).max)
+    val visible = all.filter(_._2 <= snap)
+    require(visible.exists(_._1 == "base"),
+      s"no snapshot at write id $snap under $root " +
+        "(compaction discarded older history)")
+    val baseW = visible.filter(_._1 == "base").map(_._2).max
+    val base = s.read.parquet(s"$root/base_$baseW")
+    val rows = visible.collect { case ("insert", w) if w > baseW =>
+      s.read.parquet(s"$root/delta_${w}_insert")
+    }.foldLeft(base)(_ unionByName _)
+    val delDirs = visible.collect { case ("delete", w) if w > baseW =>
+      s"$root/delta_${w}_delete" }
+    if (delDirs.isEmpty) rows
+    else rows.join(broadcast(s.read.parquet(delDirs: _*)), Seq(RID),
+      "left_anti")
+  }
+
+  /** Append rows as a new write. Returns the write id. */
+  def insert(s: SparkSession, root: String, df: DataFrame): Long = {
+    val w = currentWriteId(s, root) + 1
+    withRid(df, w).write.parquet(s"$root/delta_${w}_insert")
+    w
+  }
+
+  /** Tombstone every current row matching `pred`. Returns the write id. */
+  def delete(s: SparkSession, root: String, pred: Column): Long = {
+    val w = currentWriteId(s, root) + 1
+    read(s, root).filter(pred).select(RID)
+      .write.parquet(s"$root/delta_${w}_delete")
+    w
+  }
+
+  /** UPDATE = delete + re-insert with `set` applied, ONE write id (Hive
+    * ACID v2's update path). Returns the write id.
+    */
+  def update(s: SparkSession, root: String, pred: Column,
+      set: Map[String, Column]): Long = {
+    val w = currentWriteId(s, root) + 1
+    val hit = read(s, root).filter(pred).cache()
+    try {
+      hit.select(RID).write.parquet(s"$root/delta_${w}_delete")
+      val updated = set.foldLeft(hit.drop(RID)) { case (d, (c, e)) =>
+        d.withColumn(c, e) }
+      withRid(updated, w).write.parquet(s"$root/delta_${w}_insert")
+    } finally hit.unpersist()
+    w
+  }
+
+  /** Major compaction: fold the current snapshot into base_<w+1>, drop
+    * every older dir (compactor + cleaner in one step — pre-compaction
+    * snapshots are no longer readable, as in Hive).
+    */
+  def compact(s: SparkSession, root: String): Long = {
+    val w = currentWriteId(s, root) + 1
+    // Keep existing row__ids (stable identity across compaction).
+    read(s, root).write.parquet(s"$root/base_$w")
+    val f = fs(s, root)
+    writes(s, root).filter(_._2 < w).foreach {
+      case ("base", i) => f.delete(new Path(s"$root/base_$i"), true)
+      case ("insert", i) => f.delete(new Path(s"$root/delta_${i}_insert"), true)
+      case ("delete", i) => f.delete(new Path(s"$root/delta_${i}_delete"), true)
+    }
+    w
+  }
+}

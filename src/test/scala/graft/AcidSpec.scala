@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Delta-file ACID mechanics (AcidTable): write-id snapshots, tombstone
+  * merge-on-read, update-as-delete+insert, row__id stability, and major
+  * compaction (fold + cleaner). The q_acid_* queries oracle-check the
+  * RESULTS; this spec checks the storage-layer invariants the oracle
+  * can't see.
+  */
+class AcidSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def freshRoot() = java.nio.file.Files
+    .createTempDirectory("graft-acid-spec").toString + "/t"
+
+  test("lifecycle: create, insert, delete, update with snapshot isolation") {
+    val root = freshRoot()
+    val n = T.t(spark, sfDir, "nation")
+    AcidTable.create(spark, root, n)                       // w1: 25 rows
+    AcidTable.insert(spark, root,
+      n.filter(col("n_nationkey") < 5)
+        .withColumn("n_nationkey", col("n_nationkey") + 100)) // w2: +5
+    // w3: region 0 holds 5 base nations plus 1 of the inserted copies
+    // (nation 0) — tombstones hit base AND delta rows: -6.
+    AcidTable.delete(spark, root, col("n_regionkey") === 0)
+    AcidTable.update(spark, root, col("n_nationkey") >= 100,
+      Map("n_name" -> lit("UPDATED")))                        // w4
+
+    assert(AcidTable.read(spark, root, Some(1L)).count() === 25)
+    assert(AcidTable.read(spark, root, Some(2L)).count() === 30)
+    assert(AcidTable.read(spark, root, Some(3L)).count() === 24)
+    val latest = AcidTable.read(spark, root)
+    assert(latest.count() === 24)
+    assert(latest.filter(col("n_name") === "UPDATED").count() === 4)
+    // The update re-wrote ONLY its rows (delete+insert, one write id).
+    assert(AcidTable.currentWriteId(spark, root) === 4L)
+  }
+
+  test("update keeps untouched columns and tombstones exactly once") {
+    val root = freshRoot()
+    AcidTable.create(spark, root, T.t(spark, sfDir, "region"))
+    AcidTable.update(spark, root, col("r_regionkey") === 2,
+      Map("r_name" -> lit("X")))
+    val rows = AcidTable.read(spark, root)
+    assert(rows.count() === 5)
+    assert(rows.filter(col("r_name") === "X").count() === 1)
+    // row__id is unique across base + deltas.
+    assert(rows.select("row__id").distinct().count() === 5)
+  }
+
+  test("major compaction preserves data and drops history") {
+    val root = freshRoot()
+    val n = T.t(spark, sfDir, "nation")
+    AcidTable.create(spark, root, n)
+    AcidTable.delete(spark, root, col("n_nationkey") % 2 === 0)
+    val before = AcidTable.read(spark, root)
+      .orderBy("n_nationkey").collect().map(_.toString).toSeq
+    val w = AcidTable.compact(spark, root)
+    val after = AcidTable.read(spark, root)
+      .orderBy("n_nationkey").collect().map(_.toString).toSeq
+    assert(after === before, "compaction changed visible data")
+    // Cleaner ran: only the new base remains on disk.
+    val dirs = new java.io.File(root).listFiles().map(_.getName).toSeq
+    assert(dirs === Seq(s"base_$w"), s"stale dirs survive: $dirs")
+    // Post-compaction read is a bare scan — no anti-join in the plan.
+    val plan = AcidTable.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Anti"), s"compacted read still merges:\n$plan")
+    // Pre-compaction snapshots are gone (Hive cleaner semantics).
+    intercept[IllegalArgumentException] {
+      AcidTable.read(spark, root, Some(1L)).collect()
+    }
+  }
+
+  test("tombstone side of merge-on-read is broadcast") {
+    val root = freshRoot()
+    AcidTable.create(spark, root, T.t(spark, sfDir, "customer"))
+    AcidTable.delete(spark, root, col("c_acctbal") < 0)
+    val plan = AcidTable.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("Anti"),
+      s"expected broadcast anti-join merge-on-read:\n$plan")
+  }
+}
