@@ -174,25 +174,61 @@ object Similarity extends QueryPack {
     },
 
     // IVF-cell ANN — the clustered alternative to hyperplane LSH: 16
-    // deterministic seed vectors act as centroids, every vector is
-    // assigned to its nearest centroid's cell (an inverted file), and
-    // each query probes its nprobe=2 nearest cells (at scale: train real
-    // k-means centroids, raise ncells with corpus so cell size stays
-    // ~constant, and tune nprobe for the recall target). cellCap bounds
-    // the per-cell candidate list — a hot cell degrades to its first
-    // cellCap members instead of an N²/ncells straggler task.
-    // Rows-only: cell assignment has no SQL oracle; SimilaritySpec
-    // asserts validity + recall against brute force.
+    // deterministic seed vectors are refined by `iters` relational
+    // Lloyd (k-means) iterations — assign to nearest centroid, recompute
+    // each centroid as the per-dimension mean of its cell — then every
+    // vector is indexed under its nearest trained centroid (an inverted
+    // file) and each query probes its nprobe=2 nearest cells (at scale:
+    // raise ncells with corpus so cell size stays ~constant, tune
+    // nprobe/iters for the recall target). Means are decimal-stabilized
+    // so centroids — and therefore cells — are bit-deterministic across
+    // runs and partitionings. cellCap bounds the per-cell candidate
+    // list — a hot cell degrades to its first cellCap members instead
+    // of an N²/ncells straggler task. Rows-only: cell assignment has no
+    // SQL oracle; SimilaritySpec asserts validity + recall vs brute
+    // force.
     qRows("q_ann_ivf_cells") { (s, dir) =>
       val nprobe = 2
       val cellCap = 2000
+      val iters = 2
       val e = withNorm(t(s, dir, "embeddings"))
-      val cents = broadcast(e.filter(col("vec_id") % 31 === 0)
+      var cents = e.filter(col("vec_id") % 31 === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
-          col("nrm").as("cent_nrm")))
+          col("nrm").as("cent_nrm"))
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))
-      val ranked = e.crossJoin(cents)
+      for (_ <- 1 to iters) {
+        // Assignment argmax via map-side-combining max_by (not a sort
+        // window — the training pass never sorts the corpus), carrying
+        // only (vec_id, cent_id, cos) triples; embeddings re-join by id.
+        val cells = e.crossJoin(broadcast(cents))
+          .withColumn("cent_cos",
+            dot("embedding", "cent") / (col("nrm") * col("cent_nrm")))
+          .groupBy("vec_id")
+          .agg(max_by(col("cent_id"),
+            struct(col("cent_cos"), (lit(0L) - col("cent_id")).as("inv")))
+            .as("cell"))
+        val assigned = e.select(col("vec_id"), col("embedding"))
+          .join(cells, "vec_id")
+        // New centroid = per-dimension mean of the cell: explode to
+        // (cell, dim, value), exact-decimal mean per dimension (order-
+        // independent ⇒ deterministic), reassemble the array in dim
+        // order. Empty cells simply drop out (standard Lloyd).
+        // localCheckpoint truncates lineage so iteration i+1 (and the
+        // final index pass) never re-executes iteration i's plan.
+        cents = assigned
+          .select(col("cell"), posexplode(col("embedding")))
+          .groupBy("cell", "pos")
+          .agg((sum(col("col").cast("decimal(27,10)")) / count(lit(1)))
+            .cast("double").as("m"))
+          .groupBy("cell")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+            .as("cent"))
+          .select(col("cell").as("cent_id"), col("cent"),
+            sqrt(dot("cent", "cent")).as("cent_nrm"))
+          .localCheckpoint(true)
+      }
+      val ranked = e.crossJoin(broadcast(cents))
         .withColumn("cent_cos",
           dot("embedding", "cent") / (col("nrm") * col("cent_nrm")))
         .withColumn("arn", row_number().over(wAssign))

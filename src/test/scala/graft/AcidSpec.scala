@@ -74,6 +74,50 @@ class AcidSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming micro-batch ingest lands as ACID write ids") {
+    // HiveStreamingConnection parity (SURVEY §2.9 #1): clients append
+    // micro-batches into ACID tables, one transaction per batch. Spark
+    // twin: readStream → foreachBatch → AcidTable.insert — each
+    // micro-batch commits as its own write id, and the post-ingest
+    // table composes with the rest of the lifecycle (delete+compact).
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    AcidTable.create(spark, root,
+      T.t(spark, sfDir, "events").filter(lit(false)))  // empty base
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-acid-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // Same nanos surfacing as T.t, so batch schema == base schema.
+        AcidTable.insert(spark, root,
+          batch.withColumn("ts_ns", col("ts"))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .select(T.t(spark, sfDir, "events").columns.map(col): _*))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = T.t(spark, sfDir, "events").count()
+    assert(AcidTable.read(spark, root).count() === n)
+    assert(AcidTable.currentWriteId(spark, root) >= 2L) // ≥1 ingest txn
+    // The ingested table supports the full lifecycle.
+    AcidTable.delete(spark, root, col("event_type") === "error")
+    AcidTable.compact(spark, root)
+    val expect = T.t(spark, sfDir, "events")
+      .filter(col("event_type") =!= "error").count()
+    assert(AcidTable.read(spark, root).count() === expect)
+  }
+
   test("tombstone side of merge-on-read is broadcast") {
     val root = freshRoot()
     AcidTable.create(spark, root, T.t(spark, sfDir, "customer"))

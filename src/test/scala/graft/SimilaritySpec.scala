@@ -67,12 +67,13 @@ class SimilaritySpec extends AnyFunSuite {
       assert(c <= brute(q) + 1e-9, s"query $q: IVF cos $c > brute ${brute(q)}")
       if (c >= brute(q) - 1e-9) exactTop1 += 1
     }
-    // nprobe=2 over 16 pseudo-centroid cells: the true top-1 must land in
+    // nprobe=2 over 16 Lloyd-trained cells: the true top-1 must land in
     // one of the query's two nearest cells often enough to be a usable
-    // index — floor measured on the frozen corpus with margin.
+    // index — measured 0.452 on the frozen corpus (0.34 untrained);
+    // floor set with margin below the trained figure.
     val recall = exactTop1.toDouble / ivf.length
     info(s"IVF nprobe=2 top-1 recall = $recall (${ivf.length} queries)")
-    assert(recall >= 0.3, s"IVF top-1 recall $recall below floor 0.3")
+    assert(recall >= 0.4, s"IVF top-1 recall $recall below floor 0.4")
   }
 
   test("SimHash candidate pairs are real near-duplicates") {
