@@ -61,4 +61,22 @@ class JaccardPartsSpec extends AnyFunSuite {
     assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ===
       Seq((0, 0), (1, 3), (0, 1), (2, 2)))
   }
+
+  test("wrong input types fail at analysis, not execution") {
+    HiveCompatFunctions.ensure(spark)
+    val df = spark.range(1)
+      .selectExpr("array(1, 2) AS a", "array('x') AS b")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("jaccard_parts(a, b)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<string>"))
+  }
+
+  test("wrong arity raises a clear error") {
+    HiveCompatFunctions.ensure(spark)
+    val ex = intercept[Exception] {
+      spark.range(1).selectExpr("jaccard_parts(array('a'))").collect()
+    }
+    assert(ex.getMessage.contains("exactly 2"))
+  }
 }

@@ -37,6 +37,16 @@ class MatchPathSpec extends AnyFunSuite {
     assert(run(rows, "ce") === Set.empty[(Long, Long, Int)])
   }
 
+  test("NULL partition key forms its own group") {
+    import spark.implicits._
+    val df = Seq((Option.empty[Long], 1L, "c"), (None, 2L, "e"),
+      (Some(5L), 1L, "c"), (Some(5L), 2L, "e")).toDF("k", "o", "s")
+    val out = MatchPath(df, "k", "o", "s", "ce").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getInt(2))).toSet
+    assert(out === Set((-1L, 1L, 2), (5L, 1L, 2)))
+  }
+
   test("order column, not input order, drives the sequence") {
     val rows = Seq((1L, 2L, "e"), (1L, 1L, "c"))
     assert(run(rows, "ce") === Set((1L, 1L, 2)))

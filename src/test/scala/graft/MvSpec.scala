@@ -30,6 +30,35 @@ class MvSpec extends AnyFunSuite {
     assert(viaMv === base)
   }
 
+  test("refresh re-points the rewrite; unregister stops it") {
+    val name = s"g_mv_refresh_$tag"
+    def defin = T.t(spark, sfDir, "region")
+      .groupBy("r_regionkey").agg(count(lit(1)).as("cnt"))
+    MaterializedViews.register(spark, name, defin)
+    assert(defin.queryExecution.optimizedPlan.toString.contains(name))
+    MaterializedViews.refresh(spark, name, defin)
+    assert(defin.queryExecution.optimizedPlan.toString.contains(name))
+    assert(defin.collect().length === 5)
+    MaterializedViews.unregister(spark, name)
+    assert(!defin.queryExecution.optimizedPlan.toString.contains(name),
+      "rewrite still fires after unregister")
+  }
+
+  test("rebind preserves non-nullable output attributes") {
+    val name = s"g_mv_nn_$tag"
+    def defin = T.t(spark, sfDir, "nation")
+      .groupBy("n_regionkey").agg(count(lit(1)).as("cnt"))
+    MaterializedViews.register(spark, name, defin)
+    val q = defin
+    assert(q.queryExecution.optimizedPlan.toString.contains(name))
+    // count(*) analyzes non-nullable; the MV parquet scan is nullable —
+    // the rebind must restore the original nullability or parents hold
+    // a stale contract.
+    val cnt = q.queryExecution.optimizedPlan.output.find(_.name == "cnt").get
+    assert(!cnt.nullable, "MV rewrite made non-nullable count(*) nullable")
+    assert(q.collect().map(_.getLong(1)).sum === 25)
+  }
+
   test("non-matching aggregate is left alone") {
     MaterializedViews.register(spark, s"g_mv_qty_$tag", defining)
     val l = T.t(spark, sfDir, "lineitem")
