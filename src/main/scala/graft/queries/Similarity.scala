@@ -195,20 +195,24 @@ object Similarity extends QueryPack {
       var cents = e.filter(col("vec_id") % 31 === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
           col("nrm").as("cent_nrm"))
+      // Centroids train on a deterministic ~20% sample — the standard
+      // scale move: Lloyd iterations never scan the full corpus (only
+      // the final index build does), and centroid quality barely moves.
+      val trainSet = e.filter(pmod(col("vec_id"), lit(5)) === 0)
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))
       for (_ <- 1 to iters) {
         // Assignment argmax via map-side-combining max_by (not a sort
         // window — the training pass never sorts the corpus), carrying
         // only (vec_id, cent_id, cos) triples; embeddings re-join by id.
-        val cells = e.crossJoin(broadcast(cents))
+        val cells = trainSet.crossJoin(broadcast(cents))
           .withColumn("cent_cos",
             dot("embedding", "cent") / (col("nrm") * col("cent_nrm")))
           .groupBy("vec_id")
           .agg(max_by(col("cent_id"),
             struct(col("cent_cos"), (lit(0L) - col("cent_id")).as("inv")))
             .as("cell"))
-        val assigned = e.select(col("vec_id"), col("embedding"))
+        val assigned = trainSet.select(col("vec_id"), col("embedding"))
           .join(cells, "vec_id")
         // New centroid = per-dimension mean of the cell: explode to
         // (cell, dim, value), exact-decimal mean per dimension (order-
