@@ -258,5 +258,77 @@ object Joins extends QueryPack {
       a.join(b, a("seg") <=> b("seg"))
         .groupBy(b("seg")).agg(count(lit(1)).as("cnt"))
         .orderBy(b("seg").asc_nulls_first)
+    },
+
+    // AS-OF join (temporal "most recent match"): each error joins the
+    // latest click at-or-before it, per user. Spark lacks ASOF JOIN
+    // (DuckDB's oracle is the native one) — the SCALABLE rewrite is
+    // union-tag + prefix window: one shuffle+sort per user, no range
+    // probe, no self-join blowup; at 100 TB this is a single sort-based
+    // pass however long the history is. Clicks sort before errors at
+    // equal ordinal so ASOF's >= semantics hold exactly.
+    q("q_join_asof",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ord, event_type FROM events),
+        |err AS (SELECT user_id, ord FROM e WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, ord AS c_ord FROM e WHERE event_type = 'click')
+        |SELECT err.user_id AS user_id, COUNT(*) AS n_err,
+        |  COUNT(c_ord) AS n_matched,
+        |  CAST(SUM(err.ord - c_ord) AS BIGINT) AS gap_sum
+        |FROM err ASOF LEFT JOIN clk
+        |  ON err.user_id = clk.user_id AND err.ord >= clk.c_ord
+        |GROUP BY err.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("user_id"), expr("ts_ns div 1000").as("ord"),
+          col("event_type"))
+      val tagged = e
+        .withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
+        .withColumn("click_ord", when(col("tag") === 0, col("ord")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ord"), col("tag"))
+        .rowsBetween(Long.MinValue, 0)
+      tagged
+        .withColumn("c_ord", last(col("click_ord"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_err"),
+          count(col("c_ord")).as("n_matched"),
+          sum(col("ord") - col("c_ord")).cast("long").as("gap_sum"))
+        .orderBy("user_id")
+    },
+
+    // RANGE join, binned: count clicks falling inside any error's
+    // trailing 60-second window, across all users. The naive plan is an
+    // O(errors × clicks) theta join (that IS the DuckDB oracle — fine
+    // at oracle SF, fatal at 100 TB). The scale plan bins time into
+    // interval-sized buckets: each interval explodes to ≤2 bucket rows,
+    // each point to exactly 1, the join becomes EQUI on bucket (hash
+    // join, shuffle bounded by data size), and the exact range predicate
+    // re-checks after. A point matches an interval in at most one common
+    // bucket, so no dedup step is needed.
+    q("q_join_range_binned",
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ord, event_type FROM events),
+        |err AS (SELECT ord AS hi, ord - 60000000 AS lo
+        |        FROM e WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS clk_id, ord FROM e WHERE event_type = 'click')
+        |SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT clk_id) AS n_clicks,
+        |  CAST(SUM(hi - ord) AS BIGINT) AS gap_sum
+        |FROM err JOIN clk ON ord > lo AND ord <= hi""".stripMargin) { (s, dir) =>
+      val bucket = 60000000L // µs — bucket width = interval length
+      val e = t(s, dir, "events")
+        .select(col("event_id"), expr("ts_ns div 1000").as("ord"),
+          col("event_type"))
+      val bursts = e.filter(col("event_type") === "error")
+        .select(col("ord").as("hi"), (col("ord") - bucket).as("lo"))
+        .withColumn("bkt",
+          explode(expr(s"sequence(lo div $bucket, hi div $bucket)")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("clk_id"), col("ord"))
+        .withColumn("bkt", expr(s"ord div $bucket"))
+      bursts.join(clicks, "bkt")
+        .filter(col("ord") > col("lo") && col("ord") <= col("hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("clk_id")).as("n_clicks"),
+          sum(col("hi") - col("ord")).cast("long").as("gap_sum"))
     })
 }

@@ -71,6 +71,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_asof runs as one windowed pass, no self-join") {
+    // The as-of rewrite's whole point: no join operator at all —
+    // union-tag + prefix window, a single sort-based pass per user.
+    val p = plan("q_join_asof")
+    assert(!p.contains("Join"), s"as-of planned a join:\n$p")
+    assert(p.contains("Window"), "as-of lost its window")
+  }
+
+  test("q_join_range_binned joins equi on bucket, not nested-loop") {
+    // The binned range join must plan a HASH join on the bucket key;
+    // the raw range predicate alone would nested-loop.
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a loop join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"range join is not an equi join on the bucket:\n$p")
+  }
+
   test("correlated subqueries decorrelate to joins (no per-row re-execution)") {
     for (name <- Seq("q_subq_scalar", "q_subq_exists_corr")) {
       val p = plan(name)
