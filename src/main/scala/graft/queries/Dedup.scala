@@ -34,6 +34,56 @@ object Dedup extends QueryPack {
           " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
           " ' ', element_at(w, i + 2))))").as("shingles"))
 
+  /** MinHash-LSH near-dup pairs: 24 minhash sigs → 12 bands × 2 →
+    * capped bucket join → exact Jaccard >= 0.8 rescore (integer math).
+    * Shared by q_dedup_minhash (emits the pairs) and q_dedup_components
+    * (clusters them). Columns: a_id, b_id, n_inter, n_union; unsorted.
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sh = shingleDf(s, dir)
+    // 24 minhash signatures: min over shingles of a seeded xxhash64.
+    val sigs = (0 until 24).map(k =>
+      expr(s"array_min(transform(shingles, v -> xxhash64($k, v)))")
+        .as(s"sig$k"))
+    val sig = sh.select((col("doc_id") +: sigs): _*)
+    // 12 bands × 2 rows: band hash = hash of the band's signature pair.
+    val bandCols = (0 until 12).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"xxhash64(sig${2 * b}, sig${2 * b + 1})").as("h")))
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    // Skew guard: cap candidate buckets (degenerate boilerplate bucket
+    // would otherwise make one task quadratic). Keep the FIRST 1000
+    // members by doc_id rather than dropping the whole bucket — an
+    // oversized bucket degrades (its first 1000 docs still pair up)
+    // instead of silently losing every candidate inside it, and the
+    // choice is deterministic so verified-green stays green.
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "h").orderBy("doc_id")
+    val capped = banded.withColumn("rnk", row_number().over(wb))
+      .filter(col("rnk") <= 1000).drop("rnk")
+    val l = capped.as("l")
+    val r = capped.as("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+    // Exact re-score on the shingle sets; integer-math threshold. The
+    // kernel is the native one-pass JaccardParts expression (codegen'd
+    // — halves per-pair allocation vs array_intersect+array_union).
+    val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jp", expr("jaccard_parts(sa, sb)"))
+      .withColumn("n_inter", expr("shiftright(jp, 32)").cast("int"))
+      .withColumn("n_union", (col("jp").bitwiseAND(0xFFFFFFFFL)).cast("int"))
+      .filter(col("n_inter") * 10 >= col("n_union") * 8)
+      .select("a_id", "b_id", "n_inter", "n_union")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup accounting: rows vs distinct texts per source. The
@@ -89,48 +139,75 @@ object Dedup extends QueryPack {
         |WHERE 10 * len(list_intersect(a.s, b.s))
         |      >= 8 * len(list_distinct(a.s || b.s))
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = shingleDf(s, dir)
-      // 24 minhash signatures: min over shingles of a seeded xxhash64.
-      val sigs = (0 until 24).map(k =>
-        expr(s"array_min(transform(shingles, v -> xxhash64($k, v)))")
-          .as(s"sig$k"))
-      val sig = sh.select((col("doc_id") +: sigs): _*)
-      // 12 bands × 2 rows: band hash = hash of the band's signature pair.
-      val bandCols = (0 until 12).map(b =>
-        struct(lit(b).as("band"),
-          expr(s"xxhash64(sig${2 * b}, sig${2 * b + 1})").as("h")))
-      val banded = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-      // Skew guard: cap candidate buckets (degenerate boilerplate bucket
-      // would otherwise make one task quadratic). Keep the FIRST 1000
-      // members by doc_id rather than dropping the whole bucket — an
-      // oversized bucket degrades (its first 1000 docs still pair up)
-      // instead of silently losing every candidate inside it, and the
-      // choice is deterministic so verified-green stays green.
-      val wb = org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "h").orderBy("doc_id")
-      val capped = banded.withColumn("rnk", row_number().over(wb))
-        .filter(col("rnk") <= 1000).drop("rnk")
-      val l = capped.as("l")
-      val r = capped.as("r")
-      val cand = l.join(r,
-          col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
-        .distinct()
-      // Exact re-score on the shingle sets; integer-math threshold. The
-      // kernel is the native one-pass JaccardParts expression (codegen'd
-      // — halves per-pair allocation vs array_intersect+array_union).
-      val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
-      val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("jp", expr("jaccard_parts(sa, sb)"))
-        .withColumn("n_inter", expr("shiftright(jp, 32)").cast("int"))
-        .withColumn("n_union", (col("jp").bitwiseAND(0xFFFFFFFFL)).cast("int"))
-        .filter(col("n_inter") * 10 >= col("n_union") * 8)
-        .select("a_id", "b_id", "n_inter", "n_union")
-        .orderBy("a_id", "b_id")
+      minhashPairs(s, dir).orderBy("a_id", "b_id")
+    },
+
+    // Near-dup CLUSTERING: the stage after pair-finding in a real dedup
+    // pipeline — near-dup pairs form a graph, the unit of dedup is its
+    // connected component (transitive closure: if A~B and B~C, one of
+    // {A,B,C} survives even though A~C may be below threshold). Spark
+    // side: iterative relational min-label propagation over the LSH
+    // pair graph; oracle: exact all-pairs Jaccard + a recursive CTE.
+    // Scale (100 TB): the pair graph is SPARSE (LSH output, not
+    // all-pairs) and near-dup components are shallow (dense clusters,
+    // not long chains), so propagation converges in a few iterations —
+    // each one shuffle on node id, lineage cut by localCheckpoint.
+    // Degenerate chain graphs would need the large-star/small-star
+    // variant (doubles label reach per round → O(log n) iterations);
+    // same join shape, noted here as the escalation path.
+    q("q_dedup_components",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 10 * len(list_intersect(a.s, b.s))
+        |        >= 8 * len(list_distinct(a.s || b.s))),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT node, MIN(r) AS comp_id FROM reach GROUP BY node)
+        |SELECT comp_id, COUNT(*) AS n_members,
+        |  CAST(SUM(node) AS BIGINT) AS id_checksum,
+        |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+        |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin) { (s, dir) =>
+      val pairs = minhashPairs(s, dir).select("a_id", "b_id")
+      // Undirected edge list; nodes start labeled with themselves.
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true) // reused every iteration — compute LSH once
+      var comp = edges.select(col("src").as("node")).distinct()
+        .withColumn("comp_id", col("node"))
+        .localCheckpoint(true)
+      // Min-label propagation: comp(x) <- min(comp(x), min over
+      // neighbors' comp). Converges in <= diameter iterations; the
+      // changed-count is the fixpoint test (0 extra jobs — the count
+      // IS the iteration's action).
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 20) {
+        val prop = edges.join(comp, edges("src") === comp("node"))
+          .select(col("dst").as("node"), col("comp_id"))
+        val next = comp.union(prop)
+          .groupBy("node").agg(min("comp_id").as("comp_id"))
+          .localCheckpoint(true)
+        changed = next.join(
+            comp.withColumnRenamed("comp_id", "old_id"), "node")
+          .filter(col("comp_id") < col("old_id")).count()
+        comp = next
+        iters += 1
+      }
+      comp.groupBy("comp_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("node")).cast("long").as("id_checksum"),
+          expr("concat_ws(',', transform(sort_array(collect_list(node))," +
+            " x -> cast(x as string)))").as("members"))
+        .orderBy("comp_id")
     },
 
     // SimHash near-dup (rows-only: the 64-bit signature depends on

@@ -91,5 +91,62 @@ object Streaming extends QueryPack {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
           col("n_events"))
         .orderBy("user_id", "sess_start")
+    },
+
+    // Stream-stream join, batch twin: purchases within 30 minutes after
+    // a click by the same user. The join is EQUI on user_id (hash/SMJ —
+    // the time bound is a post-join filter, not a nested loop); the
+    // streaming twin in StreamingSpec runs the same condition as a
+    // watermarked stream-stream inner join, where the time bound is
+    // what lets Spark expire buffered state. Bucketed output keeps the
+    // result small and order-stable at any SF.
+    q("q_stream_join",
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_ord FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_ord FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.user_id % 8 AS ubucket, COUNT(*) AS n_pairs,
+        |  CAST(SUM(p_ord - c_ord) AS BIGINT) AS gap_sum
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p_ord >= c_ord AND p_ord <= c_ord + 1800000000
+        |GROUP BY ubucket ORDER BY ubucket""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ord"),
+          col("event_type"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ord").as("c_ord"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ord").as("p_ord"))
+      c.join(p, col("user_id") === col("p_user") &&
+          col("p_ord") >= col("c_ord") &&
+          col("p_ord") <= col("c_ord") + 1800000000L)
+        .groupBy((col("user_id") % 8).as("ubucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("p_ord") - col("c_ord")).cast("long").as("gap_sum"))
+        .orderBy("ubucket")
+    },
+
+    // Streaming dedup, batch twin: distinct (user_id, event_type,
+    // minute-bucket) — the exactly-once ingest guard a pipeline puts in
+    // front of downstream aggregation. Batch = dropDuplicates on the
+    // key; the streaming twin in StreamingSpec runs
+    // dropDuplicatesWithinWatermark, whose state the watermark bounds
+    // (keys older than the delay are evicted — at 100 TB/day the state
+    // store holds only the watermark horizon, not the full history).
+    // The bucket timestamp never leaves the query (computed timestamps
+    // don't round-trip engine-neutrally) — only counts do.
+    q("q_stream_dedup",
+      """WITH d AS (SELECT DISTINCT user_id, event_type,
+        |    time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS mb
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_distinct
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("mb"))
+        .dropDuplicates("user_id", "event_type", "mb")
+        .groupBy("event_type").agg(count(lit(1)).as("n_distinct"))
+        .orderBy("event_type")
     })
 }

@@ -182,5 +182,42 @@ object TextAnalysis extends QueryPack {
         .groupBy("lang")
         .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
         .orderBy("lang")
+    },
+
+    // Column profiler: nulls / distinct / min / max / avg-repr-length
+    // per column, ONE scan. All per-column metrics land in a single agg
+    // (the multi-countDistinct Expand is 5 rows per input row — the
+    // planned shape, not a per-column rescan), then stack() unpivots the
+    // 1×25 row to column-per-row. At 100 TB the exact countDistincts
+    // flip to approx_count_distinct (HLL merges map-side, no Expand
+    // blowup on high-NDV columns) — exact here so the oracle can check
+    // the machinery bit-for-bit. min/max compare on the NATIVE type,
+    // then cast to string for an engine-neutral single result schema.
+    q("q_profile_columns",
+      Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val,
+           |  CAST(SUM(length(CAST($c AS VARCHAR))) AS DOUBLE) / COUNT($c)
+           |    AS avg_len
+           |FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, dir) =>
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val aggs = cols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nnull"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        (sum(length(col(c).cast("string"))).cast("double") /
+          count(col(c))).as(s"${c}__avglen")))
+      val one = t(s, dir, "documents").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}__nnull, ${c}__ndv, ${c}__min, ${c}__max, ${c}__avglen")
+        .mkString(", ")
+      one.select(expr(s"stack(${cols.length}, $stackArgs) AS " +
+          "(col_name, n_null, n_distinct, min_val, max_val, avg_len)"))
+        .orderBy("col_name")
     })
 }

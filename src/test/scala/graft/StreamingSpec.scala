@@ -131,4 +131,79 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed === batch)
   }
+
+  test("watermarked stream-stream join matches the batch twin") {
+    // q_stream_join's real streaming form: clicks and purchases as two
+    // file streams, inner-joined on user_id with a 30-minute event-time
+    // bound. BOTH sides carry watermarks and the join condition bounds
+    // event time on each side — that is what lets Spark expire buffered
+    // join state instead of holding both streams forever.
+    HiveCompatFunctions.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-ssj-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    def side(evType: String, pre: String) =
+      spark.readStream.schema(schema).parquet(stageDir.toString)
+        .filter(col("event_type") === evType)
+        .select(col("user_id").as(s"${pre}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pre}_ts"))
+        .withWatermark(s"${pre}_ts", "10 minutes")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""))
+    val q = joined.writeStream
+      .format("memory").queryName("t_ssj")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("t_ssj")
+      .groupBy((col("c_user") % 8).as("ubucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .cast("long").as("gap_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q_stream_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("dropDuplicatesWithinWatermark dedup matches the batch distinct") {
+    // q_stream_dedup's real streaming form: watermark + bounded-state
+    // dedup on (user_id, event_type, minute bucket). The watermark is
+    // what makes the state store finite — dup keys arriving inside the
+    // delay are dropped, keys past the horizon are evicted.
+    HiveCompatFunctions.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-dedup-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val deduped = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      .withColumn("mb", date_trunc("minute", col("ets")))
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "mb")
+    val q = deduped.writeStream
+      .format("memory").queryName("t_stream_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("t_stream_dedup")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = SparkEntry.queries("q_stream_dedup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
 }
