@@ -185,20 +185,24 @@ object Dedup extends QueryPack {
         .withColumn("comp_id", col("node"))
         .localCheckpoint(true)
       // Min-label propagation: comp(x) <- min(comp(x), min over
-      // neighbors' comp). Converges in <= diameter iterations; the
-      // changed-count is the fixpoint test (0 extra jobs — the count
-      // IS the iteration's action).
-      var changed = 1L
+      // neighbors' comp). Converges in <= diameter iterations. Fixpoint
+      // test: labels only ever DECREASE, so an unchanged sum(comp_id)
+      // proves no label moved — one scalar agg per round instead of a
+      // next-vs-previous join.
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum("comp_id")).head.getLong(0)
+      var prevSum = labelSum(comp)
+      var converged = false
       var iters = 0
-      while (changed > 0 && iters < 20) {
+      while (!converged && iters < 20) {
         val prop = edges.join(comp, edges("src") === comp("node"))
           .select(col("dst").as("node"), col("comp_id"))
         val next = comp.union(prop)
           .groupBy("node").agg(min("comp_id").as("comp_id"))
           .localCheckpoint(true)
-        changed = next.join(
-            comp.withColumnRenamed("comp_id", "old_id"), "node")
-          .filter(col("comp_id") < col("old_id")).count()
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
         comp = next
         iters += 1
       }

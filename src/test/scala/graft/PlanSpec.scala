@@ -90,6 +90,27 @@ class PlanSpec extends AnyFunSuite {
       s"range join is not an equi join on the bucket:\n$p")
   }
 
+  test("q_stream_join plans an equi join on user_id, not a loop join") {
+    // The 30-minute bound must ride as a post-join filter on a hash/SMJ
+    // equi join — a nested loop over clicks × purchases would be the
+    // 100 TB failure mode.
+    val p = plan("q_stream_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stream-join batch twin fell back to a loop join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"stream-join batch twin is not an equi join:\n$p")
+  }
+
+  test("q_profile_columns profiles every column in ONE scan") {
+    // The profiler's point: 5 columns × 5 metrics from a single pass
+    // (multi-countDistinct Expand), not a scan per column.
+    val p = plan("q_profile_columns")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(p.contains("Expand"), "multi-distinct Expand missing")
+  }
+
   test("correlated subqueries decorrelate to joins (no per-row re-execution)") {
     for (name <- Seq("q_subq_scalar", "q_subq_exists_corr")) {
       val p = plan(name)
