@@ -47,6 +47,14 @@ object HiveCompatFunctions {
             s"jaccard_parts requires exactly 2 arguments, got ${exprs.length}")
           JaccardParts(exprs(0), exprs(1))
         }, "built-in")
+      // Native codegen'd embedding kernel: see DotProduct.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_f",
+        exprs => {
+          require(exprs.length == 2,
+            s"dot_f requires exactly 2 arguments, got ${exprs.length}")
+          DotProduct(exprs(0), exprs(1))
+        }, "built-in")
     }
 
   // --- string gaps -------------------------------------------------------

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *   on bucket id), so the quadratic step never touches the full corpus.
   *   Hyperplanes are derived from xxhash64 — deterministic, no driver
   *   state, no collect.
-  * - All dot products run as codegen'd higher-order functions
-  *   (zip_with + aggregate) over the float arrays cast to double —
-  *   no UDFs, no per-row JVM boxing beyond the array itself.
+  * - All dot products run through the native codegen'd `dot_f`
+  *   Expression (functions/DotProduct.scala) — a tight generated loop
+  *   over the float slots, no UDFs, no intermediate product array.
   */
 object Similarity extends QueryPack {
 
@@ -30,7 +30,11 @@ object Similarity extends QueryPack {
     * bit-compatible before the final rounding).
     */
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    // Native codegen'd kernel (see functions/DotProduct.scala) — same
+    // left-to-right double accumulation as the former
+    // aggregate(zip_with(...)) composition, so results (and the oracle
+    // hashes) are bit-identical, minus the per-pair intermediate array.
+    expr(s"dot_f($a, $b)")
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
