@@ -176,36 +176,11 @@ object Dedup extends QueryPack {
         |  CAST(SUM(node) AS BIGINT) AS id_checksum,
         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
         |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin) { (s, dir) =>
+      // Pair graph → min-label components (see
+      // operators/ConnectedComponents.scala for the propagation loop
+      // and its fixpoint/scale story).
       val pairs = minhashPairs(s, dir).select("a_id", "b_id")
-      // Undirected edge list; nodes start labeled with themselves.
-      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint(true) // reused every iteration — compute LSH once
-      var comp = edges.select(col("src").as("node")).distinct()
-        .withColumn("comp_id", col("node"))
-        .localCheckpoint(true)
-      // Min-label propagation: comp(x) <- min(comp(x), min over
-      // neighbors' comp). Converges in <= diameter iterations. Fixpoint
-      // test: labels only ever DECREASE, so an unchanged sum(comp_id)
-      // proves no label moved — one scalar agg per round instead of a
-      // next-vs-previous join.
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum("comp_id")).head.getLong(0)
-      var prevSum = labelSum(comp)
-      var converged = false
-      var iters = 0
-      while (!converged && iters < 20) {
-        val prop = edges.join(comp, edges("src") === comp("node"))
-          .select(col("dst").as("node"), col("comp_id"))
-        val next = comp.union(prop)
-          .groupBy("node").agg(min("comp_id").as("comp_id"))
-          .localCheckpoint(true)
-        val s = labelSum(next)
-        converged = s == prevSum
-        prevSum = s
-        comp = next
-        iters += 1
-      }
+      val comp = ConnectedComponents.label(pairs, "a_id", "b_id")
       comp.groupBy("comp_id")
         .agg(count(lit(1)).as("n_members"),
           sum(col("node")).cast("long").as("id_checksum"),

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ConnectedComponents.label on synthetic graph shapes the documents
+  * corpus can't produce — in particular a long CHAIN, where min-label
+  * propagation genuinely needs diameter-many rounds (the corpus's
+  * near-dup clusters converge in 1–2), plus disconnected components,
+  * duplicate/self-loop edges, and reversed orientation.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def labels(edges: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.label(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a 10-node chain collapses to one component (multi-round convergence)") {
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val got = labels(chain: _*)
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("disconnected components keep distinct minimum labels") {
+    val got = labels((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("self-loops, duplicate edges, and orientation don't matter") {
+    val got = labels((5L, 5L), (7L, 4L), (4L, 7L), (7L, 4L), (9L, 7L))
+    assert(got === Map(5L -> 5L, 4L -> 4L, 7L -> 4L, 9L -> 4L))
+  }
+
+  test("a star converges in one round regardless of arm count") {
+    val star = (1L to 30L).map(i => (0L, i))
+    val got = labels(star: _*)
+    assert(got.size === 31 && got.values.forall(_ == 0L))
+  }
+}
