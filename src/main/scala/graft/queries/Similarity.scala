@@ -177,6 +177,57 @@ object Similarity extends QueryPack {
         .limit(10)
     },
 
+    // Embedding-cosine near-dup DEDUP, end to end: cosine >= 0.4 pairs
+    // (the meaningful "near" band in this corpus — max pairwise cosine
+    // ~0.51) → connected components → survivor accounting per
+    // component. This is the semantic-dedup capstone: the same
+    // pairs→components→survivors pipeline as q_dedup_components, with
+    // the pair relation coming from the embedding space instead of the
+    // shingle space. Exact all-pairs over a bounded subset (the
+    // exactness baseline — at 100 TB the pair source swaps to the LSH
+    // bucket join / IVF cells above, everything downstream unchanged).
+    // Threshold compares the ROUNDED cosine (bit-identical both
+    // engines) so the boundary can't drift.
+    q("q_dedup_embed",
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS nrm
+        |  FROM embeddings WHERE vec_id < 1000),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |        / (a.nrm * b.nrm), 6) >= 0.4),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r),
+        |comp AS (SELECT node, MIN(r) AS comp_id FROM reach GROUP BY node)
+        |SELECT comp_id, COUNT(*) AS n_members,
+        |  CAST(SUM(node) AS BIGINT) AS id_checksum,
+        |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+        |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin) {
+      (s, dir) =>
+      val e = withNorm(t(s, dir, "embeddings").filter(col("vec_id") < 1000))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      val pairs = a.join(b, col("a_id") < col("b_id"))
+        .filter(round(dot("qe", "ce") / (col("qn") * col("cn")), 6) >= 0.4)
+        .select("a_id", "b_id")
+      val comp = ConnectedComponents.label(pairs, "a_id", "b_id")
+      comp.groupBy("comp_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("node")).cast("long").as("id_checksum"),
+          expr("concat_ws(',', transform(sort_array(collect_list(node))," +
+            " x -> cast(x as string)))").as("members"))
+        .orderBy("comp_id")
+    },
+
     // IVF-cell ANN — the clustered alternative to hyperplane LSH: 16
     // deterministic seed vectors are refined by `iters` relational
     // Lloyd (k-means) iterations — assign to nearest centroid, recompute
