@@ -55,6 +55,24 @@ object HiveCompatFunctions {
             s"dot_f requires exactly 2 arguments, got ${exprs.length}")
           DotProduct(exprs(0), exprs(1))
         }, "built-in")
+      // Native one-pass MinHash signature kernel: see MinHashSigs.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_sigs",
+        exprs => {
+          require(exprs.length == 2,
+            s"minhash_sigs requires exactly 2 arguments, got ${exprs.length}")
+          val k = exprs(1) match {
+            case lit if lit.foldable =>
+              lit.eval() match {
+                case i: Int => i
+                case other => throw new IllegalArgumentException(
+                  s"minhash_sigs count must be an int literal, got $other")
+              }
+            case _ => throw new IllegalArgumentException(
+              "minhash_sigs count must be a literal")
+          }
+          MinHashSigs(exprs(0), k)
+        }, "built-in")
     }
 
   // --- string gaps -------------------------------------------------------

@@ -42,15 +42,18 @@ object Dedup extends QueryPack {
   private def minhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val sh = shingleDf(s, dir)
-    // 24 minhash signatures: min over shingles of a seeded xxhash64.
-    val sigs = (0 until 24).map(k =>
-      expr(s"array_min(transform(shingles, v -> xxhash64($k, v)))")
-        .as(s"sig$k"))
-    val sig = sh.select((col("doc_id") +: sigs): _*)
-    // 12 bands × 2 rows: band hash = hash of the band's signature pair.
+    // 24 minhash signatures — ONE shingle-array pass via the native
+    // minhash_sigs kernel (functions/MinHashSigs.scala); bit-identical
+    // to min-over-xxhash64(k, v) per k, minus 23 array traversals and
+    // all the intermediate hash arrays.
+    val sig = sh.select(col("doc_id"),
+      expr("minhash_sigs(shingles, 24)").as("sigs"))
+    // 12 bands × 2 rows: band hash = hash of the band's signature pair
+    // (element_at is 1-based).
     val bandCols = (0 until 12).map(b =>
       struct(lit(b).as("band"),
-        expr(s"xxhash64(sig${2 * b}, sig${2 * b + 1})").as("h")))
+        expr(s"xxhash64(element_at(sigs, ${2 * b + 1}), " +
+          s"element_at(sigs, ${2 * b + 2}))").as("h")))
     val banded = sig.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
