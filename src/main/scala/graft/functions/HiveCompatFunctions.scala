@@ -73,6 +73,14 @@ object HiveCompatFunctions {
           }
           MinHashSigs(exprs(0), k)
         }, "built-in")
+      // Native one-pass SimHash kernel: see SimHash64.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64",
+        exprs => {
+          require(exprs.length == 1,
+            s"simhash64 requires exactly 1 argument, got ${exprs.length}")
+          SimHash64(exprs(0))
+        }, "built-in")
     }
 
   // --- string gaps -------------------------------------------------------

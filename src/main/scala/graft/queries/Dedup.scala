@@ -195,26 +195,19 @@ object Dedup extends QueryPack {
     // SimHash near-dup (rows-only: the 64-bit signature depends on
     // xxhash64, which the SQL oracle can't reproduce; correctness is
     // covered by SimHashSpec's recall-vs-exact-Jaccard test). Classic
-    // scheme: per token-hash bit j, +count if set else -count; signature
-    // bit j = sign of the sum; candidates blocked on 4 × 16-bit bands
-    // (hamming <= 3 guarantees one identical band by pigeonhole... 4
-    // bands cover hamming <= 3; we filter hamming <= 8 within-bucket).
+    // scheme: per token-hash bit j, +1 if set else -1 per occurrence;
+    // signature bit j = sign of the sum; candidates blocked on
+    // 4 × 16-bit bands (hamming <= 3 guarantees one identical band by
+    // pigeonhole; we filter hamming <= 8 within-bucket). The signature
+    // itself is a SHUFFLE-FREE per-row projection via the native
+    // simhash64 kernel (functions/SimHash64.scala) — the former
+    // relational form (explode → token-count → 64-column agg) multiplied
+    // the corpus by ~tokens/doc and shuffled it twice for the same bits.
     qRows("q_dedup_simhash") { (s, dir) =>
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tokv"))
-        .groupBy("doc_id", "tokv").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", xxhash64(col("tokv")))
-      // 64 signed bit-sums per doc.
-      val bitSums = (0 until 64).map(j =>
-        sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt"))
-          .otherwise(-col("cnt"))).as(s"s$j"))
-      val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      // Assemble the 64-bit signature (two's complement: bit 63 sign-safe
-      // under XOR/bit_count).
-      val sig = (0 until 64).map(j =>
-        shiftleft(when(col(s"s$j") > 0, 1L).otherwise(0L), j))
-        .reduce(_ bitwiseOR _)
-      val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+      HiveCompatFunctions.ensure(s)
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("simhash64(split(text, ' '))").as("simhash"))
       // 4 × 16-bit band blocking.
       val bands = (0 until 4).map(b =>
         struct(lit(b).as("band"),
