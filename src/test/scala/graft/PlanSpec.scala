@@ -126,4 +126,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema"))
     assert(!p.contains("o_orderdate"), "unused columns read from parquet")
   }
+
+  test("q_decontam_ngram probes eval grams map-side (broadcast semi)") {
+    // The eval/benchmark side is tiny by construction; the corpus-sized
+    // train gram stream must NEVER shuffle for the contamination probe.
+    val p = plan("q_decontam_ngram")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval gram set not broadcast-semi-joined")
+    assert(!p.contains("SortMergeJoin LeftSemi".substring(0, 13)) ||
+      !p.contains("SortMergeJoin"), "contamination probe shuffles the corpus")
+  }
+
+  test("q_sample_stratified is a pure filter before the accounting agg") {
+    // Deterministic hash sampling must not shuffle the corpus: the only
+    // exchange allowed is the low-cardinality accounting groupBy.
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      "sampling plans a join")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 1, s"sampling shuffles $exchanges times")
+  }
 }
