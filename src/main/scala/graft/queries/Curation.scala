@@ -152,6 +152,61 @@ object Curation extends QueryPack {
         .orderBy("lang")
     },
 
+    // SEQUENCE PACKING: assign documents to fixed-token-budget training
+    // sequences by contiguous fill — running token total per shard,
+    // sequence id = cumulative-before-me div budget. Sharded by
+    // (source, doc_id % 8): real pipelines pack per shard precisely so
+    // the running-sum window parallelizes — one unsharded global pack
+    // would serialize the corpus through a single window task at 100 TB
+    // (raise the shard count with the corpus; packing quality is
+    // per-shard-local either way). Integer division on both sides (div
+    // / //) — no float boundaries.
+    q("q_pack_sequences",
+      """WITH d AS (
+        |  SELECT source, doc_id % 8 AS shard, doc_id,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, shard, doc_id, n_tok,
+        |    CAST((SUM(n_tok) OVER (PARTITION BY source, shard
+        |                           ORDER BY doc_id)
+        |           - n_tok) // 2048 AS BIGINT) AS seq_id
+        |  FROM d)
+        |SELECT source, shard, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM p GROUP BY source, shard, seq_id
+        |ORDER BY source, shard, seq_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "shard").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("source"), (col("doc_id") % 8).as("shard"),
+          col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", expr("(cum_tok - n_tok) div 2048"))
+        .groupBy("source", "shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("seq_tokens"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .orderBy("source", "shard", "seq_id")
+    },
+
+    // Deterministic CORPUS SHUFFLE: the global "shuffle before
+    // training" pass, made reproducible — order by a hash of the id
+    // instead of rand(). Top-N via TakeOrderedAndProject (no global
+    // sort materialization for the bounded inspection window; the full
+    // writeout at scale is a sort-partitioned write on the same key).
+    q("q_shuffle_order",
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |         doc_id
+        |LIMIT 30""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .orderBy(h60(col("doc_id").cast("string")), col("doc_id"))
+        .select("doc_id", "lang")
+        .limit(30)
+    },
+
     // Deterministic STRATIFIED SAMPLE: keep ~10% per stratum by md5
     // hash-bucket of the id (bucket < 10 of 100) — reproducible across
     // runs/retries (unlike rand()-based sampling) and embarrassingly
