@@ -7,61 +7,106 @@ import org.apache.spark.sql.functions._
   * clustering stage of a near-dup pipeline (pairs → components →
   * survivor per component), but generic over any (long, long) edge set.
   *
-  * Algorithm: min-label propagation. Every node starts labeled with
-  * itself; each round replaces a node's label with the minimum label
-  * across itself and its neighbors; at the fixpoint every node carries
-  * the minimum node id of its component. One shuffle per round (the
-  * groupBy on node), lineage cut by localCheckpoint so round i+1 plans
-  * against materialized round-i output, not the whole history.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  * round rewires every node's neighborhood toward its local minimum:
+  *  - large-star: per node u, link every LARGER neighbor v to
+  *    m = min(N(u) ∪ u);
+  *  - small-star: per node u, link every not-larger neighbor (and u)
+  *    to m = min of that set.
+  * Both steps preserve connectivity and strictly contract paths; the
+  * edge set converges to one star per component rooted at the
+  * component's minimum id in O(log n) rounds EVEN ON a degenerate
+  * long-chain graph — the shape where plain min-label propagation
+  * (the previous implementation here) needs O(diameter) rounds. Each
+  * round is two groupBy-min + join passes — ordinary shuffles on the
+  * node id, no driver-side graph state; lineage is cut per round by
+  * localCheckpoint so round i+1 plans against materialized round-i
+  * output, not the whole history.
   *
-  * Fixpoint detection: labels only ever DECREASE, so an unchanged
-  * sum(label) proves no label moved — a scalar aggregate per round
-  * instead of a next-vs-previous join.
-  *
-  * Scale (100 TB): rounds = component diameter. Near-dup graphs are
-  * dense local clusters (LSH emits most intra-cluster pairs), so
-  * diameter stays small; a degenerate long-chain graph would want the
-  * large-star/small-star variant (halves path lengths each round →
-  * O(log n) rounds, same join shape) — this propagation loop is where
-  * that drops in.
+  * Fixpoint detection: the canonical (lo, hi) edge set is unchanged by
+  * a full round exactly at the fixpoint — compared as a scalar
+  * (count, bit_xor(xxhash64(lo, hi))) pair per round instead of a
+  * next-vs-previous anti-join.
   */
 object ConnectedComponents {
 
   /** Label each node with the minimum node id reachable from it.
     *
     * @param edges    edge list; orientation does not matter (edges are
-    *                 symmetrized internally); self-loops and duplicate
+    *                 canonicalized internally); self-loops and duplicate
     *                 edges are harmless; isolated nodes simply don't
     *                 appear (callers union them back if needed).
     * @param src,dst  names of the two long-typed endpoint columns.
-    * @param maxIters hard cap on propagation rounds (diameter bound).
+    * @param maxIters hard cap on star rounds (O(log n) suffices; 25
+    *                 covers any graph that fits on disk).
     * @return (node: long, comp_id: long) — one row per distinct endpoint.
     */
   def label(edges: DataFrame, src: String = "src", dst: String = "dst",
-      maxIters: Int = 20): DataFrame = {
-    val sym = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .union(edges.select(col(dst).as("src"), col(src).as("dst")))
-      .localCheckpoint(true) // reused every round — compute inputs once
-    var comp = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp_id", col("node"))
+      maxIters: Int = 25): DataFrame = {
+    val nodes = edges
+      .select(explode(array(col(src).cast("long"), col(dst).cast("long")))
+        .as("node"))
+      .distinct()
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("comp_id")).head.getLong(0)
-    var prevSum = labelSum(comp)
-    var converged = false
+    // Canonical undirected edge = (lo, hi), self-loops dropped.
+    var e = edges
+      .select(least(col(src), col(dst)).cast("long").as("lo"),
+        greatest(col(src), col(dst)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent over the distinct edge set and
+      // immune to ANSI long-sum overflow.
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("lo"), col("hi"))))
+        .head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var converged = prev._1 == 0L
     var iters = 0
     while (!converged && iters < maxIters) {
-      val prop = sym.join(comp, sym("src") === comp("node"))
-        .select(col("dst").as("node"), col("comp_id"))
-      val next = comp.union(prop)
-        .groupBy("node").agg(min("comp_id").as("comp_id"))
+      // LARGE-STAR over the symmetrized neighborhood: neighbor v > u
+      // re-links to m = min(N(u) ∪ u). m < u <= v - 1 or m == u < v,
+      // so (m, v) is already canonical and never a self-loop.
+      val sym = e.union(e.select(col("hi").as("lo"), col("lo").as("hi")))
+        .toDF("u", "v")
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
         .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      comp = next
+      // SMALL-STAR over the min-oriented edges: group the not-larger
+      // neighborhood of each hi node; everyone (including hi) re-links
+      // to its minimum. (m, lo_i) may self-loop when lo_i == m — drop.
+      val withMin = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val j = large.join(withMin, "hi")
+      val small = j.select(col("m").as("lo"), col("lo").as("hi"))
+        .union(j.select(col("m").as("lo"), col("hi")))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint(true)
+      val s = checksum(small)
+      converged = s == prev
+      prev = s
+      e = small
       iters += 1
     }
-    comp
+    // At the fixpoint e is one star per component: every non-root node
+    // has the root as its minimum neighbor, the root's own minimum is
+    // itself. Isolated members of the input (self-loop-only nodes)
+    // carry their own id.
+    val mn = e.union(e.select(col("hi").as("lo"), col("lo").as("hi")))
+      .toDF("node", "nb")
+      .groupBy("node").agg(min(col("nb")).as("min_nb"))
+    nodes.join(mn, Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("min_nb"), col("node")))
+          .as("comp_id"))
   }
 }

@@ -149,15 +149,13 @@ object Dedup extends QueryPack {
     // pipeline — near-dup pairs form a graph, the unit of dedup is its
     // connected component (transitive closure: if A~B and B~C, one of
     // {A,B,C} survives even though A~C may be below threshold). Spark
-    // side: iterative relational min-label propagation over the LSH
+    // side: relational large-star/small-star rounds over the LSH
     // pair graph; oracle: exact all-pairs Jaccard + a recursive CTE.
     // Scale (100 TB): the pair graph is SPARSE (LSH output, not
-    // all-pairs) and near-dup components are shallow (dense clusters,
-    // not long chains), so propagation converges in a few iterations —
-    // each one shuffle on node id, lineage cut by localCheckpoint.
-    // Degenerate chain graphs would need the large-star/small-star
-    // variant (doubles label reach per round → O(log n) iterations);
-    // same join shape, noted here as the escalation path.
+    // all-pairs), and the components operator runs alternating
+    // large-star/small-star rounds (O(log n) even on degenerate
+    // chains — see operators/ConnectedComponents.scala), each round
+    // ordinary node-id shuffles with lineage cut by localCheckpoint.
     q("q_dedup_components",
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -179,9 +177,9 @@ object Dedup extends QueryPack {
         |  CAST(SUM(node) AS BIGINT) AS id_checksum,
         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
         |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin) { (s, dir) =>
-      // Pair graph → min-label components (see
-      // operators/ConnectedComponents.scala for the propagation loop
-      // and its fixpoint/scale story).
+      // Pair graph → min-id components (see
+      // operators/ConnectedComponents.scala for the star rounds and
+      // their fixpoint/scale story).
       val pairs = minhashPairs(s, dir).select("a_id", "b_id")
       val comp = ConnectedComponents.label(pairs, "a_id", "b_id")
       comp.groupBy("comp_id")

@@ -3,10 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ConnectedComponents.label on synthetic graph shapes the documents
-  * corpus can't produce — in particular a long CHAIN, where min-label
-  * propagation genuinely needs diameter-many rounds (the corpus's
-  * near-dup clusters converge in 1–2), plus disconnected components,
-  * duplicate/self-loop edges, and reversed orientation.
+  * corpus can't produce — in particular long CHAINS, where plain
+  * min-label propagation needs diameter-many rounds but the
+  * large-star/small-star rounds contract in O(log n) (the 300-node
+  * chain below converges inside the 25-round cap ONLY under the star
+  * algorithm), plus disconnected components, duplicate/self-loop
+  * edges, and reversed orientation.
   */
 class ConnectedComponentsSpec extends AnyFunSuite {
   import SparkTestBase._
@@ -32,6 +34,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("self-loops, duplicate edges, and orientation don't matter") {
     val got = labels((5L, 5L), (7L, 4L), (4L, 7L), (7L, 4L), (9L, 7L))
     assert(got === Map(5L -> 5L, 4L -> 4L, 7L -> 4L, 9L -> 4L))
+  }
+
+  test("a 300-node chain converges within the O(log n) round cap") {
+    // Diameter 299 >> maxIters 25: diameter-bound propagation CANNOT
+    // finish this graph; path-halving star rounds must.
+    val chain = (0L until 299L).map(i => (i, i + 1))
+    val got = labels(chain: _*)
+    assert(got.size === 300 && got.values.forall(_ == 0L))
   }
 
   test("a star converges in one round regardless of arm count") {
