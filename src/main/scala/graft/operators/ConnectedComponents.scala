@@ -76,6 +76,9 @@ object ConnectedComponents {
         .toDF("u", "v")
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // Checkpointed: small-star consumes it twice (groupBy + join);
+      // materializing once beats recomputing the join+distinct twice
+      // (measured — ReuseExchange does not cover both consumers here).
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
