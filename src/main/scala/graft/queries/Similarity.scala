@@ -322,6 +322,43 @@ object Similarity extends QueryPack {
     // mean of the (rounded) L2 norm. Rounding the per-row norm to 6
     // decimals absorbs any last-ulp association difference; the mean is
     // then an exact decimal sum / count.
+    // Symmetric INT8 QUANTIZATION — the storage-compression step of an
+    // embedding pipeline (4× smaller vectors for the ANN index): per
+    // vector scale = max|x| / 127, q_i = round(x_i / scale); per-label
+    // accounting in INTEGERS (abs-sum, saturation count, max cell) so
+    // the oracle can't drift on float low bits. Per-row lambda over the
+    // array — no shuffle beyond the accounting groupBy; the double
+    // division and HALF-UP round are bit-identical in both engines.
+    q("q_embed_quantize",
+      """WITH q AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(round(
+        |      x::DOUBLE / (list_max(list_transform(embedding,
+        |                     y -> abs(y::DOUBLE))) / 127)) AS INTEGER)) AS qv
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT)
+        |    AS q_abs_sum,
+        |  CAST(SUM(len(list_filter(qv, x -> abs(x) = 127))) AS BIGINT)
+        |    AS n_saturated,
+        |  MAX(list_max(qv)) AS max_q
+        |FROM q GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("scale", expr(
+          "array_max(transform(embedding, y -> abs(cast(y as double)))) / 127"))
+        .withColumn("qv", expr(
+          "transform(embedding, x -> cast(round(cast(x as double) / scale)" +
+            " as int))"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("aggregate(qv, 0L, (a, x) -> a + abs(x))")).cast("long")
+            .as("q_abs_sum"),
+          sum(size(expr("filter(qv, x -> abs(x) = 127)"))).cast("long")
+            .as("n_saturated"),
+          max(expr("array_max(qv)")).as("max_q"))
+        .orderBy("label")
+    },
+
     q("q_embed_stats",
       """SELECT label, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(ROUND(sqrt(list_sum(list_transform(embedding,
