@@ -77,12 +77,14 @@ object ConnectedComponents {
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
       // Checkpointed: small-star consumes it twice (groupBy + join);
-      // materializing once beats recomputing the join+distinct twice
-      // (measured — ReuseExchange does not cover both consumers here).
+      // materializing once beats recomputing the join twice (measured —
+      // ReuseExchange does not cover both consumers here). NOT
+      // deduplicated: duplicate (lo, hi) rows are bounded by node
+      // degree, min() ignores them, and small-star's distinct removes
+      // them — deferring saves an exchange+aggregate pass per round.
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
-        .distinct()
         .localCheckpoint(true)
       // SMALL-STAR over the min-oriented edges: group the not-larger
       // neighborhood of each hi node; everyone (including hi) re-links
