@@ -207,6 +207,31 @@ object Curation extends QueryPack {
         .limit(30)
     },
 
+    // Weighted SOURCE MIXING: per-source sampling rates (the "data
+    // mixture" step of corpus assembly — upsample curated sources,
+    // downsample the crawl). Same deterministic md5 bucket as the
+    // stratified sample, with the rate looked up per row — still a
+    // pure filter, zero shuffles before the accounting agg.
+    q("q_sample_mixture",
+      """SELECT source, COUNT(*) AS n_sampled,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+        |      < (CASE WHEN source = 'src0' THEN 50
+        |              WHEN source = 'src1' THEN 25
+        |              ELSE 10 END)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(h60(col("doc_id").cast("string")) % 100 <
+          when(col("source") === "src0", 50)
+            .when(col("source") === "src1", 25)
+            .otherwise(10))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("source")
+    },
+
     // Deterministic STRATIFIED SAMPLE: keep ~10% per stratum by md5
     // hash-bucket of the id (bucket < 10 of 100) — reproducible across
     // runs/retries (unlike rand()-based sampling) and embarrassingly
