@@ -190,6 +190,41 @@ object Dedup extends QueryPack {
         .orderBy("comp_id")
     },
 
+    // CROSS-SOURCE near-dup matrix: which sources duplicate each
+    // other — the curation question behind source weighting (a crawl
+    // source that mostly re-hosts another should be downweighted, not
+    // double-counted). Same LSH pair pipeline, aggregated to an
+    // unordered source-pair matrix; oracle reuses the exact all-pairs
+    // Jaccard formulation.
+    q("q_dedup_cross_source",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 10 * len(list_intersect(a.s, b.s))
+        |        >= 8 * len(list_distinct(a.s || b.s)))
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  COUNT(*) AS n_pairs
+        |FROM pairs JOIN documents da ON da.doc_id = pairs.a_id
+        |           JOIN documents db ON db.doc_id = pairs.b_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val pairs = minhashPairs(s, dir).select("a_id", "b_id")
+      val da = t(s, dir, "documents").select(col("doc_id").as("a_id"),
+        col("source").as("sa"))
+      val db = t(s, dir, "documents").select(col("doc_id").as("b_id"),
+        col("source").as("sb"))
+      pairs.join(da, "a_id").join(db, "b_id")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // SimHash near-dup (rows-only: the 64-bit signature depends on
     // xxhash64, which the SQL oracle can't reproduce; correctness is
     // covered by SimHashSpec's recall-vs-exact-Jaccard test). Classic

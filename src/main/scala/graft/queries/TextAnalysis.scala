@@ -44,6 +44,38 @@ object TextAnalysis extends QueryPack {
     // and a composite score — the filter signals a pretraining pipeline
     // computes per document. Ratios are int/int double divisions
     // (bit-identical across engines).
+    // REPETITION-ratio quality signal (the Gopher repetition filters'
+    // deterministic core): distinct-token ratio and most-frequent-token
+    // share, with keep thresholds in integer cross-multiplied form. The
+    // top-share scan is an in-array lambda (O(d·n) per row, codegen'd)
+    // — no explode, no shuffle beyond the final sort.
+    q("q_text_repetition",
+      """SELECT doc_id, n_tok, n_distinct, top_tok_n,
+        |  CASE WHEN 10 * n_distinct >= 6 * n_tok
+        |        AND 10 * top_tok_n <= 2 * n_tok THEN 1 ELSE 0 END AS keep_flag
+        |FROM (
+        |  SELECT doc_id, len(w) AS n_tok,
+        |    len(list_distinct(w)) AS n_distinct,
+        |    list_max(list_transform(list_distinct(w),
+        |      d -> len(list_filter(w, x -> x = d)))) AS top_tok_n
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id < 50))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")))
+        .withColumn("n_distinct", size(array_distinct(col("w"))))
+        .withColumn("top_tok_n", expr(
+          "array_max(transform(array_distinct(w)," +
+            " d -> size(filter(w, x -> x = d))))"))
+        .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+          col("top_tok_n"),
+          when(col("n_distinct") * 10 >= col("n_tok") * 6 &&
+            col("top_tok_n") * 10 <= col("n_tok") * 2, 1).otherwise(0)
+            .as("keep_flag"))
+        .orderBy("doc_id")
+    },
+
     q("q_text_quality",
       """SELECT doc_id, n_tokens,
         |  ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
