@@ -164,6 +164,32 @@ object Sources extends QueryPack {
     // dynamic partitions + PartitionPruner): one directory per
     // o_orderstatus; the status filter on read scans ONLY that
     // partition's files.
+    // SCHEMA EVOLUTION on read: two parquet batches written with
+    // DIFFERENT schemas (the second adds n_chars — the drift every
+    // long-lived table accumulates), unified by mergeSchema with NULL
+    // backfill for the pre-drift rows. At 100 TB mergeSchema footer
+    // reconciliation is a bounded metadata pass; pin the final schema
+    // with a read-time schema once drift stabilizes.
+    q("q_src_schema_evolution",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+        |    AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "evolve")
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(p)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("append").parquet(p)
+      s.read.option("mergeSchema", "true").parquet(p)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_chars"), lit(0)).cast("long").as("chars_sum"))
+        .orderBy("lang")
+    },
+
     q("q_sink_partitioned",
       """SELECT o_orderpriority, COUNT(*) AS cnt
         |FROM orders WHERE o_orderstatus = 'F'
