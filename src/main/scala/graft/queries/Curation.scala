@@ -207,6 +207,36 @@ object Curation extends QueryPack {
         .limit(30)
     },
 
+    // ADAPTIVE-threshold filter: the cut point comes from the corpus
+    // itself (P25 of token count) instead of a fixed constant — the
+    // pattern behind percentile-based quality cuts. The threshold is a
+    // 1-row aggregate broadcast-joined onto the corpus: NO driver
+    // round-trip, the plan stays one job. q=0.25 over integers is
+    // exactly representable in binary, so Spark percentile and DuckDB
+    // quantile_cont are bit-identical and the boundary cannot drift.
+    // (At 100 TB compute the percentile on a sample — the threshold
+    // moves by noise, the plan shape is unchanged.)
+    q("q_filter_adaptive",
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |thr AS (SELECT quantile_cont(n_tok, 0.25) AS p25 FROM d)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM d, thr WHERE d.n_tok >= thr.p25
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tok"))
+      val thr = d.agg(expr("percentile(n_tok, 0.25)").as("p25"))
+      d.crossJoin(broadcast(thr))
+        .filter(col("n_tok") >= col("p25"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("lang")
+    },
+
     // Weighted SOURCE MIXING: per-source sampling rates (the "data
     // mixture" step of corpus assembly — upsample curated sources,
     // downsample the crawl). Same deterministic md5 bucket as the
