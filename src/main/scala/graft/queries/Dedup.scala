@@ -190,6 +190,93 @@ object Dedup extends QueryPack {
         .orderBy("comp_id")
     },
 
+    // Near-dup SURVIVOR SELECTION — the dedup capstone: pairs →
+    // components → ONE survivor per component (the min doc_id, i.e. the
+    // component label itself) → per-source accounting of the kept
+    // corpus. This is the query a real pipeline actually materializes:
+    // everything upstream exists to decide WHICH rows to drop here.
+    // Scale (100 TB): `dropped` is tiny relative to the corpus (only
+    // non-survivor members of near-dup components), so the final join
+    // is a broadcast semi-style probe over the corpus scan — the
+    // full documents table is never shuffled. dropped_checksum proves
+    // WHICH rows were dropped, not just how many.
+    q("q_dedup_survivors",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 10 * len(list_intersect(a.s, b.s))
+        |        >= 8 * len(list_distinct(a.s || b.s))),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT node, MIN(r) AS comp_id FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM comp WHERE node <> comp_id)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(COALESCE(dr.node, 0)) AS BIGINT) AS dropped_checksum
+        |FROM documents d LEFT JOIN dropped dr ON dr.node = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val pairs = minhashPairs(s, dir).select("a_id", "b_id")
+      val dropped = ConnectedComponents.label(pairs, "a_id", "b_id")
+        .filter(col("node") =!= col("comp_id"))
+        .select("node")
+      t(s, dir, "documents")
+        .join(broadcast(dropped), col("doc_id") === col("node"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("node").isNull, 1).otherwise(0)).cast("long")
+            .as("n_kept"),
+          sum(coalesce(col("node"), lit(0L))).cast("long")
+            .as("dropped_checksum"))
+        .orderBy("source")
+    },
+
+    // INCREMENTAL ingest dedup: a new batch (a deterministic 10% slice
+    // standing in for "today's crawl") is checked against the existing
+    // corpus's fingerprint set — the batch-vs-corpus variant of exact
+    // dedup that every continuously-fed pipeline runs. Scale (100 TB):
+    // the corpus side reduces to DISTINCT 16-byte fingerprints (a
+    // pre-computed, bucketed table in practice); the daily batch is
+    // orders of magnitude smaller and the join keys are fingerprints,
+    // never text — with the fingerprint table bucketed on fp the probe
+    // is shuffle-free on the corpus side.
+    q("q_dedup_incremental",
+      """WITH batch AS (
+        |  SELECT doc_id, lang, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |corpus AS (
+        |  SELECT DISTINCT md5(text) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT b.lang, COUNT(*) AS n_batch,
+        |  CAST(SUM(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN c.fp IS NULL THEN b.doc_id ELSE 0 END) AS BIGINT)
+        |    AS new_checksum
+        |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(md5(col("text")).as("cfp")).distinct()
+      batch.join(corpus, col("fp") === col("cfp"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("cfp").isNull, 1).otherwise(0)).cast("long")
+            .as("n_new"),
+          sum(when(col("cfp").isNull, col("doc_id")).otherwise(0L))
+            .cast("long").as("new_checksum"))
+        .orderBy("lang")
+    },
+
     // CROSS-SOURCE near-dup matrix: which sources duplicate each
     // other — the curation question behind source weighting (a crawl
     // source that mostly re-hosts another should be downweighted, not
