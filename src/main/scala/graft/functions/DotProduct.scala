@@ -89,16 +89,25 @@ case class DotProduct(left: Expression, right: Expression)
         if (elemType(e).contains(FloatType))
           s"((double) $v.getFloat($idx))"
         else s"$v.getDouble($idx)"
+      // When the expression is statically non-nullable (both inputs
+      // non-null with containsNull=false), nullSafeCodeGen makes
+      // ev.isNull the LITERAL `false` — assigning to it would generate
+      // `false = true;`, which janino rejects (and codegen silently
+      // falls back to interpreted). The null-element branch is dead
+      // code in that case, so emit it only when `nullable` holds.
+      val nullElementCheck = if (nullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    ${ev.isNull} = true;
+           |    break;
+           |  }""".stripMargin
+      else ""
       // Janino-safe: primitive locals only, single-step assignments.
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() < $n) $n = $b.numElements();
          |double $acc = 0.0d;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |    ${ev.isNull} = true;
-         |    break;
-         |  }
+         |  $nullElementCheck
          |  $acc += ${get(a, left, i)} * ${get(b, right, i)};
          |}
          |${ev.value} = $acc;

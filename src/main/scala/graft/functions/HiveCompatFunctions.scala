@@ -28,8 +28,15 @@ object HiveCompatFunctions {
   /** Idempotent per-session registration of SQL-visible functions and
     * session-wide conf that affects reads (set once here, not per-read —
     * a per-table `conf.set` would be a racy hidden side effect).
+    *
+    * Registration runs under the map's lock: a second thread calling
+    * ensure() for the same session blocks until the first finishes, so
+    * no caller can proceed to a query while the load-bearing kernels
+    * (minhash_sigs / dot_f / simhash64) or the nanosAsLong conf are
+    * only half-registered. Registration is quick and once-per-session;
+    * serializing it is free.
     */
-  def ensure(spark: SparkSession): Unit =
+  def ensure(spark: SparkSession): Unit = registered.synchronized {
     if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
       // events.ts is parquet INT64 TIMESTAMP(NANOS); Spark 4 only reads it
       // via the legacy nanos-as-long path (see T.t).

@@ -102,6 +102,17 @@ object ConnectedComponents {
       e = small
       iters += 1
     }
+    // A maxIters exit without the fixpoint means the labels below would
+    // come from a non-star intermediate edge set — wrong component ids
+    // with no other symptom. Fail loudly instead (star contraction is
+    // O(log n) rounds, so hitting this means maxIters was set far too
+    // low for the graph, not a transient condition worth retrying).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components did not converge in $maxIters star rounds " +
+          s"(edge-set checksum still moving: $prev); raise maxIters — " +
+          "O(log n) rounds suffice, so this graph needs > 2^" +
+          s"$maxIters nodes or the input is pathological")
     // At the fixpoint e is one star per component: every non-root node
     // has the root as its minimum neighbor, the root's own minimum is
     // itself. Isolated members of the input (self-loop-only nodes)

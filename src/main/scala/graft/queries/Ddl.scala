@@ -25,7 +25,12 @@ object Ddl extends QueryPack {
 
   /** Shared ACID demo table: customer put through a fixed write-id
     * history. Create-once per (JVM, sf dir) — reruns read, never
-    * rewrite, so every snapshot below is deterministic.
+    * rewrite, so every snapshot below is deterministic. The root is
+    * JVM-unique (pid in the name): a table half-built by a killed JVM
+    * can never be mistaken for complete by the next one, and two
+    * concurrent JVMs (bench vs verify) never race on one tmpdir table.
+    * Within the JVM the synchronized block guarantees the history is
+    * fully applied before any reader sees `exists == true`.
     *   w1 CREATE  = customer
     *   w2 INSERT  = ingest batch (custkey ≤ 100, shifted key, INGESTED)
     *   w3 DELETE  = negative balances tombstoned
@@ -34,6 +39,7 @@ object Ddl extends QueryPack {
   private def acidDemo(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val root = System.getProperty("java.io.tmpdir") + "/graft_acid_" +
+      ProcessHandle.current().pid() + "_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_")
     AcidTable.synchronized {
       if (!AcidTable.exists(s, root)) {

@@ -9,11 +9,23 @@ import org.apache.spark.sql.functions._
   * ql/io/{AcidInputFormat, AcidOutputFormat}.class, delta-file MVCC +
   * background compaction), re-expressed Spark-first on plain parquet.
   *
-  * Layout under `root/` (write ids strictly increase, dir rename is the
-  * commit point — same protocol as Hive's delta_w directories):
+  * Layout under `root/` (write ids strictly increase; every write lands
+  * in a dot-prefixed temp dir and a single atomic rename into the final
+  * name IS the commit point — a crashed writer leaves only an invisible
+  * `.tmp_*` dir that `writes()` never lists, same protocol as Hive's
+  * delta_w directories):
   *   base_<w>/           full snapshot as of write w (parquet)
   *   delta_<w>_insert/   rows added by write w
   *   delta_<w>_delete/   ROW__IDs tombstoned by write w
+  *   delta_<w>_update/   insert/ + delete/ subdirs committed by ONE
+  *                       rename (update = delete + insert, one write id)
+  *
+  * Write-id allocation (`currentWriteId + 1`) assumes ONE writer per
+  * table root at a time — Hive delegates this to the metastore's txn
+  * manager, which this file deliberately does not re-implement. Callers
+  * serialize writes (see Ddl.acidDemo); a concurrent second writer is
+  * detected, not corrupting: its commit rename fails against the
+  * already-claimed dir name and throws.
   *
   * Every row carries `row__id` = STRUCT(write_id, row_id) — Hive's
   * ROW__ID(writeId, bucket, rowId) minus the bucket leg (Spark's file
@@ -48,7 +60,10 @@ object AcidTable {
       struct(lit(w).as("write_id"),
         monotonically_increasing_id().as("row_id")))
 
-  /** All (kind, writeId) dirs present, ascending by writeId. */
+  /** All committed (kind, writeId) dirs, ascending by writeId. Only
+    * fully-committed (renamed-into-place) dirs appear; in-flight or
+    * crashed `.tmp_*` writes are invisible here by construction.
+    */
   private def writes(s: SparkSession, root: String): Seq[(String, Long)] = {
     val f = fs(s, root)
     val p = new Path(root)
@@ -60,8 +75,28 @@ object AcidTable {
         Some(("insert", n.stripPrefix("delta_").stripSuffix("_insert").toLong))
       case n if n.startsWith("delta_") && n.endsWith("_delete") =>
         Some(("delete", n.stripPrefix("delta_").stripSuffix("_delete").toLong))
+      case n if n.startsWith("delta_") && n.endsWith("_update") =>
+        Some(("update", n.stripPrefix("delta_").stripSuffix("_update").toLong))
       case _ => None
     }.sortBy(_._2)
+  }
+
+  /** Commit protocol: produce the write under `root/.tmp_<name>`, then
+    * one atomic rename to `root/<name>`. Readers list only final names,
+    * so a writer crash before the rename leaves the table untouched; a
+    * rename onto an existing name (two writers claiming one write id)
+    * fails and throws instead of interleaving files.
+    */
+  private def commit(s: SparkSession, root: String, name: String)
+      (write: String => Unit): Unit = {
+    val f = fs(s, root)
+    val tmp = new Path(s"$root/.tmp_$name")
+    if (f.exists(tmp)) f.delete(tmp, true) // leftover from a crashed writer
+    write(tmp.toString)
+    if (!f.rename(tmp, new Path(s"$root/$name")))
+      throw new IllegalStateException(
+        s"ACID commit failed: rename $tmp -> $root/$name (concurrent " +
+          "writer claimed this write id, or the root vanished)")
   }
 
   def exists(s: SparkSession, root: String): Boolean =
@@ -73,7 +108,7 @@ object AcidTable {
 
   /** Create the table: `df` becomes base_1. */
   def create(s: SparkSession, root: String, df: DataFrame): Unit =
-    withRid(df, 1L).write.parquet(s"$root/base_1")
+    commit(s, root, "base_1")(tmp => withRid(df, 1L).write.parquet(tmp))
 
   /** Snapshot read. `asOf` = write id (None = latest). Returns data
     * columns + `row__id`.
@@ -89,11 +124,16 @@ object AcidTable {
         "(compaction discarded older history)")
     val baseW = visible.filter(_._1 == "base").map(_._2).max
     val base = s.read.parquet(s"$root/base_$baseW")
-    val rows = visible.collect { case ("insert", w) if w > baseW =>
-      s.read.parquet(s"$root/delta_${w}_insert")
+    val rows = visible.collect {
+      case ("insert", w) if w > baseW =>
+        s.read.parquet(s"$root/delta_${w}_insert")
+      case ("update", w) if w > baseW =>
+        s.read.parquet(s"$root/delta_${w}_update/insert")
     }.foldLeft(base)(_ unionByName _)
-    val delDirs = visible.collect { case ("delete", w) if w > baseW =>
-      s"$root/delta_${w}_delete" }
+    val delDirs = visible.collect {
+      case ("delete", w) if w > baseW => s"$root/delta_${w}_delete"
+      case ("update", w) if w > baseW => s"$root/delta_${w}_update/delete"
+    }
     if (delDirs.isEmpty) rows
     else rows.join(broadcast(s.read.parquet(delDirs: _*)), Seq(RID),
       "left_anti")
@@ -102,30 +142,36 @@ object AcidTable {
   /** Append rows as a new write. Returns the write id. */
   def insert(s: SparkSession, root: String, df: DataFrame): Long = {
     val w = currentWriteId(s, root) + 1
-    withRid(df, w).write.parquet(s"$root/delta_${w}_insert")
+    commit(s, root, s"delta_${w}_insert")(tmp =>
+      withRid(df, w).write.parquet(tmp))
     w
   }
 
   /** Tombstone every current row matching `pred`. Returns the write id. */
   def delete(s: SparkSession, root: String, pred: Column): Long = {
     val w = currentWriteId(s, root) + 1
-    read(s, root).filter(pred).select(RID)
-      .write.parquet(s"$root/delta_${w}_delete")
+    val tomb = read(s, root).filter(pred).select(RID)
+    commit(s, root, s"delta_${w}_delete")(tmp => tomb.write.parquet(tmp))
     w
   }
 
   /** UPDATE = delete + re-insert with `set` applied, ONE write id (Hive
-    * ACID v2's update path). Returns the write id.
+    * ACID v2's update path). Both legs land under one delta_<w>_update
+    * dir so the write commits with a single rename — no window where a
+    * reader sees the tombstones without the re-inserted rows (or vice
+    * versa). Returns the write id.
     */
   def update(s: SparkSession, root: String, pred: Column,
       set: Map[String, Column]): Long = {
     val w = currentWriteId(s, root) + 1
     val hit = read(s, root).filter(pred).cache()
     try {
-      hit.select(RID).write.parquet(s"$root/delta_${w}_delete")
-      val updated = set.foldLeft(hit.drop(RID)) { case (d, (c, e)) =>
-        d.withColumn(c, e) }
-      withRid(updated, w).write.parquet(s"$root/delta_${w}_insert")
+      commit(s, root, s"delta_${w}_update") { tmp =>
+        hit.select(RID).write.parquet(s"$tmp/delete")
+        val updated = set.foldLeft(hit.drop(RID)) { case (d, (c, e)) =>
+          d.withColumn(c, e) }
+        withRid(updated, w).write.parquet(s"$tmp/insert")
+      }
     } finally hit.unpersist()
     w
   }
@@ -136,13 +182,17 @@ object AcidTable {
     */
   def compact(s: SparkSession, root: String): Long = {
     val w = currentWriteId(s, root) + 1
-    // Keep existing row__ids (stable identity across compaction).
-    read(s, root).write.parquet(s"$root/base_$w")
+    // Keep existing row__ids (stable identity across compaction). The
+    // snapshot must be materialized BEFORE the commit rename: the plan
+    // reads the very dirs the cleaner below deletes.
+    val snap = read(s, root)
+    commit(s, root, s"base_$w")(tmp => snap.write.parquet(tmp))
     val f = fs(s, root)
     writes(s, root).filter(_._2 < w).foreach {
       case ("base", i) => f.delete(new Path(s"$root/base_$i"), true)
       case ("insert", i) => f.delete(new Path(s"$root/delta_${i}_insert"), true)
       case ("delete", i) => f.delete(new Path(s"$root/delta_${i}_delete"), true)
+      case ("update", i) => f.delete(new Path(s"$root/delta_${i}_update"), true)
     }
     w
   }
