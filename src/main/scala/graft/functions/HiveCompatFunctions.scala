@@ -89,6 +89,7 @@ object HiveCompatFunctions {
           SimHash64(exprs(0))
         }, "built-in")
     }
+  }
 
   // --- string gaps -------------------------------------------------------
 

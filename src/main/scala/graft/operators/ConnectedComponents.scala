@@ -111,8 +111,8 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected-components did not converge in $maxIters star rounds " +
           s"(edge-set checksum still moving: $prev); raise maxIters — " +
-          "O(log n) rounds suffice, so this graph needs > 2^" +
-          s"$maxIters nodes or the input is pathological")
+          "alternating large-star/small-star needs O(log^2 n) rounds in " +
+          "the proven worst case (O(log n) observed in practice)")
     // At the fixpoint e is one star per component: every non-root node
     // has the root as its minimum neighbor, the root's own minimum is
     // itself. Isolated members of the input (self-loop-only nodes)

@@ -38,11 +38,17 @@ object Ddl extends QueryPack {
     */
   private def acidDemo(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val root = System.getProperty("java.io.tmpdir") + "/graft_acid_" +
+    val tmpdir = System.getProperty("java.io.tmpdir")
+    val root = tmpdir + "/graft_acid_" +
       ProcessHandle.current().pid() + "_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_")
     AcidTable.synchronized {
       if (!AcidTable.exists(s, root)) {
+        // pid-unique roots fix the cross-JVM race but would otherwise
+        // accumulate forever: delete ours on exit, and sweep roots left
+        // by dead JVMs (pid no longer alive) before building a new one.
+        registerCleanup(new java.io.File(root))
+        sweepStaleRoots(new java.io.File(tmpdir))
         val c = t(s, dir, "customer")
         AcidTable.create(s, root, c)
         AcidTable.insert(s, root, c.filter(col("c_custkey") <= 100)
@@ -54,6 +60,30 @@ object Ddl extends QueryPack {
       }
     }
     root
+  }
+
+  /** Delete `dir` recursively when this JVM exits (once per root). */
+  private def registerCleanup(dir: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+
+  /** Remove graft_acid_<pid>_* roots whose owning JVM is gone. */
+  private def sweepStaleRoots(tmpdir: java.io.File): Unit = {
+    val pat = "graft_acid_(\\d+)_.*".r
+    Option(tmpdir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case pat(pid) if pid.toLong != ProcessHandle.current().pid() &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
+              .orElse(false) =>
+          deleteRec(f)
+        case _ => ()
+      }
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
   }
 
   /** DuckDB twin of the w2 state (base + ingest batch). */

@@ -82,10 +82,15 @@ object AcidTable {
   }
 
   /** Commit protocol: produce the write under `root/.tmp_<name>`, then
-    * one atomic rename to `root/<name>`. Readers list only final names,
-    * so a writer crash before the rename leaves the table untouched; a
-    * rename onto an existing name (two writers claiming one write id)
-    * fails and throws instead of interleaving files.
+    * one rename to `root/<name>`. Readers list only final names, so a
+    * writer crash before the rename leaves the table untouched. Write-id
+    * collisions (two writers claiming one id) are detected best-effort:
+    * the existence check below catches a loser that arrives second, but
+    * rename-vs-rename is not atomic on every FS — LocalFileSystem in
+    * particular degrades rename-onto-existing-dir to a nested copy that
+    * "succeeds" — so true multi-writer safety needs an external lock
+    * manager (Hive delegates this to the metastore txn manager; callers
+    * here serialize writes, see Ddl.acidDemo).
     */
   private def commit(s: SparkSession, root: String, name: String)
       (write: String => Unit): Unit = {
@@ -93,9 +98,10 @@ object AcidTable {
     val tmp = new Path(s"$root/.tmp_$name")
     if (f.exists(tmp)) f.delete(tmp, true) // leftover from a crashed writer
     write(tmp.toString)
-    if (!f.rename(tmp, new Path(s"$root/$name")))
+    val dst = new Path(s"$root/$name")
+    if (f.exists(dst) || !f.rename(tmp, dst))
       throw new IllegalStateException(
-        s"ACID commit failed: rename $tmp -> $root/$name (concurrent " +
+        s"ACID commit failed: rename $tmp -> $dst (concurrent " +
           "writer claimed this write id, or the root vanished)")
   }
 
