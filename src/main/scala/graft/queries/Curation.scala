@@ -279,5 +279,191 @@ object Curation extends QueryPack {
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("doc_id")).cast("long").as("id_checksum"))
         .orderBy("lang")
+    },
+
+    // Sliding-window CHUNKING: split each document into fixed-size token
+    // windows (32 tokens, stride 24 → 8-token overlap) — the sequence-
+    // construction step before packing/tokenization in a training
+    // pipeline. Chunk count is closed-form ((n-W)/S ceil + 1), so the
+    // fan-out is a per-row sequence+explode — embarrassingly parallel,
+    // no shuffle until the final demo sort. Chunk bodies travel as md5
+    // fingerprints, not strings, mirroring the 100 TB rule that shuffled
+    // keys stay 16 bytes. Short docs (n <= W) yield exactly one chunk.
+    q("q_chunk_stride",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 40),
+        |k AS (
+        |  SELECT doc_id, w, n,
+        |    CASE WHEN n <= 32 THEN 1
+        |         ELSE (n - 32 + 23) // 24 + 1 END AS k
+        |  FROM d),
+        |e AS (SELECT doc_id, w, n,
+        |        unnest(generate_series(0, k - 1)) AS chunk_idx FROM k),
+        |c AS (SELECT doc_id, n, chunk_idx,
+        |        w[CAST(chunk_idx * 24 + 1 AS BIGINT):
+        |          CAST(chunk_idx * 24 + 32 AS BIGINT)] AS ch
+        |      FROM e)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  n AS n_tok_doc, CAST(len(ch) AS BIGINT) AS n_tok,
+        |  ch[1] AS first_tok, ch[-1] AS last_tok,
+        |  md5(array_to_string(ch, ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val W = 32; val S = 24
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n", size(col("w")).cast("long"))
+        .withColumn("k", when(col("n") <= W, lit(1L))
+          .otherwise(expr(s"(n - $W + ${S - 1}) div $S + 1")))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(expr("sequence(0L, k - 1)")).as("chunk_idx"))
+        .withColumn("ch",
+          expr(s"slice(w, CAST(chunk_idx * $S + 1 AS INT), $W)"))
+        .select(col("doc_id"), col("chunk_idx"), col("n").as("n_tok_doc"),
+          size(col("ch")).cast("long").as("n_tok"),
+          element_at(col("ch"), 1).as("first_tok"),
+          element_at(col("ch"), -1).as("last_tok"),
+          md5(concat_ws(" ", col("ch"))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Exact-SUBSTRING decontamination (the strict sibling of
+    // q_decontam_ngram): docs 0-19 donate a 60-char snippet (an "eval
+    // question"); any corpus doc containing that exact snippet is
+    // contaminated. The snippet set is tiny by construction → broadcast
+    // nested-loop with a codegen'd instr(), the only correct plan for a
+    // contains-join; the corpus side streams with NO shuffle. At 100 TB
+    // the same shape holds (a benchmark is KBs against the corpus) —
+    // with thousands of snippets the per-partition probe upgrades to an
+    // Aho-Corasick automaton built once per task, same topology.
+    q("q_decontam_substring",
+      """WITH sn AS (
+        |  SELECT doc_id AS sid, substr(text, 21, 60) AS snip
+        |  FROM documents WHERE doc_id < 20),
+        |hits AS (
+        |  SELECT sn.sid, c.doc_id FROM sn JOIN documents c
+        |    ON c.doc_id < 200 AND instr(c.text, sn.snip) > 0)
+        |SELECT sid, COUNT(*) AS n_hits,
+        |  CAST(SUM(doc_id) AS BIGINT) AS hit_checksum
+        |FROM hits GROUP BY sid ORDER BY sid""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val snips = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("sid"),
+          substring(col("text"), 21, 60).as("snip"))
+      docs.filter(col("doc_id") < 200).select("doc_id", "text")
+        .crossJoin(broadcast(snips))
+        .filter(instr(col("text"), col("snip")) > 0)
+        .groupBy("sid")
+        .agg(count(lit(1)).as("n_hits"),
+          sum(col("doc_id")).cast("long").as("hit_checksum"))
+        .orderBy("sid")
+    },
+
+    // PII REDACTION: detect and scrub emails / IPv4s / phone numbers.
+    // The corpus is synthetic and PII-free, so each doc gets one of each
+    // injected DETERMINISTICALLY from its id (identical expression both
+    // engines) — the point is the regex machinery, counted before and
+    // after the scrub (residual must be 0). All regexes are shared
+    // Java/RE2 syntax; DuckDB's regexp_replace needs the explicit 'g'
+    // flag to match Spark's replace-all. Scale: pure per-row codegen'd
+    // projections — zero shuffle beyond the demo sort; redacted bodies
+    // leave as md5 fingerprints.
+    q("q_pii_redact",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com ip 10.0.'
+        |      || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+        |      || ' tel 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS txt
+        |  FROM documents WHERE doc_id < 30),
+        |r AS (
+        |  SELECT doc_id, txt,
+        |    regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |      '555-\d{4}', '<PHONE>', 'g') AS red
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(txt, '555-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(red,
+        |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    + len(regexp_extract_all(red,
+        |        '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+        |    + len(regexp_extract_all(red, '555-\d{4}')) AS BIGINT)
+        |    AS n_residual,
+        |  md5(red) AS red_fp
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val phoneRe = "555-\\d{4}"
+      def nMatches(c: org.apache.spark.sql.Column, re: String) =
+        size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+      t(s, dir, "documents").filter(col("doc_id") < 30)
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com ip 10.0."),
+          col("doc_id") % 256, lit("."), (col("doc_id") * 7) % 256,
+          lit(" tel 555-"), lpad(col("doc_id").cast("string"), 4, "0")))
+        .withColumn("red",
+          regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+        .select(col("doc_id"),
+          nMatches(col("txt"), emailRe).as("n_email"),
+          nMatches(col("txt"), ipRe).as("n_ip"),
+          nMatches(col("txt"), phoneRe).as("n_phone"),
+          (nMatches(col("red"), emailRe) + nMatches(col("red"), ipRe) +
+            nMatches(col("red"), phoneRe)).as("n_residual"),
+          md5(col("red")).as("red_fp"))
+        .orderBy("doc_id")
+    },
+
+    // CURRICULUM length-binning: quartile documents by token count and
+    // report per-bin composition — the difficulty-stratification step of
+    // curriculum schedules. The cut points come from ONE tiny sketch agg
+    // (percentile_approx at exact accuracy ≡ DuckDB quantile_disc, the
+    // q_agg_percentile_approx equivalence) broadcast back as a 1-row
+    // cross join; binning is then a per-row CASE — no global-ORDER
+    // window (ntile over an unpartitioned window is the single-task
+    // anti-pattern this formulation replaces at 100 TB; the sketch stays
+    // mergeable at lower accuracy). Ties land in ONE bin (<=-cut
+    // semantics), so bins are value-deterministic, not row-order-lucky.
+    q("q_curriculum_bins",
+      """WITH s AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT quantile_disc(n_tok, [0.25, 0.5, 0.75]) AS q FROM s)
+        |SELECT CAST(CASE WHEN n_tok <= q[1] THEN 1
+        |                 WHEN n_tok <= q[2] THEN 2
+        |                 WHEN n_tok <= q[3] THEN 3
+        |                 ELSE 4 END AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+        |  CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM s CROSS JOIN c
+        |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val cuts = docs.agg(expr(
+        "percentile_approx(n_tok, array(0.25D, 0.5D, 0.75D), 1000000)")
+        .as("q"))
+      docs.crossJoin(broadcast(cuts))
+        .withColumn("bin",
+          when(col("n_tok") <= expr("q[0]"), 1L)
+            .when(col("n_tok") <= expr("q[1]"), 2L)
+            .when(col("n_tok") <= expr("q[2]"), 3L)
+            .otherwise(4L))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).cast("long").as("sum_tok"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("bin")
     })
 }

@@ -216,6 +216,108 @@ object TextAnalysis extends QueryPack {
         .orderBy("lang")
     },
 
+    // Unigram-LM SURPRISAL (the deterministic skeleton of a perplexity
+    // quality filter): fit a unigram model on the FULL corpus (term
+    // counts + total), score each document by its mean per-token
+    // surprisal -ln p(term). High mean surprisal = rare/garbled text,
+    // low = boilerplate — the classic LM-based quality axis.
+    // Cross-engine determinism: the only float is ln(total/cnt), rounded
+    // to 6 decimals per TOKEN, then summed as an exact scale-6 decimal
+    // (associative — partial aggregation safe) and divided once.
+    // Scale (100 TB): the vocab is Zipf-bounded (≪ corpus), broadcast to
+    // the token stream — scan → explode → map-side hash join → per-doc
+    // agg; no corpus-sized shuffle. At a trillion tokens the exact vocab
+    // count is itself a bounded two-level agg.
+    q("q_text_surprisal",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT COUNT(*) AS total FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(total AS DOUBLE) / cnt), 6)
+        |                      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_surprisal
+        |FROM tok JOIN vocab USING (term) CROSS JOIN tot
+        |WHERE doc_id < 30
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      tok.filter(col("doc_id") < 30)
+        .join(broadcast(vocab), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("surp",
+          round(log(col("total").cast("double") / col("cnt")), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("surp").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_surprisal"))
+        .orderBy("doc_id")
+    },
+
+    // Bigram PMI collocation mining: pointwise mutual information
+    // ln(p(ab) / (p(a)p(b))) over adjacent token pairs — the corpus-
+    // statistics op behind tokenizer-merge candidates and collocation
+    // lists. All counts exact ints; the single float expression is
+    // written with an IDENTICAL operation order in both engines
+    // (left-assoc double multiply then one divide then ln, rounded to 6)
+    // so the top-k cut is bit-stable. min-count 5 keeps noise grams out.
+    // Scale (100 TB): two bounded aggregations (bigram and unigram
+    // vocab), both Zipf-shaped; the unigram side is broadcast into the
+    // bigram stream, and totals ride a broadcast 1-row cross join.
+    q("q_text_pmi",
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (
+        |  SELECT g, COUNT(*) AS cb FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |             i -> w[i] || ' ' || w[i + 1])) AS g
+        |    FROM d)
+        |  GROUP BY g),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |uni AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT (SELECT COUNT(*) FROM tok) AS t,
+        |               (SELECT CAST(SUM(cb) AS BIGINT) FROM big) AS tb)
+        |SELECT g, cb,
+        |  ROUND(ln(CAST(cb AS DOUBLE) * t * t /
+        |           (CAST(tb AS DOUBLE) * ua.cnt * ub.cnt)), 6) + 0.0 AS pmi
+        |FROM big JOIN uni ua ON ua.term = string_split(g, ' ')[1]
+        |         JOIN uni ub ON ub.term = string_split(g, ' ')[2]
+        |         CROSS JOIN tot
+        |WHERE cb >= 5
+        |ORDER BY pmi DESC, g LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val big = docs
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cb"))
+      val tok = docs.select(explode(split(col("text"), " ")).as("term"))
+      val uni = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = tok.agg(count(lit(1)).as("t"))
+        .crossJoin(big.agg(sum(col("cb")).cast("long").as("tb")))
+      big.filter(col("cb") >= 5)
+        .withColumn("a", expr("split(g, ' ')[0]"))
+        .withColumn("b", expr("split(g, ' ')[1]"))
+        .join(broadcast(uni.withColumnRenamed("term", "a")
+          .withColumnRenamed("cnt", "ca")), "a")
+        .join(broadcast(uni.withColumnRenamed("term", "b")
+          .withColumnRenamed("cnt", "cbn")), "b")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi",
+          round(log(col("cb").cast("double") * col("t") * col("t") /
+            (col("tb").cast("double") * col("ca") * col("cbn"))), 6) +
+            lit(0.0))
+        .select("g", "cb", "pmi")
+        .orderBy(col("pmi").desc, col("g")).limit(20)
+    },
+
     // Column profiler: nulls / distinct / min / max / avg-repr-length
     // per column, ONE scan. All per-column metrics land in a single agg
     // (the multi-countDistinct Expand is 5 rows per input row — the
