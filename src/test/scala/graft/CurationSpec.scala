@@ -76,4 +76,74 @@ class CurationSpec extends AnyFunSuite {
     assert(got.getLong(0) === expect.getLong(0))
     assert(got.getLong(1) === expect.getLong(1))
   }
+
+  test("chunks tile each document: full windows, stride overlap, no loss") {
+    val W = 32; val S = 24
+    val chunks = SparkEntry.queries("q_chunk_stride")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    val docs = T.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks.keySet === docs.keySet, "some docs produced no chunks")
+    for ((id, rows) <- chunks) {
+      val w = docs(id)
+      val byIdx = rows.sortBy(_.getLong(1))
+      // contiguous chunk ids from 0
+      assert(byIdx.map(_.getLong(1)).toSeq ===
+        (0L until byIdx.length.toLong), s"doc $id chunk ids not contiguous")
+      byIdx.zipWithIndex.foreach { case (r, i) =>
+        val nTok = r.getLong(3)
+        // every chunk but the last is a full window
+        if (i < byIdx.length - 1) assert(nTok === W.toLong,
+          s"doc $id chunk $i is not a full window")
+        // first/last token line up with the stride offsets in the doc
+        assert(r.getString(4) === w(i * S),
+          s"doc $id chunk $i first_tok misaligned")
+        assert(r.getString(5) === w(i * S + nTok.toInt - 1),
+          s"doc $id chunk $i last_tok misaligned")
+      }
+      // coverage: the final chunk reaches the last token exactly
+      val last = byIdx.last
+      assert((byIdx.length - 1) * S + last.getLong(3) === w.length.toLong,
+        s"doc $id chunks do not cover the document")
+    }
+  }
+
+  test("PII scrub is total: zero residual, markers present, originals gone") {
+    val rows = SparkEntry.queries("q_pii_redact")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L, "injected email not detected")
+      assert(r.getLong(2) === 1L, "injected ip not detected")
+      assert(r.getLong(3) === 1L, "injected phone not detected")
+      assert(r.getLong(4) === 0L, s"doc ${r.getLong(0)} has PII residual")
+    }
+    // Recompute one redacted body and check the markers replaced the
+    // injected values verbatim (the query only ships the fingerprint).
+    val red = T.t(spark, sfDir, "documents").filter(col("doc_id") === 7)
+      .select(regexp_replace(regexp_replace(regexp_replace(
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com ip 10.0."),
+          col("doc_id") % 256, lit("."), (col("doc_id") * 7) % 256,
+          lit(" tel 555-"), lpad(col("doc_id").cast("string"), 4, "0")),
+        "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
+        "555-\\d{4}", "<PHONE>"))
+      .head.getString(0)
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") &&
+      red.contains("<PHONE>"))
+    assert(!red.contains("@example.com") && !red.contains("555-"))
+  }
+
+  test("mean surprisal is positive and spans a real range across docs") {
+    val rows = SparkEntry.queries("q_text_surprisal")(spark, sfDir)
+      .collect().map(_.getDouble(2))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_ > 0.0), "surprisal must be positive (cnt <= total)")
+    // A degenerate implementation (e.g. joining the wrong count) tends
+    // to collapse every doc to the same score.
+    assert(rows.distinct.length > 1, "surprisal is constant across docs")
+  }
 }

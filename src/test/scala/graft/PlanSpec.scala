@@ -137,6 +137,59 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("SortMergeJoin"), "contamination probe shuffles the corpus")
   }
 
+  test("q_text_surprisal probes the vocab map-side (broadcast hash join)") {
+    // The unigram vocab is Zipf-bounded; the corpus token stream must
+    // hash-probe it map-side, never shuffle for the join.
+    val p = plan("q_text_surprisal")
+    assert(p.contains("BroadcastHashJoin"), "vocab not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"surprisal shuffles the token stream for the vocab join:\n$p")
+  }
+
+  test("q_text_pmi joins unigram counts map-side, no cartesian") {
+    val p = plan("q_text_pmi")
+    assert(p.contains("BroadcastHashJoin"), "unigram lookups not broadcast")
+    assert(!p.contains("CartesianProduct"), "PMI plans a cartesian")
+  }
+
+  test("q_decontam_substring broadcasts snippets, streams the corpus") {
+    // A contains-join has no equi key: the only scale-correct plan is a
+    // broadcast nested loop with the TINY snippet side broadcast — the
+    // corpus side must stream with no shuffle at all before the agg.
+    val p = plan("q_decontam_substring")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"substring probe is not a broadcast loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "substring probe degenerated to a non-broadcast cartesian")
+  }
+
+  test("q_chunk_stride fans out per-row with no join and no hash shuffle") {
+    // Chunking is a pure per-row sequence+explode: the only exchange
+    // allowed is the final demo sort (range partitioning).
+    val p = plan("q_chunk_stride")
+    assert(!p.contains("Join"), s"chunking plans a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking hash-shuffles the corpus:\n$p")
+  }
+
+  test("q_pii_redact is a pure per-row projection (no join, one scan)") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Join"), s"PII scrub plans a join:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+
+  test("q_curriculum_bins bins via broadcast cuts, not a global window") {
+    // The quartile cut points ride a broadcast 1-row relation; a global
+    // ntile window (single-task sort of the corpus) must never appear.
+    val p = plan("q_curriculum_bins")
+    assert(!p.contains("Window"), s"curriculum binning plans a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cut-point join shuffles the corpus:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "cut points not broadcast")
+  }
+
   test("q_sample_stratified is a pure filter before the accounting agg") {
     // Deterministic hash sampling must not shuffle the corpus: the only
     // exchange allowed is the low-cardinality accounting groupBy.
