@@ -24,8 +24,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * re-bound with an aliasing Project so the substitution is transparent
   * to the rest of the plan. Like Hive, rewrites serve STALE data if the
   * base tables change after materialization; `refresh` re-materializes
-  * and re-records, `unregister` stops rewriting (documented gap: no
-  * incremental maintenance).
+  * and re-records, `refreshIncremental` folds an insert-only delta into
+  * the stored aggregate without rescanning the base, `unregister` stops
+  * rewriting.
   *
   * Registry state is scoped PER SESSION (WeakHashMap keyed on the
   * session object): a plan registered in one session never rewrites a
@@ -82,6 +83,59 @@ object MaterializedViews {
   def unregister(spark: SparkSession, name: String): Unit = {
     val st = stateOf(spark)
     st.registry.filterInPlace { case (_, (n, _)) => n != name }
+  }
+
+  /** INCREMENTAL maintenance for an aggregate MV over insert-only base
+    * deltas (Hive 3's `ALTER MATERIALIZED VIEW ... REBUILD` incremental
+    * path): instead of recomputing `defining` over the whole base,
+    * aggregate JUST the delta rows with the same query shape
+    * (`deltaAgg`) and fold them into the stored MV by re-aggregating
+    * `old UNION delta` per group with each aggregate's MERGE function —
+    * count/sum merge by sum, min by min, max by max (avg must be stored
+    * as sum+count and divided at read time, the standard decomposition).
+    * Distributive/algebraic aggregates only; sums should be exact
+    * decimals (T.dec) so the merged result is bit-identical to a full
+    * recompute regardless of merge order.
+    *
+    * Scale: the work is O(|MV| + |delta agg|) — group-count-bounded,
+    * never a rescan of the 100 TB base. The merged snapshot lands in a
+    * staging table then swaps in (restartable: a crash before the swap
+    * leaves the old MV intact and readable).
+    *
+    * `defining` must be the full-base defining query (same object
+    * contract as `refresh`); it re-keys the rewrite at the new snapshot.
+    * `merge` maps each aggregate output column to "sum" | "min" | "max",
+    * in the defining query's column order after `keys`.
+    */
+  def refreshIncremental(spark: SparkSession, name: String,
+      defining: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+      merge: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min, sum}
+    val old = spark.table(name)
+    val aggs = merge.map { case (c, f) =>
+      (f match {
+        case "sum" => sum(col(c))
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case other => throw new IllegalArgumentException(
+          s"non-mergeable aggregate '$other' for column $c — store " +
+            "algebraic aggregates in decomposed form (e.g. avg as sum+count)")
+      }).as(c)
+    }
+    // Re-cast to the stored schema: sum() widens decimals/longs, and a
+    // schema that drifts per refresh would break the rewrite's
+    // positional rebind.
+    val merged = old.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(old.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val staged = name + "_staged"
+    merged.write.mode("overwrite").saveAsTable(staged)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $name")
+    unregister(spark, name)
+    record(spark, name, defining)
   }
 
   private def record(spark: SparkSession, name: String,

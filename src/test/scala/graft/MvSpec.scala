@@ -59,6 +59,61 @@ class MvSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(1)).sum === 25)
   }
 
+  test("incremental refresh folds a delta without rescanning the base") {
+    val base = s"g_mv_inc_base_$tag"
+    val name = s"g_mv_inc_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $base")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val cust = T.t(spark, sfDir, "customer")
+    // Split on the key's midpoint so the test is sf-independent.
+    val mid = cust.agg(((max("c_custkey") + min("c_custkey")) / 2)
+      .cast("long")).head.getLong(0)
+    cust.filter(col("c_custkey") <= mid)
+      .write.mode("overwrite").saveAsTable(base)
+    // Exact-decimal sums so the delta-merge is associative: incremental
+    // must be BIT-identical to a full recompute, not approximately so.
+    def defining = spark.table(base).groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(T.dec(col("c_acctbal"))).as("bal"),
+        max(col("c_acctbal")).as("mx"))
+    MaterializedViews.register(spark, name, defining)
+
+    // Insert-only delta lands in the base table...
+    val delta = cust.filter(col("c_custkey") > mid)
+    delta.write.mode("append").saveAsTable(base)
+    // ...and its PARTIAL aggregate — computed over the delta rows only,
+    // never the base — folds into the stored MV.
+    val deltaAgg = delta.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(T.dec(col("c_acctbal"))).as("bal"),
+        max(col("c_acctbal")).as("mx"))
+    MaterializedViews.refreshIncremental(spark, name, defining, deltaAgg,
+      Seq("c_mktsegment"), Seq("n" -> "sum", "bal" -> "sum", "mx" -> "max"))
+
+    // Parity: the maintained MV equals a full recompute over base+delta.
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("c_mktsegment"), col("n"),
+        col("bal").cast("decimal(38,4)").as("bal"), col("mx"))
+        .collect().map(_.toSeq).toSet
+    assert(norm(spark.table(name)) === norm(defining),
+      "incremental MV diverged from full recompute")
+
+    // Freshness: a new matching query is rewritten to the MV AND sees
+    // the post-delta data through it.
+    val q = defining
+    assert(q.queryExecution.optimizedPlan.toString.contains(name),
+      "rewrite no longer fires after incremental refresh")
+    assert(q.agg(sum("n")).head.getLong(0) === cust.count(),
+      "rewritten query serves stale pre-delta data")
+
+    // Non-mergeable aggregates are rejected loudly, not silently wrong.
+    val err = intercept[IllegalArgumentException] {
+      MaterializedViews.refreshIncremental(spark, name, defining, deltaAgg,
+        Seq("c_mktsegment"), Seq("n" -> "avg"))
+    }
+    assert(err.getMessage.contains("non-mergeable"))
+  }
+
   test("non-matching aggregate is left alone") {
     MaterializedViews.register(spark, s"g_mv_qty_$tag", defining)
     val l = T.t(spark, sfDir, "lineitem")
