@@ -353,5 +353,60 @@ object TextAnalysis extends QueryPack {
       one.select(expr(s"stack(${cols.length}, $stackArgs) AS " +
           "(col_name, n_null, n_distinct, min_val, max_val, avg_len)"))
         .orderBy("col_name")
+    },
+
+    // BPE round-1 pair statistics — the distributed kernel of tokenizer
+    // training, oracle-checked end to end: corpus → (word, freq)
+    // vocabulary (the ONE corpus-wide shuffle; Zipf bounds the vocab at
+    // ~1e8 rows against 1e12+ tokens) → per-word adjacent symbol pairs
+    // weighted by freq (a zip_with lambda, no join, no corpus rescan) →
+    // top-20 pairs. The iterative training loop that consumes these
+    // counts is q_bpe_merges below / operators/BpeTrain.scala.
+    q("q_bpe_pair_counts",
+      """WITH words AS (
+        |  SELECT w AS word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |syms AS (
+        |  SELECT list_append(string_split(word, ''), '</w>') AS s, freq
+        |  FROM words),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(s)),
+        |    i -> {'l': s[i], 'r': s[i + 1]})) AS p, freq
+        |  FROM syms)
+        |SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY p.l, p.r
+        |ORDER BY pair_count DESC, l, r LIMIT 20""".stripMargin) { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      words
+        .withColumn("syms",
+          concat(split(col("word"), ""), array(lit("</w>"))))
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").cast("long").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(20)
+    },
+
+    // Full BPE vocabulary training (operators/BpeTrain.scala): 8 merge
+    // rounds over the (word, freq) vocabulary — per round, ONE scalar
+    // (the argmax pair) reaches the driver and the symbol relation is
+    // re-folded and checkpointed. Rows-only: the merge sequence is
+    // iteratively data-dependent, beyond one SQL query; BpeSpec proves
+    // the trainer bit-equal to an independent in-memory reference
+    // implementation and round-trips encodeWord against it.
+    qRows("q_bpe_merges") { (s, dir) =>
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeTrain.train(vocab, 8)
+        .orderBy("rank")
     })
 }

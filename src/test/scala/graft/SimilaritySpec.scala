@@ -121,4 +121,22 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaLsh === exact)
   }
+
+  test("int8 coarse stage keeps high recall vs the exact top-3") {
+    // The two-stage query is fully oracle-checked for parity; this
+    // asserts the QUALITY claim — a top-10 int8 cut re-ranked exactly
+    // should recover nearly all of the true float top-3 (int8 keeps
+    // ~2 decimal digits; neighbors separated by less than the
+    // quantization noise may legitimately swap, hence a floor, not
+    // equality).
+    def top3(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top3("q_ann_cosine_topk")
+    val quant = top3("q_ann_quant_rerank")
+    assert(exact.nonEmpty)
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"coarse-quantized recall $recall < 0.8 " +
+      s"(missed: ${(exact -- quant).toSeq.sorted.take(10)})")
+  }
 }
