@@ -97,5 +97,38 @@ object Sorting extends QueryPack {
           sum(col("k_qty")).cast("double").as("sum_qty"),
           max(col("k_parts")).as("max_parts_per_key"))
         .orderBy("bucket")
+    },
+
+    // Z-ORDER layout key (operators/ZOrder.scala): Morton-interleave
+    // (o_custkey, order-day) so a clustered write makes parquet min/max
+    // stats prune box queries on EITHER dimension — the multi-dim
+    // extension of CLUSTER BY above. The key is pure codegen'd bit
+    // math, bit-identical in ANSI SQL, so it's oracle-checked exactly;
+    // ZOrderSpec proves the layout EFFECT (row-group skipping) on real
+    // writes. 16-bit lanes: custkey and day ordinal both fit at this
+    // SF; wider keys keep correctness but need rescaling for locality.
+    q("q_layout_zorder",
+      """WITH d AS (
+        |  SELECT o_orderkey, o_custkey % 65536 AS x,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      % 65536 AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS x,
+        |              ((y | (y << 8)) & 16711935) AS y FROM d),
+        |s2 AS (SELECT o_orderkey, ((x | (x << 4)) & 252645135) AS x,
+        |              ((y | (y << 4)) & 252645135) AS y FROM s1),
+        |s3 AS (SELECT o_orderkey, ((x | (x << 2)) & 858993459) AS x,
+        |              ((y | (y << 2)) & 858993459) AS y FROM s2),
+        |s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x,
+        |              ((y | (y << 1)) & 1431655765) AS y FROM s3)
+        |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zkey
+        |FROM s4 ORDER BY zkey, o_orderkey LIMIT 50""".stripMargin) { (s, dir) =>
+      import graft.operators.ZOrder
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ZOrder.zkey(col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1995-01-01"))).as("zkey"))
+        .orderBy("zkey", "o_orderkey")
+        .limit(50)
     })
 }
