@@ -44,11 +44,28 @@ object Bench {
       if (times.isEmpty) { failed ::= d.name; None }
       else Some(d.name -> times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"iters":$iters,"sf":"$sfDir"}""")
+
+    // Full per-query detail is too large for the driver's 2000-char stdout
+    // tail (every BENCH_r1..r5 ended up `parsed: null` because the JSON
+    // line was truncated mid-map). So: write the complete map to a file
+    // next to this run, and keep the FINAL stdout line compact — total,
+    // failure list, and only the slowest queries — so the tail always
+    // contains one complete, parseable JSON object as its last line.
+    def jnum(v: Double): String = f"$v%.3f"
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$fullQs,"failed":$fs,"iters":$iters,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
+
+    val slow = results.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$slow,"n":${results.size},"failed":$fs,"iters":$iters,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

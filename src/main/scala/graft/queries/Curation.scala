@@ -465,5 +465,100 @@ object Curation extends QueryPack {
           sum(col("n_tok")).cast("long").as("sum_tok"),
           sum(col("doc_id")).cast("long").as("id_checksum"))
         .orderBy("bin")
+    },
+
+    // Corpus-level DUPLICATED-SPAN accounting (C4 / RefinedWeb span
+    // dedup): a 5-token span in doc d is "duplicated" if ANY earlier doc
+    // (min doc_id owner) also contains it; report, per source, how many
+    // span occurrences a span-level dedup pass would drop and which docs
+    // it touches. Scale shape: spans leave their scan partition as
+    // 60-bit hashes only (never the text); the ONE corpus-sized shuffle
+    // is the gh groupBy+join, moving (gh, doc_id) pairs; ownership is a
+    // partial/final min agg. At 100 TB this is the standard fingerprint-
+    // shuffle suffix-dedup topology — payload bytes never move.
+    q("q_dedup_spans",
+      """WITH sp AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        |  FROM (
+        |    SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |             range(1, len(w) - 3),
+        |             i -> list_aggregate(w[i:i+4], 'string_agg', ' ')))) AS gram
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |          FROM documents)
+        |    WHERE len(w) >= 5)),
+        |own AS (SELECT gh, MIN(doc_id) AS owner FROM sp GROUP BY gh)
+        |SELECT source,
+        |  COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN sp.doc_id > own.owner THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_spans,
+        |  CAST(COUNT(DISTINCT CASE WHEN sp.doc_id > own.owner
+        |    THEN sp.doc_id END) AS BIGINT) AS n_docs_hit,
+        |  CAST(COALESCE(SUM(CASE WHEN sp.doc_id > own.owner
+        |    THEN sp.doc_id END), 0) AS BIGINT) AS dup_checksum
+        |FROM sp JOIN own ON sp.gh = own.gh
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val spans = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "array_distinct(transform(sequence(1, size(w) - 4)," +
+            " i -> concat_ws(' ', slice(w, i, 5))))")).as("gram"))
+        .select(col("doc_id"), col("source"), h60(col("gram")).as("gh"))
+      val owner = spans.groupBy("gh").agg(min("doc_id").as("owner"))
+      spans.join(owner, "gh")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("doc_id") > col("owner"), 1L).otherwise(0L))
+            .cast("long").as("n_dup_spans"),
+          countDistinct(when(col("doc_id") > col("owner"), col("doc_id")))
+            .cast("long").as("n_docs_hit"),
+          coalesce(sum(when(col("doc_id") > col("owner"), col("doc_id"))),
+            lit(0L)).cast("long").as("dup_checksum"))
+        .orderBy("source")
+    },
+
+    // TEMPERATURE resampling (alpha = 0.5): per-source keep-rates derived
+    // FROM the corpus itself — kept_s ~ (total/2) * sqrt(n_s) / sum_s
+    // sqrt(n_s) — so big sources are flattened toward small ones (the T5 /
+    // multilingual mixture-balancing scheme), vs q_sample_mixture's fixed
+    // hand-set rates. All math after sqrt is INTEGER (w = floor(sqrt(n) *
+    // 1000) then exact integer sums/div), so the per-row threshold is
+    // bit-identical in both engines — no float-sum order dependence. The
+    // rate table is a tiny per-source agg broadcast back; selection stays
+    // a deterministic per-row md5 filter (retry-safe, shuffle-free).
+    q("q_sample_temperature",
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(floor(sqrt(COUNT(*)) * 1000) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |g AS (SELECT SUM(w) AS sw, SUM(n) AS total FROM c),
+        |r AS (
+        |  SELECT lang, n,
+        |    LEAST((50000 * total * w) // (sw * n), 100000) AS thr
+        |  FROM c CROSS JOIN g)
+        |SELECT d.lang, MIN(r.n) AS n_orig, COUNT(*) AS n_kept,
+        |  CAST(MIN(r.thr) AS BIGINT) AS thr_e5,
+        |  CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 100000
+        |      < r.thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val c = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          floor(sqrt(count(lit(1))) * 1000).cast("long").as("w"))
+      val g = c.agg(sum("w").as("sw"), sum("n").as("total"))
+      val rates = c.crossJoin(g)
+        .select(col("lang"), col("n"),
+          least(expr("(50000L * total * w) div (sw * n)"), lit(100000L))
+            .as("thr"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(h60(col("doc_id").cast("string")) % 100000 < col("thr"))
+        .groupBy("lang")
+        .agg(min(col("n")).as("n_orig"), count(lit(1)).as("n_kept"),
+          min(col("thr")).cast("long").as("thr_e5"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("lang")
     })
 }

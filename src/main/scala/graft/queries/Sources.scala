@@ -139,6 +139,51 @@ object Sources extends QueryPack {
         .orderBy("n_regionkey")
     },
 
+    // SequenceFile round-trip (SURVEY §2.1 legacy row: SequenceFile +
+    // LazySimpleSerDe — Hive's default pre-columnar container). Bridged
+    // at the RDD layer like Avro: rows serialize to the classic
+    // (LongWritable key, Text ctrl-A-delimited value) shape, read back
+    // via sc.sequenceFile + a schema-on-read split. Kept off the perf
+    // path deliberately: this is a compatibility ingress for legacy data
+    // — at 100 TB the first job is converting it to parquet, exactly as
+    // here (read → DataFrame → columnar ops downstream).
+    q("q_src_sequencefile",
+      """SELECT n_regionkey, COUNT(*) AS cnt,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+        |  MIN(n_name) AS first_name
+        |FROM nation WHERE n_nationkey % 2 = 0
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      import org.apache.hadoop.io.{LongWritable, Text}
+      val p = tmp(dir, "seqfile")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .rdd.map { r =>
+          (new LongWritable(r.getLong(0)),
+            new Text(s"${r.getLong(0)}\u0001${r.getString(1)}\u0001${r.getLong(2)}"))
+        }
+        .coalesce(2)
+        .saveAsSequenceFile(p)
+      val rows = s.sparkContext
+        .sequenceFile(p, classOf[LongWritable], classOf[Text])
+        .map { case (_, v) => v.toString }
+      s.createDataFrame(rows.map(org.apache.spark.sql.Row(_)),
+          StructType(Seq(StructField("value", StringType))))
+        .select(split(col("value"), "\u0001").as("f"))
+        .select(col("f").getItem(0).cast("long").as("n_nationkey"),
+          col("f").getItem(1).as("n_name"),
+          col("f").getItem(2).cast("long").as("n_regionkey"))
+        .filter(col("n_nationkey") % 2 === 0)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_nationkey")).as("key_sum"),
+          min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
     // JDBC external handler (SURVEY §2.1: jdbc-handler) against embedded
     // Derby: write nation over JDBC, read it back with predicate
     // pushdown (the filter ships to the database as SQL — check
