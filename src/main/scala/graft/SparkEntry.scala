@@ -13,8 +13,8 @@ object SparkEntry {
   /** All query packs. Order is cosmetic (names are unique). */
   private val packs: Seq[QueryPack] = Seq(
     Aggregates, Joins, Sorting, SetOps, Lateral, Windows,
-    Dedup, Similarity, TextAnalysis, Curation, Functions, Sources, Ddl,
-    Streaming, Subqueries)
+    Dedup, Similarity, TextAnalysis, Curation, Graphs, Functions, Sources,
+    Ddl, Streaming, Subqueries)
 
   lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

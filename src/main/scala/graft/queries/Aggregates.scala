@@ -337,5 +337,29 @@ object Aggregates extends QueryPack {
         .select(col("lang"), explode(col("tops")).as("t"))
         .select(col("lang"), col("t.ngram").as("ngram"), col("t.freq").as("freq"))
         .orderBy(col("lang"), col("freq").desc, col("ngram"))
+    },
+
+    // Mergeable HLL distinct-count sketches (DataSketches HLL, lgK=14) —
+    // the SCALABLE form of COUNT(DISTINCT): per-shard sketches built
+    // map-side, then kilobyte-sized sketch BLOBS (never the raw ids)
+    // shuffle to the final union+estimate. This is the two-phase shape a
+    // 100 TB rollup uses — sketches can also be PERSISTED per partition/
+    // day and re-unioned for any ad-hoc slice without rescanning. At the
+    // test cardinalities (<= 1500 users/type) the sketch is still in
+    // exact (coupon) mode, so the estimate hash-matches DuckDB's exact
+    // COUNT(DISTINCT); at true 100 TB cardinalities the estimate carries
+    // ~0.8% RSE and the oracle becomes a tolerance check (SketchSpec
+    // asserts the merge-vs-direct identity that makes this legal).
+    q("q_sketch_hll",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("shard", pmod(col("user_id"), lit(16)))
+        .groupBy("event_type", "shard")
+        .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users"))
+        .orderBy("event_type")
     })
 }

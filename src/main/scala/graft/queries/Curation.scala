@@ -560,5 +560,86 @@ object Curation extends QueryPack {
           min(col("thr")).cast("long").as("thr_e5"),
           sum(col("doc_id")).cast("long").as("id_checksum"))
         .orderBy("lang")
+    },
+
+    // Model-based quality FILTER: a fixed-weight logistic regression over
+    // cheap per-row features (log token count, stopword ratio, mean word
+    // length) — the plumbing of a fastText-style quality classifier with
+    // the learned weights frozen as literals. Pure per-row codegen'd
+    // projection (no join, no UDF) + a low-cardinality rollup; at 100 TB
+    // this runs at scan speed. The keep decision uses the raw logit
+    // (z >= 0 <=> score >= 0.5) so no sigmoid rounding can flip it.
+    q("q_quality_logistic",
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_alpha,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(
+        |        ['the','of','and','a','to','in','is','it'], x)))
+        |      AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |z AS (SELECT source,
+        |        -2.0 + 0.45 * ln(n_tok) + 4.0 * n_stop / n_tok
+        |          - 0.15 * n_alpha / n_tok AS z
+        |      FROM f)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  ROUND(AVG(1.0 / (1.0 + exp(-z))), 6) + 0.0 AS avg_score
+        |FROM z GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("double"))
+        .withColumn("n_alpha",
+          length(regexp_replace(col("text"), " ", "")).cast("double"))
+        .withColumn("n_stop", expr(
+          "size(filter(w, x -> array_contains(" +
+            "array('the','of','and','a','to','in','is','it'), x)))")
+          .cast("double"))
+        .withColumn("z",
+          lit(-2.0) + lit(0.45) * log(col("n_tok")) +
+            lit(4.0) * col("n_stop") / col("n_tok") -
+            lit(0.15) * col("n_alpha") / col("n_tok"))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("z") >= 0, 1).otherwise(0)).cast("long").as("n_keep"),
+          round(avg(lit(1.0) / (lit(1.0) + exp(-col("z")))), 6)
+            .as("avg_score"))
+        .orderBy("source")
+    },
+
+    // Deterministic per-key CAP: keep at most 30 docs per source, chosen
+    // by md5(doc_id) order — a seeded shuffle, so retries/re-runs keep
+    // the SAME rows (rand() would not survive a task retry). One shuffle
+    // on the cap key; per-key ordering is a within-partition sort. At
+    // 100 TB a pathologically hot key would make one reducer sort its
+    // whole stratum — the fix is the two-phase trick (pre-filter per
+    // map partition to its local top-30 by the same hash order, then
+    // the global window over the survivors), same answer by
+    // commutativity of "first 30 by total order".
+    q("q_sample_cap_per_key",
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 30 THEN doc_id END) AS BIGINT)
+        |    AS kept_checksum
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= 30, 1).otherwise(0)).cast("long")
+            .as("n_kept"),
+          sum(when(col("rn") <= 30, col("doc_id"))).cast("long")
+            .as("kept_checksum"))
+        .orderBy("source")
     })
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft._
+import graft.T._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph / record-linkage operators over relational data: weighted
+  * PageRank on an aggregated transition graph, and blocked fuzzy
+  * matching (the classic entity-resolution join).
+  *
+  * Scale notes (100 TB):
+  *  - PageRank here follows the shape a real pipeline uses: the RAW
+  *    edge log (events, corpus-sized) is reduced ONCE by a key shuffle
+  *    into an aggregated weighted graph that is orders of magnitude
+  *    smaller (distinct transition pairs, not transitions), and the
+  *    iterative part runs on that aggregate with the rank vector
+  *    BROADCAST into every join — no corpus-sized data ever moves
+  *    after the first aggregation. For a graph whose aggregate is
+  *    itself huge (web graph), the same loop holds with the broadcast
+  *    replaced by a shuffle join on node id plus localCheckpoint
+  *    lineage cuts, exactly as operators/ConnectedComponents does.
+  *  - Fuzzy linkage NEVER goes all-pairs: candidate generation is an
+  *    equi-join on a blocking key (here the (lang, source) stratum;
+  *    for a 100 TB corpus a cheap canopy like soundex/prefix/LSH
+  *    bucket), so the quadratic edit-distance work is confined inside
+  *    blocks while the join itself is an ordinary shuffle join the
+  *    optimizer can plan. The levenshtein kernel is a codegen'd
+  *    built-in on a fixed-width prefix, bounding per-pair cost.
+  */
+object Graphs extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Weighted PageRank (damping 0.85, 3 iterations, uniform init) over
+    // the event-type transition graph: an edge src->dst for each pair of
+    // consecutive events of one user (ordered by exact nano timestamp,
+    // event_id tie-break), weighted by transition count. Dangling nodes
+    // (none in this data: every type transitions onward) would simply
+    // leak their mass — the same non-normalized variant both engines
+    // compute. Results rounded to 6dp; the per-node incoming sum has
+    // <= |nodes| double terms so cross-engine addition-order drift is
+    // ~1e-16, far below the rounding grain.
+    q("q_graph_pagerank",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_ns(ts), event_id) AS src
+        |  FROM events),
+        |e AS (SELECT src, event_type AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        |      FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT v
+        |          FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |ew AS (SELECT e.src, e.dst, e.w / o.ow AS frac
+        |       FROM e JOIN (SELECT src, SUM(w) AS ow FROM e GROUP BY 1) o
+        |         USING (src)),
+        |p0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+        |p1 AS (SELECT nd.v,
+        |         0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.m, 0) AS pr
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS v, SUM(p.pr * ew.frac) AS m
+        |         FROM ew JOIN p0 p ON p.v = ew.src GROUP BY 1) s USING (v)),
+        |p2 AS (SELECT nd.v,
+        |         0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.m, 0) AS pr
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS v, SUM(p.pr * ew.frac) AS m
+        |         FROM ew JOIN p1 p ON p.v = ew.src GROUP BY 1) s USING (v)),
+        |p3 AS (SELECT nd.v,
+        |         0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.m, 0) AS pr
+        |       FROM nodes nd LEFT JOIN (
+        |         SELECT ew.dst AS v, SUM(p.pr * ew.frac) AS m
+        |         FROM ew JOIN p2 p ON p.v = ew.src GROUP BY 1) s USING (v))
+        |SELECT v AS node, ROUND(pr, 6) + 0.0 AS pagerank
+        |FROM p3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      val wspec = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      // ONE corpus-sized shuffle (by user_id, for the lag) + one reduce
+      // (by edge) — everything after runs on the aggregated graph.
+      val edges = ev.withColumn("src", lag(col("event_type"), 1).over(wspec))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val nodes = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst"))).distinct()
+      val nDf = nodes.agg(count(lit(1)).cast("double").as("nn"))
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+      val ew = edges.join(outw, "src")
+        .select(col("src"), col("dst"), (col("w") / col("ow")).as("frac"))
+      var pr = nodes.crossJoin(broadcast(nDf))
+        .select(col("v"), (lit(1.0) / col("nn")).as("pr"))
+      for (_ <- 1 to 3) {
+        val rv = pr.select(col("v").as("pv"), col("pr"))
+        val contrib = ew.join(broadcast(rv), col("src") === col("pv"))
+          .groupBy(col("dst")).agg(sum(col("pr") * col("frac")).as("m"))
+        pr = nodes.crossJoin(broadcast(nDf))
+          .join(broadcast(contrib), col("v") === col("dst"), "left")
+          .select(col("v"),
+            (lit(0.15) / col("nn") + lit(0.85) * coalesce(col("m"), lit(0.0)))
+              .as("pr"))
+      }
+      pr.select(col("v").as("node"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("node")
+    },
+
+    // Blocked fuzzy linkage: candidate pairs ONLY within a (lang, source)
+    // block (equi-join, no cartesian), matched when the 30-char text
+    // prefixes are within levenshtein distance 8. Per-block accounting
+    // with a pair checksum proving WHICH pairs linked. The distance is
+    // computed once (projected before the threshold filter), and the
+    // prefix cap bounds the DP cost per pair at 30x30 cells.
+    q("q_link_fuzzy_blocked",
+      """WITH d AS (
+        |  SELECT lang, source, doc_id, substr(text, 1, 30) AS p
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+        |         levenshtein(a.p, b.p) AS dist
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.p, b.p) <= 8)
+        |SELECT lang, source, COUNT(*) AS n_links,
+        |  CAST(MIN(dist) AS BIGINT) AS min_dist,
+        |  CAST(SUM(a_id * 100000 + b_id) AS BIGINT) AS pair_checksum
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          substring(col("text"), 1, 30).as("p"))
+      val a = d.toDF("lang", "source", "a_id", "pa")
+      val b = d.toDF("lang", "source", "b_id", "pb")
+      a.join(b, Seq("lang", "source"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+        .filter(col("dist") <= 8)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_links"),
+          min(col("dist")).as("min_dist"),
+          sum(col("a_id") * 100000 + col("b_id")).cast("long")
+            .as("pair_checksum"))
+        .orderBy("lang", "source")
+    })
+}

@@ -408,5 +408,39 @@ object TextAnalysis extends QueryPack {
         .groupBy("word").agg(count(lit(1)).as("freq"))
       graft.operators.BpeTrain.train(vocab, 8)
         .orderBy("rank")
+    },
+
+    // Per-document token ENTROPY (nats): H = ln(n) - sum(c*ln(c))/n over
+    // the doc's term counts — the standard repetitiveness/diversity
+    // quality signal (low entropy = boilerplate or stuck-token spam).
+    // Two key shuffles, both on doc-local keys ((doc_id, term) then
+    // doc_id) with map-side partial aggregation; per-lang rollup rides
+    // the second. The identity form avoids materializing p=c/n per term.
+    q("q_text_entropy",
+      """WITH tc AS (
+        |  SELECT lang, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |h AS (SELECT lang, doc_id,
+        |        ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS h
+        |      FROM tc GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(AVG(h), 6) + 0.0 AS avg_entropy,
+        |  ROUND(MAX(h), 6) + 0.0 AS max_entropy
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tc = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("c"))
+      val h = tc.groupBy("lang", "doc_id")
+        .agg((log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c"))).as("h"))
+      h.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("h")), 6).as("avg_entropy"),
+          round(max(col("h")), 6).as("max_entropy"))
+        .orderBy("lang")
     })
 }

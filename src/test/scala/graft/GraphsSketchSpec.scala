@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the graph / sketch / quality operators added with the
+  * Graphs pack: PageRank mass conservation and broadcast-iteration plan
+  * shape, blocked-linkage never going cartesian, HLL merge-vs-direct
+  * identity (the property that makes persisted per-shard sketches
+  * legal), cap-sampling determinism, and entropy bounds.
+  */
+class GraphsSketchSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_graph_pagerank conserves rank mass (no dangling leak)") {
+    val rows = run("q_graph_pagerank").collect()
+    assert(rows.length >= 2, "degenerate transition graph")
+    val total = rows.map(_.getDouble(1)).sum
+    // Every node has out-edges in this data, so each iteration maps
+    // sum=1 to 0.15 + 0.85*1 = 1; only 6dp rounding noise remains.
+    assert(math.abs(total - 1.0) < 1e-4, s"rank mass drifted: $total")
+    rows.foreach(r => assert(r.getDouble(1) > 0, "non-positive rank"))
+  }
+
+  test("q_graph_pagerank iterates with broadcast joins, no rank shuffle") {
+    val p = run("q_graph_pagerank").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "rank vector not broadcast into the iteration joins")
+    assert(!p.contains("CartesianProduct"), "cartesian in pagerank plan")
+  }
+
+  test("q_link_fuzzy_blocked stays inside blocks (no cartesian product)") {
+    val df = run("q_link_fuzzy_blocked")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "blocking failed: plan contains a cartesian product")
+    df.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_links")) >= 1)
+      assert(r.getLong(r.fieldIndex("min_dist")) >= 0)
+    }
+  }
+
+  test("HLL sharded-merge estimate equals the direct estimate") {
+    val ev = T.t(spark, sfDir, "events")
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14))
+        .as("est"))
+    val merged = ev.withColumn("shard", pmod(col("user_id"), lit(16)))
+      .groupBy("event_type", "shard")
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == m, s"merge != direct: $d vs $m")
+    // At this cardinality the sketch is still exact (coupon mode).
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == exact, s"sketch left exact mode at test scale: $d vs $exact")
+  }
+
+  test("q_sample_cap_per_key keeps min(n_total, 30) deterministically") {
+    val first = run("q_sample_cap_per_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    first.foreach { case (_, total, kept, _) =>
+      assert(kept == math.min(total, 30L), s"cap violated: $total/$kept")
+    }
+    val again = run("q_sample_cap_per_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(first.sortBy(_._1).sameElements(again.sortBy(_._1)),
+      "cap sample not deterministic across runs")
+  }
+
+  test("q_text_entropy stays within [0, ln(max doc tokens)]") {
+    val rows = run("q_text_entropy").collect()
+    assert(rows.nonEmpty)
+    val maxTok = T.t(spark, sfDir, "documents")
+      .select(max(size(split(col("text"), " ")))).collect()(0).getInt(0)
+    rows.foreach { r =>
+      val avg = r.getDouble(r.fieldIndex("avg_entropy"))
+      val mx = r.getDouble(r.fieldIndex("max_entropy"))
+      assert(avg >= 0 && mx >= avg, s"entropy ordering broken: $avg/$mx")
+      assert(mx <= math.log(maxTok.toDouble) + 1e-9,
+        s"entropy $mx exceeds ln($maxTok)")
+    }
+  }
+
+  test("q_quality_logistic scores are probabilities and keep<=docs") {
+    run("q_quality_logistic").collect().foreach { r =>
+      val docs = r.getLong(r.fieldIndex("n_docs"))
+      val keep = r.getLong(r.fieldIndex("n_keep"))
+      val s = r.getDouble(r.fieldIndex("avg_score"))
+      assert(keep >= 0 && keep <= docs)
+      assert(s > 0.0 && s < 1.0, s"avg sigmoid out of range: $s")
+    }
+  }
+}
