@@ -88,6 +88,24 @@ object HiveCompatFunctions {
             s"simhash64 requires exactly 1 argument, got ${exprs.length}")
           SimHash64(exprs(0))
         }, "built-in")
+      // Theta sketch family (see ThetaSketch.scala): mergeable distinct
+      // sketches with set algebra (intersection/difference — HLL can't).
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "theta_sketch_agg",
+        exprs => {
+          require(exprs.length == 1,
+            s"theta_sketch_agg requires exactly 1 argument, got ${exprs.length}")
+          ThetaSketchAgg(exprs(0))
+        }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "theta_intersect_estimate",
+        exprs => ThetaIntersectEstimate(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "theta_union_estimate",
+        exprs => ThetaUnionEstimate(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "theta_anotb_estimate",
+        exprs => ThetaAnotBEstimate(exprs(0), exprs(1)), "built-in")
     }
   }
 

@@ -361,5 +361,43 @@ object Aggregates extends QueryPack {
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users"))
         .orderBy("event_type")
+    },
+
+    // Theta sketch SET ALGEBRA (functions/ThetaSketch.scala, a native
+    // TypedImperativeAggregate): distinct-user overlap between two
+    // behavioral cohorts from ONE scan — both sketches build map-side
+    // via conditional aggregation (null input rows are skipped), and
+    // intersection / union / difference are then computed from two kB
+    // blobs. The relational twin (DISTINCT + INTERSECT/EXCEPT) shuffles
+    // both full id sets; the sketch form ships bytes. Exact below 4096
+    // entries per sketch (theta=1), hence hash-matches the exact oracle
+    // at test scale; ThetaSketchSpec pins the inclusion-exclusion and
+    // shard-merge identities that hold at any scale.
+    q("q_sketch_theta",
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click' AND value >= 200),
+        |     b AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase' AND value >= 200)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT
+        |        SELECT * FROM b)) AS BIGINT) AS n_both,
+        |  CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION
+        |        SELECT * FROM b)) AS BIGINT) AS n_either,
+        |  CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT
+        |        SELECT * FROM b)) AS BIGINT) AS n_click_only,
+        |  CAST((SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT
+        |        SELECT * FROM a)) AS BIGINT) AS n_purchase_only"""
+        .stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          expr("theta_sketch_agg(CASE WHEN event_type = 'click' " +
+            "AND value >= 200 THEN user_id END)").as("ska"),
+          expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' " +
+            "AND value >= 200 THEN user_id END)").as("skb"))
+        .select(
+          expr("theta_intersect_estimate(ska, skb)").as("n_both"),
+          expr("theta_union_estimate(ska, skb)").as("n_either"),
+          expr("theta_anotb_estimate(ska, skb)").as("n_click_only"),
+          expr("theta_anotb_estimate(skb, ska)").as("n_purchase_only"))
     })
 }

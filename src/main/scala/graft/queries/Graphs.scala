@@ -108,8 +108,11 @@ object Graphs extends QueryPack {
     // block (equi-join, no cartesian), matched when the 30-char text
     // prefixes are within levenshtein distance 8. Per-block accounting
     // with a pair checksum proving WHICH pairs linked. The distance is
-    // computed once (projected before the threshold filter), and the
-    // prefix cap bounds the DP cost per pair at 30x30 cells.
+    // computed once (projected before the threshold filter) via the
+    // THRESHOLDED levenshtein built-in, whose banded DP costs O(k*n)
+    // per pair and early-exits (returns -1) past the threshold —
+    // at 100 TB candidate volume that bound, not the full 30x30 DP,
+    // is what keeps the in-block quadratic work affordable.
     q("q_link_fuzzy_blocked",
       """WITH d AS (
         |  SELECT lang, source, doc_id, substr(text, 1, 30) AS p
@@ -132,8 +135,9 @@ object Graphs extends QueryPack {
       val b = d.toDF("lang", "source", "b_id", "pb")
       a.join(b, Seq("lang", "source"))
         .filter(col("a_id") < col("b_id"))
-        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
-        .filter(col("dist") <= 8)
+        .withColumn("dist",
+          levenshtein(col("pa"), col("pb"), 8).cast("long"))
+        .filter(col("dist") >= 0)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_links"),
           min(col("dist")).as("min_dist"),
