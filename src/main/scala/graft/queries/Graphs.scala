@@ -45,7 +45,7 @@ object Graphs extends QueryPack {
       """WITH seq AS (
         |  SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
-        |                          ORDER BY epoch_ns(ts), event_id) AS src
+        |                          ORDER BY epoch_us(ts), event_id) AS src
         |  FROM events),
         |e AS (SELECT src, event_type AS dst, CAST(COUNT(*) AS DOUBLE) AS w
         |      FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
@@ -74,8 +74,11 @@ object Graphs extends QueryPack {
         |SELECT v AS node, ROUND(pr, 6) + 0.0 AS pagerank
         |FROM p3 ORDER BY node""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events")
-        .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
-      val wspec = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        .select(col("user_id"), col("event_type"),
+          // µs ordinal, not raw nanos: DuckDB's parquet read truncates
+          // ts to µs, so µs is the finest ordering both engines share.
+          expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      val wspec = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       // ONE corpus-sized shuffle (by user_id, for the lag) + one reduce
       // (by edge) — everything after runs on the aggregated graph.
       val edges = ev.withColumn("src", lag(col("event_type"), 1).over(wspec))
@@ -144,5 +147,91 @@ object Graphs extends QueryPack {
           sum(col("a_id") * 100000 + col("b_id")).cast("long")
             .as("pair_checksum"))
         .orderBy("lang", "source")
+    },
+
+    // Event FUNNEL (view -> click -> purchase, strictly ordered, 24h
+    // completion window): each stage is "earliest qualifying event after
+    // the previous stage's timestamp" — conditional min-aggregates per
+    // user, chained through ordinary equi-joins on user_id. All time
+    // math is integer µs, so no float drift can flip a stage. Scale: the
+    // stage tables shrink monotonically (funnel!), each join keys on
+    // user_id with partial-agg pushdown; nothing is ever sorted
+    // globally and no window buffers a whole user history.
+    q("q_funnel_stages",
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |            FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.us) AS c_us, MIN(v.v_us) AS v_us
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.us > v.v_us
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.us) AS p_us, MIN(c.v_us) AS v_us
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        |      GROUP BY e.user_id)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
+        |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after,
+        |  CAST((SELECT COUNT(*) FROM p
+        |        WHERE p_us - v_us <= 86400000000) AS BIGINT)
+        |    AS n_completed_24h""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("v_us"))
+        .groupBy("user_id")
+        .agg(min(col("us")).as("c_us"), min(col("v_us")).as("v_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("c_us"))
+        .groupBy("user_id")
+        .agg(min(col("us")).as("p_us"), min(col("v_us")).as("v_us"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after"),
+          sum(when(col("p_us") - col("v_us") <= 86400000000L, 1)
+            .otherwise(0)).cast("long").as("n_completed_24h")))
+    },
+
+    // Weekly COHORT RETENTION: users bucketed by the week of their first
+    // event (relative to the corpus's first event), activity counted as
+    // distinct users per (cohort_week, week_offset). The corpus origin
+    // rides a broadcast 1-row aggregate; per-user first-touch is one
+    // groupBy; all week math is integer µs division. Scale: the
+    // (cohort, offset) matrix is tiny; the only corpus-sized moves are
+    // the first-touch agg and the activity join, both keyed on user_id
+    // — co-partitioned, so AQE folds them into one exchange.
+    q("q_cohort_retention",
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |u AS (SELECT user_id, MIN(us) AS first_us FROM ev GROUP BY user_id),
+        |g AS (SELECT MIN(first_us) AS g0 FROM u),
+        |coh AS (SELECT user_id, first_us,
+        |          (first_us - (SELECT g0 FROM g)) // 604800000000
+        |            AS cohort_week
+        |        FROM u)
+        |SELECT c.cohort_week,
+        |  (e.us - c.first_us) // 604800000000 AS week_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN coh c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val wk = 604800000000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+      val u = ev.groupBy("user_id").agg(min(col("us")).as("first_us"))
+      val g = u.agg(min(col("first_us")).as("g0"))
+      val coh = u.crossJoin(broadcast(g))
+        .select(col("user_id"), col("first_us"),
+          expr(s"(first_us - g0) div $wk").as("cohort_week"))
+      ev.join(coh, "user_id")
+        .select(col("cohort_week"),
+          expr(s"(us - first_us) div $wk").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
     })
 }

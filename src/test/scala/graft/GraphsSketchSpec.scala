@@ -88,6 +88,28 @@ class GraphsSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q_funnel_stages counts shrink monotonically down the funnel") {
+    val r = run("q_funnel_stages").collect()(0)
+    val (v, c, p, done) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(v >= c && c >= p && p >= done,
+      s"funnel not monotone: $v >= $c >= $p >= $done")
+    assert(v > 0, "empty funnel top")
+  }
+
+  test("q_cohort_retention offset-0 cell covers each cohort's users") {
+    val rows = run("q_cohort_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Every user is active in their own first week by construction, so
+    // the offset-0 cell is each cohort's max across offsets.
+    rows.groupBy(_._1).foreach { case (coh, cells) =>
+      val zero = cells.find(_._2 == 0L)
+      assert(zero.isDefined, s"cohort $coh missing offset 0")
+      assert(cells.forall(_._3 <= zero.get._3),
+        s"cohort $coh: an offset exceeds its offset-0 population")
+    }
+  }
+
   test("q_quality_logistic scores are probabilities and keep<=docs") {
     run("q_quality_logistic").collect().foreach { r =>
       val docs = r.getLong(r.fieldIndex("n_docs"))
