@@ -106,6 +106,24 @@ object HiveCompatFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "theta_anotb_estimate",
         exprs => ThetaAnotBEstimate(exprs(0), exprs(1)), "built-in")
+      // Frequent-items sketch (see FreqSketch.scala): mergeable heavy
+      // hitters; k must be a literal (plan-time constant).
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "freq_sketch_topk",
+        exprs => {
+          require(exprs.length == 2,
+            s"freq_sketch_topk requires 2 arguments, got ${exprs.length}")
+          val k = exprs(1) match {
+            case l if l.foldable => l.eval() match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"freq_sketch_topk k must be an int literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "freq_sketch_topk k must be a literal")
+          }
+          FreqSketchTopK(exprs(0), k)
+        }, "built-in")
     }
   }
 

@@ -399,5 +399,26 @@ object Aggregates extends QueryPack {
           expr("theta_union_estimate(ska, skb)").as("n_either"),
           expr("theta_anotb_estimate(ska, skb)").as("n_click_only"),
           expr("theta_anotb_estimate(skb, ska)").as("n_purchase_only"))
+    },
+
+    // Frequent-items sketch (functions/FreqSketch.scala): corpus top-10
+    // terms via a mergeable heavy-hitters sketch — partials reduce each
+    // partition to a bounded map, only kB blobs shuffle; the relational
+    // twin (groupBy term + top-k) shuffles the whole distinct vocabulary.
+    // Exact here (31-term vocab << maxMapSize), hence the hash-matching
+    // exact oracle; FreqSketchSpec pins merge identity and the
+    // no-false-negatives guarantee that holds at any scale.
+    q("q_sketch_freq_topk",
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY freq DESC, term LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(expr("freq_sketch_topk(term, 10)").as("tops"))
+        .select(explode(col("tops")).as("t"))
+        .select(col("t.term").as("term"), col("t.freq").as("freq"))
+        .orderBy(col("freq").desc, col("term"))
     })
 }

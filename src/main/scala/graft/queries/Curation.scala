@@ -472,10 +472,12 @@ object Curation extends QueryPack {
     // (min doc_id owner) also contains it; report, per source, how many
     // span occurrences a span-level dedup pass would drop and which docs
     // it touches. Scale shape: spans leave their scan partition as
-    // 60-bit hashes only (never the text); the ONE corpus-sized shuffle
-    // is the gh groupBy+join, moving (gh, doc_id) pairs; ownership is a
-    // partial/final min agg. At 100 TB this is the standard fingerprint-
-    // shuffle suffix-dedup topology — payload bytes never move.
+    // 60-bit hashes only (never the text); ownership is min(doc_id)
+    // OVER (PARTITION BY gh) — a single shuffle on gh over ONE pass of
+    // the shingle stream (the agg+self-join form would tokenize and
+    // hash the corpus twice and shuffle twice). At 100 TB this is the
+    // standard fingerprint-shuffle suffix-dedup topology — payload
+    // bytes never move.
     q("q_dedup_spans",
       """WITH sp AS (
         |  SELECT doc_id, source,
@@ -505,8 +507,8 @@ object Curation extends QueryPack {
           "array_distinct(transform(sequence(1, size(w) - 4)," +
             " i -> concat_ws(' ', slice(w, i, 5))))")).as("gram"))
         .select(col("doc_id"), col("source"), h60(col("gram")).as("gh"))
-      val owner = spans.groupBy("gh").agg(min("doc_id").as("owner"))
-      spans.join(owner, "gh")
+      val wOwn = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+      spans.withColumn("owner", min(col("doc_id")).over(wOwn))
         .groupBy("source")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("doc_id") > col("owner"), 1L).otherwise(0L))
