@@ -643,5 +643,82 @@ object Curation extends QueryPack {
           sum(when(col("rn") <= 30, col("doc_id"))).cast("long")
             .as("kept_checksum"))
         .orderBy("source")
+    },
+
+    // END-TO-END curation pipeline — the capstone composition proving
+    // the stages CHAIN: quality rules -> exact dedup (keep-first by
+    // content fingerprint, among quality survivors only) -> 70%
+    // deterministic hash sample -> per-source accounting with monotone
+    // stage counts and a kept-id checksum. One corpus scan feeds the
+    // quality flags; dedup ownership is a window-min on the 60-bit
+    // content hash (fingerprints shuffle, text never does); the sample
+    // is a per-row md5 filter. This is the query shape a real ingest
+    // job materializes nightly: everything else in this pack exists to
+    // make one of these stages trustworthy in isolation.
+    q("q_pipeline_curate",
+      """WITH f AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(replace(text, ' ', '')) AS sum_len,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS th
+        |  FROM f
+        |  WHERE n_tok >= 20 AND sum_len >= 3 * n_tok
+        |    AND sum_len <= 10 * n_tok AND n_stop >= 2),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY th)
+        |         THEN 1 ELSE 0 END AS uniq
+        |  FROM q),
+        |sm AS (
+        |  SELECT doc_id, source, uniq,
+        |    CASE WHEN uniq = 1 AND
+        |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 < 7
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM d),
+        |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |        GROUP BY source)
+        |SELECT tot.source, tot.n_docs,
+        |  CAST(COUNT(sm.doc_id) AS BIGINT) AS n_quality,
+        |  CAST(COALESCE(SUM(sm.uniq), 0) AS BIGINT) AS n_unique,
+        |  CAST(COALESCE(SUM(sm.kept), 0) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(SUM(CASE WHEN sm.kept = 1 THEN sm.doc_id END), 0)
+        |    AS BIGINT) AS kept_checksum
+        |FROM tot LEFT JOIN sm ON sm.source = tot.source
+        |GROUP BY tot.source, tot.n_docs ORDER BY tot.source""".stripMargin) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val f = docs
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("sum_len", length(regexp_replace(col("text"), " ", "")))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, w -> array_contains(" +
+            "array('the','a','of','and','to'), w)))"))
+      val q = f.filter(col("n_tok") >= 20 &&
+          col("sum_len") >= lit(3) * col("n_tok") &&
+          col("sum_len") <= lit(10) * col("n_tok") && col("n_stop") >= 2)
+        .select(col("doc_id"), col("source"), h60(col("text")).as("th"))
+      val wOwn = org.apache.spark.sql.expressions.Window.partitionBy("th")
+      val sm = q
+        .withColumn("uniq",
+          when(col("doc_id") === min(col("doc_id")).over(wOwn), 1)
+            .otherwise(0))
+        .withColumn("kept",
+          when(col("uniq") === 1 &&
+            h60(col("doc_id").cast("string")) % 10 < 7, 1).otherwise(0))
+      val tot = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      tot.join(sm, Seq("source"), "left")
+        .groupBy("source", "n_docs")
+        .agg(count(col("doc_id")).cast("long").as("n_quality"),
+          coalesce(sum(col("uniq")), lit(0)).cast("long").as("n_unique"),
+          coalesce(sum(col("kept")), lit(0)).cast("long").as("n_sampled"),
+          coalesce(sum(when(col("kept") === 1, col("doc_id"))), lit(0))
+            .cast("long").as("kept_checksum"))
+        .orderBy("source")
     })
 }

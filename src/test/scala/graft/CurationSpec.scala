@@ -137,6 +137,24 @@ class CurationSpec extends AnyFunSuite {
     assert(!red.contains("@example.com") && !red.contains("555-"))
   }
 
+  test("q_pipeline_curate stage counts shrink monotonically per source") {
+    val rows = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, q, u, kept) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(docs >= q && q >= u && u >= kept,
+        s"${r.getString(0)}: pipeline not monotone $docs>=$q>=$u>=$kept")
+    }
+    // The pipeline must actually drop something at the quality and
+    // sampling stages somewhere, or the stage flags are vacuous.
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum > 0,
+      "quality stage dropped nothing anywhere")
+    assert(rows.map(r => r.getLong(3) - r.getLong(4)).sum > 0,
+      "sampling stage dropped nothing anywhere")
+  }
+
   test("mean surprisal is positive and spans a real range across docs") {
     val rows = SparkEntry.queries("q_text_surprisal")(spark, sfDir)
       .collect().map(_.getDouble(2))
