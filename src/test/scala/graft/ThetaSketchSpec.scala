@@ -37,6 +37,38 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(direct == sharded, s"merge drift: $direct vs $sharded")
   }
 
+  test("theta sketch aggregates run under streaming state (complete mode)") {
+    // The same TypedImperativeAggregate must serialize through the
+    // streaming state store (partial sketches persist across
+    // micro-batches) — this is the "distinct users so far" dashboard
+    // query a pipeline actually keeps running.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stage = java.nio.file.Files.createTempDirectory("graft-theta-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val q = spark.readStream.schema(schema)
+      // one file per micro-batch forces at least one state round-trip
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .groupBy("event_type")
+      .agg(expr("theta_intersect_estimate(theta_sketch_agg(user_id), " +
+        "theta_sketch_agg(user_id))").as("n_users"))
+      .writeStream.format("memory").queryName("theta_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("theta_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == exact, s"streaming sketch drift: $streamed vs $exact")
+  }
+
   test("q_sketch_theta obeys inclusion-exclusion") {
     val r = SparkEntry.queries("q_sketch_theta")(spark, sfDir).collect()(0)
     val (both, either) = (r.getLong(0), r.getLong(1))
