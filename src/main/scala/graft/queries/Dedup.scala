@@ -239,6 +239,57 @@ object Dedup extends QueryPack {
         .orderBy("source")
     },
 
+    // KEEP-BEST survivor selection (the RefinedWeb refinement of
+    // q_dedup_survivors): within each near-dup component keep the
+    // HIGHEST-QUALITY member — longest doc, doc_id as the deterministic
+    // tie-break — not the arbitrary min-id. Spark side: argmax as
+    // max(struct(quality, -doc_id)) — one partial/final agg over the
+    // tiny component relation joined to per-doc stats; no window, no
+    // second pass. The full corpus never shuffles: component labels are
+    // LSH-sparse and ride a broadcast.
+    q("q_dedup_keep_best",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 10 * len(list_intersect(a.s, b.s))
+        |        >= 8 * len(list_distinct(a.s || b.s))),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT node, MIN(r) AS comp_id FROM reach GROUP BY node),
+        |ranked AS (
+        |  SELECT c.comp_id, c.node, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.comp_id
+        |      ORDER BY d.n_chars DESC, c.node) AS rn
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+        |SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT)
+        |    AS best_id,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+        |    AS best_chars
+        |FROM ranked GROUP BY comp_id ORDER BY comp_id""".stripMargin) {
+      (s, dir) =>
+      val pairs = minhashPairs(s, dir).select("a_id", "b_id")
+      val comp = ConnectedComponents.label(pairs, "a_id", "b_id")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      comp.join(docs, col("node") === col("doc_id"))
+        .groupBy("comp_id")
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+        .select(col("comp_id"), col("n_members"),
+          (-col("best.neg_id")).cast("long").as("best_id"),
+          col("best.n_chars").cast("long").as("best_chars"))
+        .orderBy("comp_id")
+    },
+
     // INCREMENTAL ingest dedup: a new batch (a deterministic 10% slice
     // standing in for "today's crawl") is checked against the existing
     // corpus's fingerprint set — the batch-vs-corpus variant of exact
