@@ -151,12 +151,15 @@ object Graphs extends QueryPack {
 
     // Event FUNNEL (view -> click -> purchase, strictly ordered, 24h
     // completion window): each stage is "earliest qualifying event after
-    // the previous stage's timestamp" — conditional min-aggregates per
-    // user, chained through ordinary equi-joins on user_id. All time
-    // math is integer µs, so no float drift can flip a stage. Scale: the
-    // stage tables shrink monotonically (funnel!), each join keys on
-    // user_id with partial-agg pushdown; nothing is ever sorted
-    // globally and no window buffers a whole user history.
+    // the previous stage's timestamp" — three chained conditional
+    // window-mins over the SAME partition spec (user_id), so the whole
+    // funnel costs ONE corpus scan and ONE shuffle (the naive
+    // stage-join formulation re-scans events for every stage — measured
+    // 6 scans/3 shuffles at 3 stages); the per-user stage flags then
+    // collapse via a groupBy on the same key, which reuses the window's
+    // partitioning without a new exchange (PlanSpec-style assertion in
+    // GraphsSketchSpec). All time math is integer µs, so no float drift
+    // can flip a stage.
     q("q_funnel_stages",
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
         |            FROM events),
@@ -177,24 +180,29 @@ object Graphs extends QueryPack {
         |  CAST((SELECT COUNT(*) FROM p
         |        WHERE p_us - v_us <= 86400000000) AS BIGINT)
         |    AS n_completed_24h""".stripMargin) { (s, dir) =>
-      val ev = t(s, dir, "events")
+      val wu = Window.partitionBy("user_id")
+      val staged = t(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           expr("ts_ns div 1000").as("us"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("us")).as("v_us"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("us") > col("v_us"))
-        .groupBy("user_id")
-        .agg(min(col("us")).as("c_us"), min(col("v_us")).as("v_us"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("us") > col("c_us"))
-        .groupBy("user_id")
-        .agg(min(col("us")).as("p_us"), min(col("v_us")).as("v_us"))
-      v.agg(count(lit(1)).as("n_view"))
-        .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after"),
+        .withColumn("v_us",
+          min(when(col("event_type") === "view", col("us"))).over(wu))
+        .withColumn("c_us",
+          min(when(col("event_type") === "click" &&
+            col("us") > col("v_us"), col("us"))).over(wu))
+        .withColumn("p_us",
+          min(when(col("event_type") === "purchase" &&
+            col("us") > col("c_us"), col("us"))).over(wu))
+      // Stage flags are constant per user; the groupBy key matches the
+      // window partitioning, so no second exchange is planned.
+      staged.groupBy("user_id")
+        .agg(min(col("v_us")).as("v_us"), min(col("c_us")).as("c_us"),
+          min(col("p_us")).as("p_us"))
+        .agg(
+          count(col("v_us")).cast("long").as("n_view"),
+          count(col("c_us")).cast("long").as("n_click_after"),
+          count(col("p_us")).cast("long").as("n_purchase_after"),
           sum(when(col("p_us") - col("v_us") <= 86400000000L, 1)
-            .otherwise(0)).cast("long").as("n_completed_24h")))
+            .otherwise(0)).cast("long").as("n_completed_24h"))
     },
 
     // Weekly COHORT RETENTION: users bucketed by the week of their first
@@ -203,8 +211,10 @@ object Graphs extends QueryPack {
     // rides a broadcast 1-row aggregate; per-user first-touch is one
     // groupBy; all week math is integer µs division. Scale: the
     // (cohort, offset) matrix is tiny; the only corpus-sized moves are
-    // the first-touch agg and the activity join, both keyed on user_id
-    // — co-partitioned, so AQE folds them into one exchange.
+    // the first-touch agg and the activity join — one user_id exchange
+    // each (the join can't reuse the agg's exchange: its input is the
+    // raw stream, not the aggregate) plus the matrix rollup.
+    // Pre-bucketing events by user_id would eliminate both.
     q("q_cohort_retention",
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |u AS (SELECT user_id, MIN(us) AS first_us FROM ev GROUP BY user_id),

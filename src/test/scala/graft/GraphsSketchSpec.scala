@@ -97,6 +97,15 @@ class GraphsSketchSpec extends AnyFunSuite {
     assert(v > 0, "empty funnel top")
   }
 
+  test("q_funnel_stages costs one scan and one corpus shuffle") {
+    val plan = run("q_funnel_stages").queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"funnel re-scans events: $scans scans")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"funnel should shuffle once on user_id, found $exchanges")
+  }
+
   test("q_cohort_retention offset-0 cell covers each cohort's users") {
     val rows = run("q_cohort_retention").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
