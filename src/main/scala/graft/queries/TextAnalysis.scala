@@ -442,5 +442,65 @@ object TextAnalysis extends QueryPack {
           round(avg(col("h")), 6).as("avg_entropy"),
           round(max(col("h")), 6).as("max_entropy"))
         .orderBy("lang")
+    },
+
+    // Bigram language-model scoring (the step up from q_text_surprisal's
+    // unigram model): per-doc mean negative log-likelihood under the
+    // corpus bigram model with add-one smoothing, P(w2|w1) =
+    // (c(w1,w2)+1)/(c(w1)+V) — the classic cheap perplexity-proxy
+    // quality filter. Scale (100 TB): the model tables are Zipf-shaped
+    // (bigram/unigram counts), broadcast here; a web-scale vocabulary
+    // splits into a broadcast head + shuffle-join tail, and the doc
+    // stream still moves only (doc_id, w1, w2) — never text. The
+    // corpus-total V rides a broadcast 1-row aggregate.
+    q("q_text_bigram_lm",
+      """WITH d AS (SELECT lang, doc_id, string_split(text, ' ') AS w
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT lang, doc_id, w[i] AS w1, w[i + 1] AS w2
+        |       FROM (SELECT lang, doc_id, w,
+        |               unnest(range(1, len(w))) AS i FROM d)),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |cu AS (SELECT term, COUNT(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v FROM tok),
+        |nll AS (
+        |  SELECT b.lang, b.doc_id,
+        |    AVG(-ln((cb.cb + 1) / (cu.cu + (SELECT v FROM v)))) AS nll
+        |  FROM bg b JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        |            JOIN cu ON cu.term = b.w1
+        |  GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(AVG(nll), 6) + 0.0 AS avg_nll,
+        |  ROUND(MIN(nll), 6) + 0.0 AS min_nll,
+        |  ROUND(MAX(nll), 6) + 0.0 AS max_nll
+        |FROM nll GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bg = docs.withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("lang"), col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(element_at(w, i) as w1," +
+            " element_at(w, i + 1) as w2))")).as("b"))
+        .select(col("lang"), col("doc_id"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val tok = docs.select(explode(split(col("text"), " ")).as("term"))
+      val cu = tok.groupBy("term").agg(count(lit(1)).as("cu"))
+      val v = tok.agg(countDistinct(col("term")).cast("double").as("v"))
+      val nll = bg
+        .join(broadcast(cb), Seq("w1", "w2"))
+        .join(broadcast(cu.withColumnRenamed("term", "w1")), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy("lang", "doc_id")
+        .agg(avg(-log((col("cb") + 1) / (col("cu") + col("v"))))
+          .as("nll"))
+      nll.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("nll")), 6).as("avg_nll"),
+          round(min(col("nll")), 6).as("min_nll"),
+          round(max(col("nll")), 6).as("max_nll"))
+        .orderBy("lang")
     })
 }
