@@ -98,6 +98,20 @@ object HiveCompatFunctions {
           ThetaSketchAgg(exprs(0))
         }, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "theta_union_agg",
+        exprs => {
+          require(exprs.length == 1,
+            s"theta_union_agg requires 1 argument, got ${exprs.length}")
+          ThetaUnionAgg(exprs(0))
+        }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "theta_estimate",
+        exprs => {
+          require(exprs.length == 1,
+            s"theta_estimate requires 1 argument, got ${exprs.length}")
+          ThetaEstimate(exprs(0))
+        }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "theta_intersect_estimate",
         exprs => ThetaIntersectEstimate(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

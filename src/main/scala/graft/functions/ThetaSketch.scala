@@ -73,6 +73,68 @@ case class ThetaSketchAgg(
     copy(child = c)
 }
 
+/** Union of already-serialized theta sketch BLOBS (the analogue of
+  * Spark's hll_union_agg): makes persisted per-slice sketches a first-
+  * class table column — any later rollup unions kilobyte blobs instead
+  * of rescanning the corpus that produced them.
+  */
+case class ThetaUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def prettyName: String = "theta_union_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.union(
+      Sketches.wrapCompactSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): ThetaUnionAgg =
+    copy(child = c)
+}
+
+/** Estimated distinct count of a single theta sketch blob. */
+case class ThetaEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def prettyName: String = "theta_estimate"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    math.round(Sketches.wrapCompactSketch(
+      Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate)
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(child = c)
+}
+
 /** Base for the sketch set-algebra estimators. CodegenFallback is the
   * right trade here: these evaluate on AGGREGATED rows (one per group),
   * never inside the scan hot path, so interpreted eval costs nothing

@@ -69,6 +69,28 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(streamed == exact, s"streaming sketch drift: $streamed vs $exact")
   }
 
+  test("persisted per-slice sketches re-union to the exact count") {
+    // The claim that makes sketches a 100 TB primitive: build per-slice
+    // sketch blobs once, PERSIST them (parquet binary column), and any
+    // later rollup is a union of kilobyte blobs — no corpus rescan.
+    // Proof: write per-(event_type, day) sketches, read back,
+    // theta_union_agg per type, compare against the exact count.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sketch-store").toString + "/sk"
+    ev.withColumn("day", expr("ts_ns div 86400000000000"))
+      .groupBy("event_type", "day")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(expr("theta_estimate(theta_union_agg(sk))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored == exact, s"stored-sketch rollup drift: $stored vs $exact")
+  }
+
   test("q_sketch_theta obeys inclusion-exclusion") {
     val r = SparkEntry.queries("q_sketch_theta")(spark, sfDir).collect()(0)
     val (both, either) = (r.getLong(0), r.getLong(1))
