@@ -401,6 +401,36 @@ object Aggregates extends QueryPack {
           expr("theta_anotb_estimate(skb, ska)").as("n_purchase_only"))
     },
 
+    // PIVOT: event counts as a (event_type × day-of-week) matrix — the
+    // wide-format rollup Hive users write as N CASE-WHEN aggregates and
+    // Spark plans identically from `.pivot` with EXPLICIT values (never
+    // the value-discovering overload, which adds a distinct-scan job and
+    // makes the schema data-dependent — a 100 TB anti-pattern). Day
+    // ordinal from integer µs math; epoch day 0 is a Thursday, so
+    // (day + 4) % 7 gives 0=Sunday.
+    q("q_pivot_dow_matrix",
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow_0,
+        |  CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dow_1,
+        |  CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dow_2,
+        |  CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dow_3,
+        |  CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS dow_4,
+        |  CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS dow_5,
+        |  CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow_6
+        |FROM (SELECT event_type,
+        |        (epoch_us(ts) // 86400000000 + 4) % 7 AS dow FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts_ns div 1000 div 86400000000 + 4) % 7").as("dow"))
+        .groupBy("event_type")
+        .pivot("dow", Seq(0, 1, 2, 3, 4, 5, 6))
+        .agg(count(lit(1)))
+        .select(col("event_type") +: (0 to 6).map(d =>
+          coalesce(col(d.toString), lit(0L)).as(s"dow_$d")): _*)
+        .orderBy("event_type")
+    },
+
     // Frequent-items sketch (functions/FreqSketch.scala): corpus top-10
     // terms via a mergeable heavy-hitters sketch — partials reduce each
     // partition to a bounded map, only kB blobs shuffle; the relational

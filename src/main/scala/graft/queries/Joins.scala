@@ -330,5 +330,48 @@ object Joins extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("clk_id")).as("n_clicks"),
           sum(col("hi") - col("ord")).cast("long").as("gap_sum"))
+    },
+
+    // Referential-integrity AUDIT over the star schema: orphan counts
+    // for every foreign key via left-anti probes — the data-quality
+    // check a pipeline runs after every load. Scale: each anti join
+    // keys on the FK; the dimension sides (customer/part/supplier)
+    // broadcast, the orders-side probe of lineitem is an ordinary
+    // shuffle anti join; all four probes share the lineitem scan via
+    // one cached-free plan (each probes different columns, so column
+    // pruning keeps the scans narrow).
+    q("q_audit_orphans",
+      """SELECT
+        |  CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS BIGINT) AS orphan_orders,
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT) AS orphan_lineitem_order,
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |    AS BIGINT) AS orphan_lineitem_part,
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |    AS BIGINT) AS orphan_lineitem_supp""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val orphanOrders = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))
+      val orphanLiOrd = li
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitem_order"))
+      val orphanLiPart = li
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitem_part"))
+      val orphanLiSupp = li
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitem_supp"))
+      orphanOrders.crossJoin(orphanLiOrd).crossJoin(orphanLiPart)
+        .crossJoin(orphanLiSupp)
     })
 }
