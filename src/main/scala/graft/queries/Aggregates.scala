@@ -431,6 +431,35 @@ object Aggregates extends QueryPack {
         .orderBy("event_type")
     },
 
+    // UNPIVOT (melt): the inverse reshape — long-format (source, metric,
+    // value) from a wide per-source aggregate, via Dataset.unpivot
+    // (plans as a single Expand, one pass, no join of N metric slices).
+    // Oracle is the UNION ALL twin. The wide input is itself a tiny
+    // aggregate, so the reshape is metadata-cheap at any corpus size.
+    q("q_unpivot_melt",
+      """WITH wide AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, metric, value FROM (
+        |  SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+        |  UNION ALL
+        |  SELECT source, 'sum_chars', sum_chars FROM wide
+        |  UNION ALL
+        |  SELECT source, 'max_chars', max_chars FROM wide)
+        |ORDER BY source, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .unpivot(Array(col("source")),
+          Array(col("n_docs"), col("sum_chars"), col("max_chars")),
+          "metric", "value")
+        .orderBy("source", "metric")
+    },
+
     // Frequent-items sketch (functions/FreqSketch.scala): corpus top-10
     // terms via a mergeable heavy-hitters sketch — partials reduce each
     // partition to a bounded map, only kB blobs shuffle; the relational

@@ -208,5 +208,48 @@ object Windows extends QueryPack {
         .filter(col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
+    },
+
+    // MAX CONSECUTIVE-DAY STREAK per user — the gaps-and-islands trick:
+    // day - dense_rank(day) is constant within a run of consecutive
+    // active days, so the streak is a count per (user, island). Two
+    // same-key window/agg steps over one user_id exchange; integer day
+    // ordinals from µs division. The corpus-wide rollup (longest streak
+    // per user, then distribution) is the engagement query every event
+    // warehouse runs.
+    q("q_win_max_streak",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, COUNT(*) AS streak
+        |  FROM isl GROUP BY user_id, island),
+        |mx AS (SELECT user_id, MAX(streak) AS max_streak
+        |       FROM streaks GROUP BY user_id)
+        |SELECT max_streak, COUNT(*) AS n_users,
+        |  CAST(SUM(user_id) AS BIGINT) AS user_checksum
+        |FROM mx GROUP BY max_streak ORDER BY max_streak""".stripMargin) {
+      (s, dir) =>
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts_ns div 1000 div 86400000000").as("day"))
+        .distinct()
+      val wd = Window.partitionBy("user_id").orderBy("day")
+      val mx = days
+        .withColumn("island", col("day") - dense_rank().over(wd))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("streak"))
+        .groupBy("user_id")
+        .agg(max(col("streak")).as("max_streak"))
+      mx.groupBy("max_streak")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("user_id")).cast("long").as("user_checksum"))
+        .orderBy("max_streak")
     })
 }
