@@ -239,6 +239,61 @@ object Dedup extends QueryPack {
         .orderBy("source")
     },
 
+    // CONTAINMENT dedup — the asymmetric case Jaccard MISSES: a short
+    // doc embedded verbatim in a long one has high containment
+    // |A∩B|/min(|A|,|B|) but low Jaccard (the union is dominated by the
+    // long doc). Integer-math threshold (10*inter >= 9*min) on the
+    // one-pass JaccardParts kernel; n_asymmetric counts the pairs ONLY
+    // this operator catches (containment-pass, Jaccard-fail). Blocked
+    // by lang here; at 100 TB candidates come from the same LSH bands
+    // (with the caveat that MinHash under-recalls containment pairs —
+    // production uses a suffix/fingerprint pass like q_dedup_spans for
+    // full recall).
+    q("q_dedup_containment",
+      """WITH sh AS (
+        |  SELECT lang, doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT lang, doc_id, string_split(text, ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.s, b.s)) AS ni,
+        |    len(list_distinct(a.s || b.s)) AS nu,
+        |    LEAST(len(a.s), len(b.s)) AS mn
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT lang, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN 10 * ni < 8 * nu THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_asymmetric,
+        |  CAST(SUM(a_id * 100000 + b_id) AS BIGINT) AS pair_checksum
+        |FROM p WHERE 10 * ni >= 9 * mn
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("lang"), col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, size(w) - 2)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+            " ' ', element_at(w, i + 2))))").as("s"))
+      val a = sh.toDF("lang", "a_id", "sa")
+      val b = sh.toDF("lang", "b_id", "sb")
+      a.join(b, Seq("lang")).filter(col("a_id") < col("b_id"))
+        .withColumn("jp", expr("jaccard_parts(sa, sb)"))
+        .withColumn("ni", expr("shiftright(jp, 32)").cast("int"))
+        .withColumn("nu", col("jp").bitwiseAND(0xFFFFFFFFL).cast("int"))
+        .withColumn("mn", least(size(col("sa")), size(col("sb"))))
+        .filter(col("ni") * 10 >= col("mn") * 9)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ni") * 10 < col("nu") * 8, 1).otherwise(0))
+            .cast("long").as("n_asymmetric"),
+          sum(col("a_id") * 100000 + col("b_id")).cast("long")
+            .as("pair_checksum"))
+        .orderBy("lang")
+    },
+
     // KEEP-BEST survivor selection (the RefinedWeb refinement of
     // q_dedup_survivors): within each near-dup component keep the
     // HIGHEST-QUALITY member — longest doc, doc_id as the deterministic

@@ -119,6 +119,26 @@ class GraphsSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("containment rule catches an embedded doc that Jaccard misses") {
+    // Synthesize the asymmetric case (absent from the test corpus):
+    // a 12-shingle doc fully contained in a 200-shingle doc. Jaccard =
+    // 12/200 = 0.06 (far below 0.8); containment = 12/12 = 1.0.
+    import spark.implicits._
+    HiveCompatFunctions.ensure(spark)
+    val small = (1 to 12).map(i => s"g$i")
+    val big = (1 to 200).map(i => s"g$i")
+    val row = Seq((small, big)).toDF("sa", "sb")
+      .withColumn("jp", expr("jaccard_parts(sa, sb)"))
+      .withColumn("ni", expr("shiftright(jp, 32)").cast("int"))
+      .withColumn("nu", col("jp").bitwiseAND(0xFFFFFFFFL).cast("int"))
+      .withColumn("mn", least(size(col("sa")), size(col("sb"))))
+      .collect()(0)
+    val (ni, nu, mn) = (row.getInt(row.fieldIndex("ni")),
+      row.getInt(row.fieldIndex("nu")), row.getInt(row.fieldIndex("mn")))
+    assert(ni * 10 >= mn * 9, "containment rule must fire")
+    assert(ni * 10 < nu * 8, "Jaccard rule must NOT fire on this pair")
+  }
+
   test("q_quality_logistic scores are probabilities and keep<=docs") {
     run("q_quality_logistic").collect().foreach { r =>
       val docs = r.getLong(r.fieldIndex("n_docs"))
