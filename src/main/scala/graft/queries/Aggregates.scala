@@ -479,5 +479,33 @@ object Aggregates extends QueryPack {
         .select(explode(col("tops")).as("t"))
         .select(col("t.term").as("term"), col("t.freq").as("freq"))
         .orderBy(col("freq").desc, col("term"))
+    },
+
+    // Per-GROUP frequency sketch: top-5 terms per language — the
+    // grouped form of q_sketch_freq_topk (one live sketch per group key
+    // in the hash-aggregate buffer). At 100 TB this is "top queries per
+    // tenant" / "top tokens per language shard": group count × sketch
+    // size bounds state, never group count × vocabulary.
+    q("q_sketch_freq_by_lang",
+      """WITH c AS (
+        |  SELECT lang, term, COUNT(*) AS freq
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT lang, term, freq,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY freq DESC, term) AS rn
+        |      FROM c)
+        |SELECT lang, term, CAST(freq AS BIGINT) AS freq
+        |FROM r WHERE rn <= 5
+        |ORDER BY lang, freq DESC, term""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang")
+        .agg(expr("freq_sketch_topk(term, 5)").as("tops"))
+        .select(col("lang"), explode(col("tops")).as("t"))
+        .select(col("lang"), col("t.term").as("term"),
+          col("t.freq").as("freq"))
+        .orderBy(col("lang"), col("freq").desc, col("term"))
     })
 }
