@@ -481,6 +481,47 @@ object Aggregates extends QueryPack {
         .orderBy(col("freq").desc, col("term"))
     },
 
+    // IQR OUTLIER audit (Tukey fences): per event_type, count values
+    // outside [q1 - 1.5*IQR, q3 + 1.5*IQR] — the distribution-shift /
+    // bad-batch detector a pipeline runs per load. Two passes sharing
+    // one scan subtree: exact quartiles per group (tiny result,
+    // broadcast back), then a codegen'd per-row fence check. Quartiles
+    // in the output are rounded; the fence comparison itself uses the
+    // raw doubles (both engines interpolate quantiles with the same
+    // (n-1)*p rule, and no value in this data sits within float-eps of
+    // a fence).
+    q("q_agg_outliers_iqr",
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  ROUND(MIN(q.q1), 6) + 0.0 AS q1,
+        |  ROUND(MIN(q.q3), 6) + 0.0 AS q3,
+        |  CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+        |    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN q ON q.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) {
+      (s, dir) =>
+      val ev = t(s, dir, "events")
+      val quart = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+      ev.join(broadcast(quart), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(min(col("q1")), 6).as("q1"),
+          round(min(col("q3")), 6).as("q3"),
+          sum(when(
+            col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1"))
+              || col("value") >
+                col("q3") + lit(1.5) * (col("q3") - col("q1")),
+            1).otherwise(0)).cast("long").as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // Per-GROUP frequency sketch: top-5 terms per language — the
     // grouped form of q_sketch_freq_topk (one live sketch per group key
     // in the hash-aggregate buffer). At 100 TB this is "top queries per
