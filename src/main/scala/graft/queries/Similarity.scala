@@ -453,6 +453,171 @@ object Similarity extends QueryPack {
         .orderBy("label")
     },
 
+    // K-MEANS CLUSTERING (Lloyd's), oracle-checked — the twin of the
+    // IVF trainer above with one twist that makes it bit-verifiable
+    // across engines: embeddings are QUANTIZED to integer millesimals
+    // (round(x*1000)) and every distance / centroid update runs in
+    // exact integer math (centroid dims = floor(sum/n)), so assignment
+    // decisions can never drift on float low bits. Init = the k lowest
+    // vec_ids (deterministic, no RNG); 3 assign→update rounds + a final
+    // assignment. Scale (100 TB): the k×d centroid relation rides a
+    // broadcast into every assignment pass (the corpus never shuffles
+    // for assignment); the update is one posexplode + (cid, dim)
+    // groupBy whose cardinality is k×d, not corpus-sized; per-round
+    // lineage is cut by localCheckpoint. Quantized training is itself
+    // the scale move (4-8× less memory bandwidth than f32).
+    q("q_cluster_kmeans", {
+      val dist = (e: String, c: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> ($e.q[i] - $c.c[i]) * ($e.q[i] - $c.c[i])))"
+      val assignSql = (a: String, prev: String) =>
+        s"""$a AS (SELECT vec_id, q, cid, d FROM (
+           |  SELECT vec_id, q, cid, d,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |  FROM (SELECT e.vec_id, e.q, c.cid, ${dist("e", "c")} AS d
+           |        FROM emb e CROSS JOIN $prev c)) WHERE rn = 1)""".stripMargin
+      val updateSql = (c: String, a: String) =>
+        s"""$c AS (SELECT cid, list(cv ORDER BY i) AS c FROM (
+           |  SELECT cid, i,
+           |    CAST(floor(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |  FROM $a, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, q AS c FROM emb WHERE vec_id < 4),
+         |${assignSql("a1", "c0")},
+         |${updateSql("c1", "a1")},
+         |${assignSql("a2", "c1")},
+         |${updateSql("c2", "a2")},
+         |${assignSql("a3", "c2")},
+         |${updateSql("c3", "a3")},
+         |${assignSql("a4", "c3")}
+         |SELECT cid AS cluster_id, COUNT(*) AS n_members,
+         |  CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+         |  CAST(SUM(d) AS BIGINT) AS inertia
+         |FROM a4 GROUP BY cid ORDER BY cid""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000)" +
+          " as bigint))").as("q"))
+        .localCheckpoint(true) // scanned by 4 assignment passes
+      def assign(cent: org.apache.spark.sql.DataFrame) =
+        emb.crossJoin(broadcast(cent))
+          .withColumn("d", expr(
+            "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y))," +
+              " 0L, (acc, x) -> acc + x)"))
+          // argmin via min(struct): map-side combining, no sort window.
+          .groupBy("vec_id", "q")
+          .agg(min(struct(col("d"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("q"),
+            col("best.cid").as("cid"), col("best.d").as("d"))
+      var cent = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("q").as("c"))
+      for (_ <- 1 to 3) {
+        cent = assign(cent)
+          .select(col("cid"), posexplode(col("q")))
+          .groupBy("cid", "pos")
+          .agg(sum("col").as("sv"), count(lit(1)).as("n"))
+          .withColumn("cv",
+            expr("cast(floor(cast(sv as double) / n) as bigint)"))
+          .groupBy("cid")
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
+            .as("c"))
+          .localCheckpoint(true) // k rows; flattens the next round's plan
+      }
+      assign(cent)
+        .groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("vec_id")).cast("long").as("id_checksum"),
+          sum(col("d")).cast("long").as("inertia"))
+        .orderBy("cluster_id")
+    },
+
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): coarse-cluster the
+    // embedding space, then prune near-duplicates ONLY within each
+    // cluster — the quadratic step is confined to cells, never the
+    // corpus. Same integer-exact quantized math as q_cluster_kmeans
+    // (cells = one assignment to the k=4 seed centroids); the cosine
+    // threshold τ=0.4 (calibrated: max pairwise cosine in this corpus
+    // is ~0.51) compares as 25·dot² ≥ 4·|a|²·|b|² in DECIMAL(38,0) —
+    // exact, no float boundary. Drop rule: a vector is dropped when a
+    // LOWER-id vector in its cell clears τ (deterministic keep-first;
+    // the greedy sequential variant would keep slightly more — see
+    // scaladoc note). Output: per-label survivor accounting.
+    q("q_dedup_semantic",
+      """WITH emb AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, q AS c FROM emb WHERE vec_id < 4),
+        |cells AS (SELECT vec_id, label, q, cid FROM (
+        |  SELECT vec_id, label, q, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM (SELECT e.vec_id, e.label, e.q, c.cid,
+        |          list_sum(list_transform(range(1, 65),
+        |            i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |        FROM emb e CROSS JOIN c0 c)) WHERE rn = 1),
+        |n2 AS (SELECT vec_id, label, q, cid,
+        |         list_sum(list_transform(q, x -> x * x)) AS nn
+        |       FROM cells),
+        |pairs AS (
+        |  SELECT b.vec_id AS b_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS dt,
+        |    a.nn AS na, b.nn AS nb
+        |  FROM n2 a JOIN n2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT b_id AS vec_id FROM pairs
+        |  WHERE dt > 0
+        |    AND 25 * CAST(dt AS HUGEINT) * dt >= 4 * CAST(na AS HUGEINT) * nb)
+        |SELECT n2.label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(COALESCE(d.vec_id, 0)) AS BIGINT) AS dropped_checksum
+        |FROM n2 LEFT JOIN dropped d ON d.vec_id = n2.vec_id
+        |GROUP BY n2.label ORDER BY n2.label""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double)" +
+          " * 1000) as bigint))").as("q"))
+      val cent = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("q").as("c"))
+      val cells = emb.crossJoin(broadcast(cent))
+        .withColumn("d", expr(
+          "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y))," +
+            " 0L, (acc, x) -> acc + x)"))
+        .groupBy("vec_id", "label", "q")
+        .agg(min(struct(col("d"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("label"), col("q"),
+          col("best.cid").as("cid"))
+        .withColumn("nn", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+        .localCheckpoint(true) // consumed by both pair sides + accounting
+      val a = cells.select(col("cid"), col("vec_id").as("a_id"),
+        col("q").as("qa"), col("nn").as("na"))
+      val b = cells.select(col("cid"), col("vec_id").as("b_id"),
+        col("q").as("qb"), col("nn").as("nb"))
+      // Within-cell pairs only: the join key is the cell id, so the
+      // shuffle moves each vector once per side and the quadratic blow-
+      // up is bounded by the largest cell, not the corpus.
+      val dropped = a.join(b, "cid").filter(col("a_id") < col("b_id"))
+        .withColumn("dt", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y)," +
+            " 0L, (acc, x) -> acc + x)"))
+        .filter(col("dt") > 0 &&
+          lit(25) * col("dt").cast("decimal(38,0)") * col("dt") >=
+            lit(4) * col("na").cast("decimal(38,0)") * col("nb"))
+        .select(col("b_id").as("dv")).distinct()
+      cells.join(broadcast(dropped), col("vec_id") === col("dv"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("dv").isNull, 1).otherwise(0)).cast("long")
+            .as("n_kept"),
+          sum(coalesce(col("dv"), lit(0L))).cast("long")
+            .as("dropped_checksum"))
+        .orderBy("label")
+    },
+
     // Multimodal frame fan-out: each media item explodes into its
     // sampled frames (sequence 1..n_frames) with deterministic per-frame
     // metadata — the media→frame partitioning pattern of a video
