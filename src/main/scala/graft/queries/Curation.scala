@@ -720,5 +720,66 @@ object Curation extends QueryPack {
           coalesce(sum(when(col("kept") === 1, col("doc_id"))), lit(0))
             .cast("long").as("kept_checksum"))
         .orderBy("source")
+    },
+
+    // KEY-SKEW AUDIT — the diagnostic you run BEFORE choosing a join /
+    // partition strategy at 100 TB: per join-key count distribution
+    // (max, discrete p50/p95/p99 via cume_dist — identical tie handling
+    // in both engines, unlike interpolated percentile), the hottest key,
+    // and skew_ratio = max/mean (ratio ≈ 1 ⇒ plain shuffle join is
+    // fine; ≫ 1 ⇒ salt that key or let AQE split it). Exact integer
+    // counts end-to-end; the only double is the final ratio. One
+    // row per audited key column; per key: one count shuffle + a
+    // key-count-sized window (key cardinality, not row count).
+    q("q_audit_skew", {
+      val one = (tag: String, tbl: String, kc: String) =>
+        s"""SELECT '$tag' AS keycol,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           |  CAST(MIN(CASE WHEN cd >= 0.5 THEN cnt END) AS BIGINT) AS p50_cnt,
+           |  CAST(MIN(CASE WHEN cd >= 0.95 THEN cnt END) AS BIGINT) AS p95_cnt,
+           |  CAST(MIN(CASE WHEN cd >= 0.99 THEN cnt END) AS BIGINT) AS p99_cnt,
+           |  CAST(MIN(CASE WHEN cnt = mx THEN key END) AS BIGINT) AS hot_key,
+           |  ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4)
+           |    AS skew_ratio
+           |FROM (SELECT key, cnt, cume_dist() OVER (ORDER BY cnt) AS cd,
+           |        MAX(cnt) OVER () AS mx
+           |      FROM (SELECT $kc AS key, COUNT(*) AS cnt
+           |            FROM $tbl GROUP BY 1))""".stripMargin
+      s"""SELECT * FROM (
+         |${one("lineitem.l_partkey", "lineitem", "l_partkey")}
+         |UNION ALL
+         |${one("lineitem.l_suppkey", "lineitem", "l_suppkey")}
+         |UNION ALL
+         |${one("orders.o_custkey", "orders", "o_custkey")})
+         |ORDER BY keycol""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      def one(tag: String, df: DataFrame, kc: String): DataFrame = {
+        val counts = df.groupBy(col(kc).as("key"))
+          .agg(count(lit(1)).as("cnt"))
+        counts
+          .withColumn("cd", cume_dist().over(Window.orderBy("cnt")))
+          .withColumn("mx", max(col("cnt")).over(Window.partitionBy()))
+          .agg(count(lit(1)).cast("long").as("n_keys"),
+            max(col("cnt")).cast("long").as("max_cnt"),
+            min(when(col("cd") >= 0.5, col("cnt"))).cast("long")
+              .as("p50_cnt"),
+            min(when(col("cd") >= 0.95, col("cnt"))).cast("long")
+              .as("p95_cnt"),
+            min(when(col("cd") >= 0.99, col("cnt"))).cast("long")
+              .as("p99_cnt"),
+            min(when(col("cnt") === col("mx"), col("key"))).cast("long")
+              .as("hot_key"),
+            round(max(col("cnt")).cast("double") * count(lit(1))
+              / sum(col("cnt")), 4).as("skew_ratio"))
+          .select(lit(tag).as("keycol"), col("*"))
+      }
+      one("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")
+        .unionAll(one("lineitem.l_suppkey", t(s, dir, "lineitem"),
+          "l_suppkey"))
+        .unionAll(one("orders.o_custkey", t(s, dir, "orders"), "o_custkey"))
+        .orderBy("keycol")
     })
 }

@@ -243,5 +243,82 @@ object Graphs extends QueryPack {
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // TRIANGLE COUNTING over the part co-purchase graph (parts sharing
+    // an order, p_size >= 47 bounds the projection) — the classic
+    // graph-metric shuffle workload. Spark side uses DEGREE-ORDERED
+    // ORIENTATION (Suri & Vassilvitskii, WWW'11): each undirected edge
+    // points low-degree → high-degree, wedges are enumerated only at
+    // their lowest-degree apex, and each triangle is counted exactly
+    // once. At 100 TB this is THE difference between feasible and not:
+    // wedge volume drops from Σdeg² (quadratic in the hub degree — a
+    // celebrity node alone can emit 10^12 wedges) to Σ out-deg², with
+    // out-degree bounded by O(√m) under this orientation. The oracle
+    // enumerates by id order instead — same triangle set, any order.
+    q("q_graph_triangles",
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS pk
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_size >= 47),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM items a JOIN items b
+        |        ON a.okey = b.okey AND a.pk < b.pk),
+        |deg AS (SELECT n, COUNT(*) AS dg FROM (
+        |          SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY n),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT SUM(dg * (dg - 1)) // 2 FROM deg) AS BIGINT)
+        |    AS n_wedges,
+        |  CAST(COUNT(*) AS BIGINT) AS n_triangles,
+        |  CAST(COALESCE(SUM(a + b + c), 0) AS BIGINT) AS vertex_checksum,
+        |  ROUND(3.0 * COUNT(*) /
+        |    (SELECT SUM(dg * (dg - 1)) // 2 FROM deg), 6)
+        |    AS clustering_coeff
+        |FROM tri""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_size") >= 47),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = items.as("a").join(items.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+        .localCheckpoint(true) // 3 consumers: degrees, wedges, closing probe
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      // Orient low-degree → high-degree (id tie-break): hub nodes get
+      // near-zero out-degree, so the wedge self-join below never
+      // explodes at a hub.
+      val ed = e
+        .join(broadcast(deg).withColumnRenamed("n", "u")
+          .withColumnRenamed("dg", "du"), "u")
+        .join(broadcast(deg).withColumnRenamed("n", "v")
+          .withColumnRenamed("dg", "dv"), "v")
+        .select(when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("x"), col("v").as("y")))
+          .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("o"))
+        .select(col("o.x").as("x"), col("o.y").as("y"))
+      val wedges = ed.as("e1").join(ed.as("e2"),
+          col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+        .select(col("e1.x").as("apex"),
+          col("e1.y").as("y1"), col("e2.y").as("y2"))
+      val tri = wedges.join(e,
+        least(col("y1"), col("y2")) === col("u") &&
+          greatest(col("y1"), col("y2")) === col("v"))
+      val nE = e.agg(count(lit(1)).cast("long").as("n_edges"))
+      val nW = deg.agg(sum(expr("dg * (dg - 1) div 2")).cast("long")
+        .as("n_wedges"))
+      val tAgg = tri.agg(count(lit(1)).cast("long").as("n_triangles"),
+        coalesce(sum(col("apex") + col("y1") + col("y2")), lit(0L))
+          .cast("long").as("vertex_checksum"))
+      nE.crossJoin(nW).crossJoin(tAgg)
+        .withColumn("clustering_coeff",
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
     })
 }

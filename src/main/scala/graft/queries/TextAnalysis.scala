@@ -502,5 +502,49 @@ object TextAnalysis extends QueryPack {
           round(min(col("nll")), 6).as("min_nll"),
           round(max(col("nll")), 6).as("max_nll"))
         .orderBy("lang")
+    },
+
+    // POSITIONAL INVERTED INDEX — the retrieval-side artifact of a
+    // corpus pipeline: token → (document, position) postings with df/tf
+    // stats and a bounded postings head (full lists stay distributed;
+    // only the 8-entry preview is stringified). Plan shape: ONE shuffle
+    // on token — the row_number window partitions by token and the
+    // groupBy reuses that partitioning (no second exchange). The per-
+    // token cap is the standard hot-token guard: a stopword's postings
+    // preview stays 8 entries no matter how many billions of positions
+    // it has (its full df/tf still aggregate map-side).
+    q("q_text_inverted_index",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(w) AS token,
+        |    unnest(range(0, len(w))) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents)),
+        |p AS (SELECT token, doc_id, pos,
+        |        row_number() OVER (PARTITION BY token
+        |                           ORDER BY doc_id, pos) AS rn
+        |      FROM tok)
+        |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf,
+        |  CAST(SUM(doc_id * 1000 + pos) AS BIGINT) AS postings_checksum,
+        |  string_agg(CASE WHEN rn <= 8
+        |      THEN doc_id || ':' || pos END, ',' ORDER BY rn)
+        |    AS head_postings
+        |FROM p GROUP BY token ORDER BY token""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("token").orderBy("doc_id", "pos")
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"),
+          sum(col("doc_id") * 1000 + col("pos")).cast("long")
+            .as("postings_checksum"),
+          concat_ws(",", expr(
+            "transform(sort_array(collect_list(if(rn <= 8," +
+              " struct(rn, concat(cast(doc_id as string), ':'," +
+              " cast(pos as string)) as entry), null)))," +
+              " x -> x.entry)")).as("head_postings"))
+        .orderBy("token")
     })
 }
