@@ -200,4 +200,34 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).size
     assert(exchanges <= 1, s"sampling shuffles $exchanges times")
   }
+
+  test("k-means assignment broadcasts centroids (corpus never shuffles)") {
+    // Every assignment pass must be corpus × broadcast(k centroids):
+    // a SortMergeJoin here would shuffle the full corpus per Lloyd
+    // round — the exact failure mode the query comment rules out.
+    val p = plan("q_cluster_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroids not broadcast into the assignment pass")
+    assert(!p.contains("SortMergeJoin"),
+      s"k-means shuffles the corpus for assignment:\n$p")
+  }
+
+  test("semdedup pair join is equi on the cell id, never cartesian") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"semdedup plans an all-pairs cartesian:\n$p")
+    assert(p.contains("hashpartitioning(cid") ||
+      p.contains("BroadcastHashJoin"),
+      "in-cell pair join is not an equi join on cid")
+  }
+
+  test("inverted index reuses the token shuffle for window + groupBy") {
+    // The window (partitionBy token) and the final groupBy(token) share
+    // a key: exactly ONE hashpartitioning exchange on token may appear.
+    val p = plan("q_text_inverted_index")
+    val tokenExchanges = "Exchange hashpartitioning\\(token".r
+      .findAllIn(p).size
+    assert(tokenExchanges == 1,
+      s"expected 1 token exchange, saw $tokenExchanges:\n$p")
+  }
 }
