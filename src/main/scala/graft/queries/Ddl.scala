@@ -135,6 +135,51 @@ object Ddl extends QueryPack {
           .orderBy("c_mktsegment")
     },
 
+    // SNAPSHOT DIFF — "what did transactions w3..w4 change?": a full
+    // outer join of two time-travel reads (write id 2 = post-ingest vs
+    // latest = post-delete+update) on the row key, classified into
+    // removed / changed / unchanged with row and balance deltas. This
+    // is the CDC-style audit an ACID table exists to answer; the
+    // oracle replays the history relationally (delete = negatives,
+    // change = caps). At 100 TB both snapshot reads share the same
+    // base files — only delta dirs differ — and the join is an
+    // equi-shuffle on the key.
+    q("q_acid_snapshot_diff",
+      s"""WITH t AS ($acidOracleAll)
+         |SELECT 'changed' AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)) - 9000) AS DOUBLE)
+         |    AS bal_delta
+         |FROM t WHERE NOT (c_acctbal < 0) AND c_acctbal > 9000
+         |UNION ALL
+         |SELECT 'removed', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(c_custkey) AS BIGINT),
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+         |FROM t WHERE c_acctbal < 0
+         |UNION ALL
+         |SELECT 'unchanged', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(c_custkey) AS BIGINT), CAST(0.0 AS DOUBLE)
+         |FROM t WHERE NOT (c_acctbal < 0) AND c_acctbal <= 9000
+         |ORDER BY status""".stripMargin) { (s, dir) =>
+      val root = acidDemo(s, dir)
+      val before = AcidTable.read(s, root, asOf = Some(2L))
+        .select(col("c_custkey"), col("c_acctbal").as("bal_old"))
+      val after = AcidTable.read(s, root)
+        .select(col("c_custkey"), col("c_acctbal").as("bal_new"))
+      before.join(after, Seq("c_custkey"), "full_outer")
+        .withColumn("status",
+          when(col("bal_new").isNull, "removed")
+            .when(col("bal_old") =!= col("bal_new"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("status")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("c_custkey")).cast("long").as("key_checksum"),
+          sum(dec(col("bal_old")) -
+            coalesce(dec(col("bal_new")), lit(0).cast("decimal(18,4)")))
+            .cast("double").as("bal_delta"))
+        .orderBy("status")
+    },
+
     // CTAS + ANALYZE: materialize a per-customer order summary in the
     // catalog, compute table+column stats (CBO input), query it.
     q("q_ddl_ctas_analyze",

@@ -148,5 +148,34 @@ object Streaming extends QueryPack {
         .dropDuplicates("user_id", "event_type", "mb")
         .groupBy("event_type").agg(count(lit(1)).as("n_distinct"))
         .orderBy("event_type")
+    },
+
+    // SKETCH-PER-WINDOW ROLLUP — the streaming-sketch pattern: each
+    // (window, event_type) shard builds a theta sketch of its users
+    // INDEPENDENTLY (in a real stream: inside its own stateful task,
+    // sketches checkpointed as the state blobs), and per-window distinct
+    // users come from UNIONING the shard sketches — no re-read of raw
+    // events, no giant distinct. This is how you get hourly uniques at
+    // 100 TB/day: kB-sized mergeable state per shard instead of a set
+    // of every user id. Distinct-per-window ≤ 166 ≪ k=4096, so the
+    // sketch runs in exact mode and the DuckDB exact COUNT(DISTINCT)
+    // is a bit-true oracle.
+    q("q_stream_sketch_rollup",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |         '%Y-%m-%d %H:%M') AS wstart,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events
+        |GROUP BY wstart ORDER BY wstart""".stripMargin) { (s, dir) =>
+      val shards = t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      shards
+        .groupBy(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+          .as("wstart"))
+        .agg(expr("cast(theta_estimate(theta_union_agg(sk)) as bigint)")
+          .as("n_users"),
+          count(lit(1)).cast("long").as("n_types"))
+        .orderBy("wstart")
     })
 }
