@@ -34,8 +34,14 @@ object Bench {
     try SparkEntry.all.head.run(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Dev filter (same contract as Verify): SPARK_GRAFT_ONLY=q_a,q_b
+    // times just those queries; unset (the driver) = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.all.flatMap { d =>
+    val results = SparkEntry.all
+      .filter(d => only.forall(_.contains(d.name)))
+      .flatMap { d =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { d.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

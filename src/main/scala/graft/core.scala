@@ -74,6 +74,15 @@ object T {
     */
   def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
 
+  /** Cross-engine-portable 60-bit hash: identical in Spark
+    * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    * (`('0x' || substr(md5(x),1,15))::BIGINT`) — 15 hex digits keep it
+    * positive and inside BIGINT. Use whenever an ORACLE-CHECKED query
+    * needs hash-based blocking/ordering (xxhash64 is Spark-only).
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Revenue pattern sum(price*(1-disc)): scale-8 decimal sum, rescaled
     * to 2 decimals (HALF_UP both engines — see q1 notes) before double.
     */

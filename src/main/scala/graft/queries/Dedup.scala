@@ -280,11 +280,17 @@ object Dedup extends QueryPack {
     // |A∩B|/min(|A|,|B|) but low Jaccard (the union is dominated by the
     // long doc). Integer-math threshold (10*inter >= 9*min) on the
     // one-pass JaccardParts kernel; n_asymmetric counts the pairs ONLY
-    // this operator catches (containment-pass, Jaccard-fail). Blocked
-    // by lang here; at 100 TB candidates come from the same LSH bands
-    // (with the caveat that MinHash under-recalls containment pairs —
-    // production uses a suffix/fingerprint pass like q_dedup_spans for
-    // full recall).
+    // this operator catches (containment-pass, Jaccard-fail).
+    // CANDIDATES are ANCHOR-BLOCKED, never all-pairs: each doc's anchor
+    // = its min-portable-hash shingle, and a pair is a candidate when
+    // one side's anchor appears in the other's shingle index (equi-join
+    // on (lang, shingle-hash), postings capped at 1000 per key — the
+    // same hot-bucket guard as the MinHash bands). A containment pair
+    // shares >= 90% of the smaller set, so its anchor is shared with
+    // >= ~90% probability — the residual tail is what q_dedup_spans's
+    // fingerprint pass exists for. At 100 TB this replaces the
+    // O(n²/langs) pair join (33 s at sf0.1, quadratically worse beyond)
+    // with one explode + two equi-shuffles.
     q("q_dedup_containment",
       """WITH sh AS (
         |  SELECT lang, doc_id,
@@ -293,13 +299,28 @@ object Dedup extends QueryPack {
         |  FROM (SELECT lang, doc_id, string_split(text, ' ') AS w
         |        FROM documents)
         |  WHERE len(w) >= 3),
+        |hx AS (SELECT lang, doc_id,
+        |         ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS h
+        |       FROM sh),
+        |hxc AS (SELECT lang, doc_id, h FROM (
+        |          SELECT lang, doc_id, h,
+        |            row_number() OVER (PARTITION BY lang, h
+        |                               ORDER BY doc_id) AS rn
+        |          FROM hx) WHERE rn <= 1000),
+        |anch AS (SELECT lang, doc_id, MIN(h) AS ah FROM hx GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.lang,
+        |    LEAST(a.doc_id, p.doc_id) AS a_id,
+        |    GREATEST(a.doc_id, p.doc_id) AS b_id
+        |  FROM anch a JOIN hxc p
+        |    ON p.lang = a.lang AND p.h = a.ah AND p.doc_id <> a.doc_id),
         |p AS (
-        |  SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
-        |    len(list_intersect(a.s, b.s)) AS ni,
-        |    len(list_distinct(a.s || b.s)) AS nu,
-        |    LEAST(len(a.s), len(b.s)) AS mn
-        |  FROM sh a JOIN sh b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  SELECT c.lang, c.a_id, c.b_id,
+        |    len(list_intersect(x.s, y.s)) AS ni,
+        |    len(list_distinct(x.s || y.s)) AS nu,
+        |    LEAST(len(x.s), len(y.s)) AS mn
+        |  FROM cand c JOIN sh x ON x.doc_id = c.a_id
+        |              JOIN sh y ON y.doc_id = c.b_id)
         |SELECT lang, COUNT(*) AS n_pairs,
         |  CAST(SUM(CASE WHEN 10 * ni < 8 * nu THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_asymmetric,
@@ -313,9 +334,27 @@ object Dedup extends QueryPack {
           "array_distinct(transform(sequence(1, size(w) - 2)," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
             " ' ', element_at(w, i + 2))))").as("s"))
-      val a = sh.toDF("lang", "a_id", "sa")
-      val b = sh.toDF("lang", "b_id", "sb")
-      a.join(b, Seq("lang")).filter(col("a_id") < col("b_id"))
+        .localCheckpoint(true) // consumed by the index and both rescore sides
+      val hx = sh.select(col("lang"), col("doc_id"),
+          explode(col("s")).as("g"))
+        .select(col("lang"), col("doc_id"), h60(col("g")).as("h"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "h").orderBy("doc_id")
+      val hxc = hx.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= 1000).drop("rn")
+      val anch = hx.groupBy("lang", "doc_id").agg(min(col("h")).as("ah"))
+      val postings = hxc.select(col("lang").as("p_lang"),
+        col("doc_id").as("p_id"), col("h").as("p_h"))
+      val cand = anch.join(postings,
+          col("p_lang") === col("lang") && col("p_h") === col("ah") &&
+            col("p_id") =!= col("doc_id"))
+        .select(col("lang"),
+          least(col("doc_id"), col("p_id")).as("a_id"),
+          greatest(col("doc_id"), col("p_id")).as("b_id"))
+        .distinct()
+      val x = sh.select(col("doc_id").as("a_id"), col("s").as("sa"))
+      val y = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
+      cand.join(x, "a_id").join(y, "b_id")
         .withColumn("jp", expr("jaccard_parts(sa, sb)"))
         .withColumn("ni", expr("shiftright(jp, 32)").cast("int"))
         .withColumn("nu", col("jp").bitwiseAND(0xFFFFFFFFL).cast("int"))
