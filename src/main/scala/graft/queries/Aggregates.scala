@@ -548,5 +548,29 @@ object Aggregates extends QueryPack {
         .select(col("lang"), col("t.term").as("term"),
           col("t.freq").as("freq"))
         .orderBy(col("lang"), col("freq").desc, col("term"))
+    },
+
+    // Bitwise aggregates (bit_and/bit_or/bit_xor — Hive 3 UDAFs): used
+    // for permission-mask folds and presence bitmaps. Fully mergeable
+    // (associative+commutative), so partial/final aggregation holds at
+    // any partitioning — the xor in particular is the same trick the
+    // connected-components fixpoint checksum uses.
+    q("q_agg_bitwise",
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_orderkey) AS BIGINT) AS mask_and,
+        |  CAST(bit_or(l_orderkey) AS BIGINT) AS mask_or,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS mask_xor,
+        |  CAST(bit_or(1 << (CAST(l_linenumber AS INT) % 7)) AS BIGINT)
+        |    AS line_bitmap
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_orderkey")).cast("long").as("mask_and"),
+          bit_or(col("l_orderkey")).cast("long").as("mask_or"),
+          bit_xor(col("l_orderkey")).cast("long").as("mask_xor"),
+          expr("bit_or(shiftleft(1L, cast(l_linenumber % 7 as int)))")
+            .cast("long").as("line_bitmap"))
+        .orderBy("l_returnflag")
     })
 }

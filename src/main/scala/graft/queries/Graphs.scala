@@ -320,5 +320,51 @@ object Graphs extends QueryPack {
       nE.crossJoin(nW).crossJoin(tAgg)
         .withColumn("clustering_coeff",
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+    },
+
+    // DEGREE-DISTRIBUTION audit of the same co-purchase graph: node
+    // counts per power-of-two degree bucket — the power-law check that
+    // decides whether a graph workload needs hub-aware treatment
+    // (degree-ordered orientation, hub salting) before any join is
+    // planned. Bucket = floor(log2(deg)) computed INTEGER-EXACTLY as
+    // length(bin(deg)) - 1: both engines agree on the binary string,
+    // while floor(log2(x)) in doubles can disagree by 1 ulp exactly at
+    // the bucket boundaries. Two shuffles total (edge dedup, degree
+    // count); the bucket rollup is |buckets|-sized.
+    q("q_graph_degree_hist",
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS pk
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_size >= 47),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM items a JOIN items b
+        |        ON a.okey = b.okey AND a.pk < b.pk),
+        |deg AS (SELECT n, COUNT(*) AS dg FROM (
+        |          SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY n)
+        |SELECT CAST(length(bin(dg)) - 1 AS INT) AS log2_degree,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(MIN(dg) AS BIGINT) AS min_degree,
+        |  CAST(MAX(dg) AS BIGINT) AS max_degree,
+        |  CAST(SUM(dg) AS BIGINT) AS degree_mass
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_size") >= 47),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = items.as("a").join(items.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+        .groupBy((length(bin(col("dg"))) - 1).cast("int")
+          .as("log2_degree"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          min(col("dg")).cast("long").as("min_degree"),
+          max(col("dg")).cast("long").as("max_degree"),
+          sum(col("dg")).cast("long").as("degree_mass"))
+        .orderBy("log2_degree")
     })
 }
