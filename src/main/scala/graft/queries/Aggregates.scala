@@ -572,5 +572,39 @@ object Aggregates extends QueryPack {
           expr("bit_or(shiftleft(1L, cast(l_linenumber % 7 as int)))")
             .cast("long").as("line_bitmap"))
         .orderBy("l_returnflag")
+    },
+
+    // DETERMINISTIC MODE (most-frequent value per group, min-value
+    // tie-break). Built-in `mode()` is tie-nondeterministic in BOTH
+    // engines — useless for a verified pipeline — so the argmax is
+    // explicit: count per (group, value), then max(struct(cnt, -value))
+    // picks highest count, lowest value on ties. Two partial/final
+    // aggs, both map-side combining; the second input is
+    // |group × distinct values|, already reduced.
+    q("q_agg_mode",
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, v, cnt,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY cnt DESC, v) AS rn
+        |      FROM c)
+        |SELECT l_returnflag,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN v END) AS DOUBLE) AS mode_qty,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS mode_cnt,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("cnt"), (-col("v")).as("nv"))).as("best"),
+          count(lit(1)).cast("long").as("n_distinct"))
+        .select(col("l_returnflag"),
+          (-col("best.nv")).cast("double").as("mode_qty"),
+          col("best.cnt").cast("long").as("mode_cnt"),
+          col("n_distinct"))
+        .orderBy("l_returnflag")
     })
 }

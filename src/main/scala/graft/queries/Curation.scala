@@ -781,5 +781,38 @@ object Curation extends QueryPack {
           "l_suppkey"))
         .unionAll(one("orders.o_custkey", t(s, dir, "orders"), "o_custkey"))
         .orderBy("keycol")
+    },
+
+    // TRAIN/VAL/TEST SPLIT — the canonical last step before training:
+    // a deterministic, EXHAUSTIVE, disjoint 3-way partition by document
+    // hash (80/10/10). Hash-keyed (not rand()): any executor, retry, or
+    // re-run assigns every doc to the same split, and adding documents
+    // never moves existing ones between splits (per-doc decision, no
+    // global count dependence — unlike ntile-style splitting, which
+    // reshuffles everything when the corpus grows). Pure per-row
+    // projection then a |splits × sources| accounting agg.
+    q("q_sample_split",
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN h % 10 < 8 THEN 'train'
+        |         WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT source, doc_id,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |            ::BIGINT AS h
+        |        FROM documents))
+        |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (h60(col("doc_id").cast("string")) % 10).as("b"))
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("split", "source")
     })
 }
