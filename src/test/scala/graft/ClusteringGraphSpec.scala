@@ -132,4 +132,66 @@ class ClusteringGraphSpec extends AnyFunSuite {
       assert(r.getAs[Double]("skew_ratio") >= 1.0)
     }
   }
+
+  test("train/val/test split is exhaustive and disjoint") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_sample_split")(spark, sfDir)
+    val docs = T.t(spark, sfDir, "documents")
+    // Exhaustive: per-source split counts re-sum to the corpus, and the
+    // id checksums re-sum to the corpus checksum (disjointness follows:
+    // equal count + equal sum over disjoint-by-construction buckets).
+    val bySrc = r.groupBy("source")
+      .agg(sum("n_docs").as("n"), sum("id_checksum").as("ck"))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    val truth = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("ck"))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(bySrc == truth, "split buckets do not re-sum to the corpus")
+    val splits = r.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"))
+  }
+
+  test("deterministic mode beats or ties every other value's count") {
+    import org.apache.spark.sql.functions._
+    val modes = SparkEntry.queries("q_agg_mode")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("mode_qty"), r.getAs[Long]("mode_cnt"))).toMap
+    val counts = T.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt")).collect()
+    for (row <- counts) {
+      val (flag, v, c) = (row.getString(0), row.getDouble(1), row.getLong(2))
+      val (mv, mc) = modes(flag)
+      assert(c < mc || (c == mc && v >= mv),
+        s"$flag: value $v (cnt $c) beats reported mode $mv (cnt $mc)")
+    }
+  }
+
+  test("degree histogram conserves node and degree mass") {
+    import org.apache.spark.sql.functions._
+    val h = SparkEntry.queries("q_graph_degree_hist")(spark, sfDir)
+    val tri = SparkEntry.queries("q_graph_triangles")(spark, sfDir).head()
+    // Σ degree_mass = 2 |E|; buckets hold 2^b <= deg < 2^(b+1).
+    val mass = h.agg(sum("degree_mass")).head.getLong(0)
+    assert(mass == 2 * tri.getAs[Long]("n_edges"))
+    h.collect().foreach { r =>
+      val b = r.getAs[Int]("log2_degree")
+      val (lo, hi) = (r.getAs[Long]("min_degree"), r.getAs[Long]("max_degree"))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b holds degrees [$lo,$hi] outside [2^$b, 2^${b + 1})")
+    }
+  }
+
+  test("bitwise aggregates obey containment laws") {
+    val rs = SparkEntry.queries("q_agg_bitwise")(spark, sfDir).collect()
+    for (r <- rs) {
+      val (a, o) = (r.getAs[Long]("mask_and"), r.getAs[Long]("mask_or"))
+      assert((a & o) == a, "AND-fold must be a subset of the OR-fold")
+      val bm = r.getAs[Long]("line_bitmap")
+      assert(bm > 0 && bm < 128, "line bitmap must use only bits 0..6")
+    }
+  }
 }
