@@ -44,15 +44,21 @@ object ConnectedComponents {
     */
   def label(edges: DataFrame, src: String = "src", dst: String = "dst",
       maxIters: Int = 25): DataFrame = {
-    val nodes = edges
-      .select(explode(array(col(src).cast("long"), col(dst).cast("long")))
-        .as("node"))
-      .distinct()
+    // Materialize the INPUT once: nodes and the canonical edge set are
+    // both derived from it, and an expensive upstream plan (an LSH
+    // bucket join, an all-pairs cosine filter) must not execute twice
+    // just because this operator reads its input from two angles.
+    val raw = edges
+      .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
       .localCheckpoint(true)
+    // Single consumer (the final label join) — no checkpoint needed.
+    val nodes = raw
+      .select(explode(array(col("s"), col("d"))).as("node"))
+      .distinct()
     // Canonical undirected edge = (lo, hi), self-loops dropped.
-    var e = edges
-      .select(least(col(src), col(dst)).cast("long").as("lo"),
-        greatest(col(src), col(dst)).cast("long").as("hi"))
+    var e = raw
+      .select(least(col("s"), col("d")).as("lo"),
+        greatest(col("s"), col("d")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
       .localCheckpoint(true)

@@ -204,6 +204,10 @@ object Similarity extends QueryPack {
         .partitionBy("tbl", "bucket").orderBy("vec_id")
       val capped = buckets.withColumn("rnk", row_number().over(wbk))
         .filter(col("rnk") <= bucketCap).drop("rnk")
+        // Both sides of the candidate self-join read this relation:
+        // materialize the signature pipeline (crossJoin + groupBy +
+        // window) once, not per side.
+        .localCheckpoint(true)
       val l = capped.select(col("vec_id").as("q_id"), col("tbl"),
         col("bucket"))
       val r = capped.select(col("vec_id").as("cand_id"),
@@ -371,6 +375,10 @@ object Similarity extends QueryPack {
         .withColumn("cent_cos",
           dot("embedding", "cent") / (col("nrm") * col("cent_nrm")))
         .withColumn("arn", row_number().over(wAssign))
+        // Two consumers (index build + probe list): materialize the
+        // corpus×centroid ranking once instead of re-running the
+        // crossJoin + window per consumer.
+        .localCheckpoint(true)
       // Inverted file: every vector lives in exactly ONE cell (arn=1),
       // capped per cell deterministically by vec_id.
       val wCell = org.apache.spark.sql.expressions.Window
