@@ -79,7 +79,9 @@ object Dedup extends QueryPack {
 
   private def minhashPairsBuild(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val sh = shingleDf(s, dir)
+    // Three consumers (signature pass + both rescore sides): shingle
+    // the corpus once, not three times.
+    val sh = shingleDf(s, dir).localCheckpoint(true)
     // 24 minhash signatures — ONE shingle-array pass via the native
     // minhash_sigs kernel (functions/MinHashSigs.scala); bit-identical
     // to min-over-xxhash64(k, v) per k, minus 23 array traversals and
@@ -105,6 +107,9 @@ object Dedup extends QueryPack {
       .partitionBy("band", "h").orderBy("doc_id")
     val capped = banded.withColumn("rnk", row_number().over(wb))
       .filter(col("rnk") <= 1000).drop("rnk")
+    // Identical subtree on both sides of the bucket self-join →
+    // ReuseExchange shares the one shuffle; checkpointing here measured
+    // slower (forces a materialize plus two fresh exchanges).
     val l = capped.as("l")
     val r = capped.as("r")
     val cand = l.join(r,

@@ -284,6 +284,10 @@ object Graphs extends QueryPack {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
         .distinct()
+      // NB: the self-join below reads `items` twice but plans ONE
+      // exchange — ReuseExchange covers identical subtrees; a
+      // localCheckpoint here measured SLOWER (materialize + two fresh
+      // exchanges vs one reused).
       val e = items.as("a").join(items.as("b"),
           col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
@@ -353,6 +357,10 @@ object Graphs extends QueryPack {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
         .distinct()
+      // NB: the self-join below reads `items` twice but plans ONE
+      // exchange — ReuseExchange covers identical subtrees; a
+      // localCheckpoint here measured SLOWER (materialize + two fresh
+      // exchanges vs one reused).
       val e = items.as("a").join(items.as("b"),
           col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))

@@ -204,10 +204,8 @@ object Similarity extends QueryPack {
         .partitionBy("tbl", "bucket").orderBy("vec_id")
       val capped = buckets.withColumn("rnk", row_number().over(wbk))
         .filter(col("rnk") <= bucketCap).drop("rnk")
-        // Both sides of the candidate self-join read this relation:
-        // materialize the signature pipeline (crossJoin + groupBy +
-        // window) once, not per side.
-        .localCheckpoint(true)
+      // Identical subtree on both self-join sides → ReuseExchange
+      // already shares the shuffle; a checkpoint measured slower here.
       val l = capped.select(col("vec_id").as("q_id"), col("tbl"),
         col("bucket"))
       val r = capped.select(col("vec_id").as("cand_id"),
