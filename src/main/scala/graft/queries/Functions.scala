@@ -56,6 +56,52 @@ object Functions extends QueryPack {
         .orderBy("o_orderkey")
     },
 
+    // Date/time registry, part 2 — the functions DuckDB lacks natively,
+    // each oracled by its defining formula: months_between (Hive/Spark
+    // 31-day-denominator semantics, spelled out in SQL), next_day
+    // (isodow modular arithmetic), weekofyear/dayofyear (ISO in both),
+    // unix_timestamp round-trip, and from_utc_timestamp with a FIXED
+    // offset zone (+05:30) so the oracle is a plain interval shift —
+    // named-zone DST rules are JDK-vs-ICU territory, not something a
+    // bit-exact oracle should depend on.
+    q("q_fn_datetime2",
+      """SELECT o_orderkey,
+        |  CASE WHEN day(o_orderdate) = 17
+        |       THEN CAST((year(o_orderdate) - 1995) * 12
+        |                 + (month(o_orderdate) - 6) AS DOUBLE)
+        |       ELSE ROUND((year(o_orderdate) - 1995) * 12
+        |            + (month(o_orderdate) - 6)
+        |            + (day(o_orderdate) - 17) / 31.0, 8) + 0.0 END AS mb,
+        |  CAST(o_orderdate AS DATE)
+        |       + CAST(((7 - isodow(o_orderdate)) % 7) + 1 AS INTEGER)
+        |    AS next_monday,
+        |  weekofyear(o_orderdate) AS woy,
+        |  dayofyear(o_orderdate) AS doy,
+        |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS unix_s,
+        |  strftime(to_timestamp(epoch(CAST(o_orderdate AS TIMESTAMP))),
+        |           '%Y-%m-%d %H:%M:%S') AS from_unix,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP)
+        |           + INTERVAL 5 HOUR + INTERVAL 30 MINUTE,
+        |           '%Y-%m-%d %H:%M') AS ist_wall
+        |FROM orders WHERE o_orderkey < 50
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 50)
+        .select(col("o_orderkey"),
+          months_between(col("o_orderdate"),
+            lit("1995-06-17").cast("date")).as("mb"),
+          next_day(col("o_orderdate"), "Monday").as("next_monday"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("unix_s"),
+          from_unixtime(
+            unix_timestamp(col("o_orderdate").cast("timestamp")))
+            .as("from_unix"),
+          date_format(from_utc_timestamp(
+            col("o_orderdate").cast("timestamp"), "+05:30"),
+            "yyyy-MM-dd HH:mm").as("ist_wall"))
+        .orderBy("o_orderkey")
+    },
+
     // String family: case, pad, trim, search, slice, edit distance.
     q("q_fn_string",
       """SELECT c_custkey,
