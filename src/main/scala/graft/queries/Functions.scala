@@ -140,6 +140,34 @@ object Functions extends QueryPack {
         .orderBy("c_custkey")
     },
 
+    // String registry, part 2 — functions DuckDB lacks natively, each
+    // oracled by its defining formula on this data: initcap (single-
+    // word inputs ⇒ upper-first+lower-rest twin), format_number
+    // (thousands grouping via fmt '{:,.2f}'), printf/format_string.
+    // `soundex` has no SQL-expressible twin — pinned to known codes in
+    // RegistrySpec instead.
+    q("q_fn_string2",
+      """SELECT c_custkey,
+        |  upper(substring(c_mktsegment, 1, 1))
+        |    || lower(substring(c_mktsegment, 2)) AS seg_cap,
+        |  CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END
+        |    || format('{:,}', CAST(split_part(
+        |         printf('%.2f', abs(c_acctbal)), '.', 1) AS BIGINT))
+        |    || '.' || split_part(printf('%.2f', abs(c_acctbal)), '.', 2)
+        |    AS bal_fmt,
+        |  printf('%05d|%s', CAST(c_custkey AS INTEGER), c_mktsegment)
+        |    AS tagged
+        |FROM customer WHERE c_custkey < 30
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 30)
+        .select(col("c_custkey"),
+          initcap(col("c_mktsegment")).as("seg_cap"),
+          format_number(col("c_acctbal"), 2).as("bal_fmt"),
+          format_string("%05d|%s", col("c_custkey"), col("c_mktsegment"))
+            .as("tagged"))
+        .orderBy("c_custkey")
+    },
+
     // Math + bit-op family (UDFOPBit*, shiftleft/right — §2.8).
     q("q_fn_math",
       """SELECT l_orderkey, l_linenumber,

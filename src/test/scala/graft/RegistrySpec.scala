@@ -51,4 +51,13 @@ class RegistrySpec extends AnyFunSuite {
     val xs = h.orderBy("x").collect().map(_.getDouble(0))
     assert(xs.sameElements(xs.sorted))
   }
+
+  test("soundex matches the canonical published codes") {
+    // No DuckDB twin exists — pin the classic reference vectors
+    // (Knuth TAOCP vol. 3 / the US census algorithm) instead.
+    import spark.implicits._
+    val got = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister")
+      .toDF("name").selectExpr("soundex(name)").as[String].collect()
+    assert(got.sameElements(Seq("R163", "R163", "A261", "T522", "P236")))
+  }
 }
