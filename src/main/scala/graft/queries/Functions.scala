@@ -207,6 +207,47 @@ object Functions extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Math registry, part 2 — trig (round 6: libm last-ulp drift, e.g.
+    // DuckDB cbrt(27) = 3.0000000000000004), HALF-EVEN bround on real
+    // .5 ties (integer quantities / 2), factorial, base conversion
+    // (conv ≡ to_base), log2, and right shifts (srl ≡ sra on the
+    // non-negative keys here; Hive's shiftrightunsigned differs only
+    // below zero).
+    q("q_fn_math2",
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(sin(l_quantity), 6) AS sn,
+        |  ROUND(cos(l_quantity), 6) + 0.0 AS cs,
+        |  ROUND(tan(l_discount), 6) AS tn,
+        |  ROUND(asin(l_discount), 6) AS asn,
+        |  ROUND(acos(l_discount), 6) AS acs,
+        |  ROUND(atan2(l_quantity, 7.0), 6) AS at2,
+        |  ROUND(cbrt(l_quantity), 6) AS cb,
+        |  round_even(l_quantity / 2, 0) + 0.0 AS br,
+        |  CAST(factorial(CAST(l_linenumber AS INTEGER)) AS BIGINT) AS fact,
+        |  to_base(l_orderkey, 16) AS hx16,
+        |  ROUND(log2(l_quantity + 1), 6) AS l2,
+        |  ROUND(degrees(radians(l_quantity)), 6) AS dg,
+        |  l_orderkey >> 2 AS srl
+        |FROM lineitem WHERE l_orderkey < 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sin(col("l_quantity")), 6).as("sn"),
+          (round(cos(col("l_quantity")), 6) + 0.0).as("cs"),
+          round(tan(col("l_discount")), 6).as("tn"),
+          round(asin(col("l_discount")), 6).as("asn"),
+          round(acos(col("l_discount")), 6).as("acs"),
+          round(atan2(col("l_quantity"), lit(7.0)), 6).as("at2"),
+          round(cbrt(col("l_quantity")), 6).as("cb"),
+          (bround(col("l_quantity") / 2, 0) + 0.0).as("br"),
+          expr("factorial(cast(l_linenumber as int))").as("fact"),
+          conv(col("l_orderkey"), 10, 16).as("hx16"),
+          round(log2(col("l_quantity") + 1), 6).as("l2"),
+          round(degrees(radians(col("l_quantity"))), 6).as("dg"),
+          shiftrightunsigned(col("l_orderkey"), 2).as("srl"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Conditional / null family: if, nvl, nullif, coalesce, case,
     // between, in, isnull.
     q("q_fn_conditional",
