@@ -22,6 +22,54 @@ object Joins extends QueryPack {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // TPC-H Q5 (local supplier volume) — the 6-table join-reorder
+    // flagship: region→nation are broadcast dims, customer/supplier
+    // shuffle on nationkey, orders/lineitem carry the volume, and the
+    // c_nationkey = s_nationkey correlation ("local" suppliers) is the
+    // classic trap that makes join ORDER matter — CBO + joinReorder
+    // (SparkEntry.tune) get the dims probed early so the big fact join
+    // runs pre-filtered. Money math in exact decimal (T.dec pattern).
+    q("q5_local_supplier_volume",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) {
+      (s, dir) =>
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // TPC-H Q5 shape: fact-fact shuffle join + broadcast dim chain.
     q("q_join_star",
       s"""SELECT n_name, ${oRev("l_extendedprice", "l_discount")} AS revenue,
