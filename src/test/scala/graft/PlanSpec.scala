@@ -201,6 +201,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"sampling shuffles $exchanges times")
   }
 
+  test("q5 broadcasts the dim chain and pushes the date filter") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), "nation/region not broadcast")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "order-date filter not pushed to the parquet scan")
+    assert(!p.contains("CartesianProduct"),
+      "join reorder produced a cartesian")
+  }
+
   test("k-means assignment broadcasts centroids (corpus never shuffles)") {
     // Every assignment pass must be corpus × broadcast(k centroids):
     // a SortMergeJoin here would shuffle the full corpus per Lloyd
