@@ -70,6 +70,118 @@ object Joins extends QueryPack {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q3 (shipping priority): two-fact join, segment-filtered
+    // dim probe, top-10 by revenue — the TakeOrderedAndProject shape on
+    // a join output (the sort never sees more than the per-partition
+    // top 10).
+    q("q3_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      val cut = lit("1997-03-15 00:00:00").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum((dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    // TPC-H Q10 (returned items): which customers returned the most
+    // revenue in a quarter — fact join filtered on the return flag,
+    // customer dim re-joined for attributes, top 20.
+    q("q10_returned_items",
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  c_mktsegment, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_mktsegment, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment", "n_name")
+        .agg(sum((dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_mktsegment"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // TPC-H Q18 (large-volume customers): the HAVING-subquery shape —
+    // qualifying orderkeys come from a grouped HAVING over the fact
+    // table, then re-join the facts. The subquery output is tiny
+    // (a semi-probe list), so it broadcasts into the second pass.
+    q("q18_large_volume",
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(l_quantity) > 150)
+        |SELECT c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(o_totalprice AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY total DESC, o_orderkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 150).select(col("l_orderkey").as("bk"))
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = t(s, dir, "customer").select("c_custkey")
+      li.join(broadcast(big), col("l_orderkey") === col("bk"), "left_semi")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_totalprice").cast("double").as("total"), col("qty"))
+        .orderBy(col("total").desc, col("o_orderkey")).limit(20)
+    },
+
     // TPC-H Q5 shape: fact-fact shuffle join + broadcast dim chain.
     q("q_join_star",
       s"""SELECT n_name, ${oRev("l_extendedprice", "l_discount")} AS revenue,
