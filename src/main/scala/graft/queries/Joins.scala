@@ -182,6 +182,108 @@ object Joins extends QueryPack {
         .orderBy(col("total").desc, col("o_orderkey")).limit(20)
     },
 
+    // TPC-H Q12 (shipmode priority): single-pass fact scan with a
+    // conditional aggregation — the CASE-WHEN rollup shape. Priority
+    // classes counted per l_linestatus stand-in for shipmode (this
+    // schema has no l_shipmode; l_linestatus plays the 2-value role).
+    q("q12_priority_by_status",
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) {
+      (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1).otherwise(0)).cast("long")
+          .as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).cast("long").as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q14 (promo effect): aggregate ratio over a joined scan —
+    // two exact-decimal sums, one conditional, divided at the end.
+    // The p_type LIKE 'PROMO%' class runs map-side on the broadcast
+    // part dim.
+    q("q14_promo_effect",
+      """SELECT CAST(ROUND(100.00 * pr / tot, 4) AS DOUBLE) AS promo_revenue
+        |FROM (
+        |  SELECT
+        |    SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |             AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4))
+        |        END) AS pr,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |        AS DECIMAL(18,4))) AS tot
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')""".stripMargin) {
+      (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+          lit("1996-09-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").like("PROMO%"), rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("pr"),
+          sum(rev).as("tot"))
+        .select(round(lit(100.00) * col("pr") / col("tot"), 4)
+          .cast("double").as("promo_revenue"))
+    },
+
+    // TPC-H Q19 (discounted revenue): the disjunctive multi-attribute
+    // predicate — three OR'd (brand, container-ish, quantity-band)
+    // clauses that each combine join-key and non-join predicates. The
+    // planner must keep it ONE broadcast join with the OR residual, not
+    // a union of three scans.
+    q("q19_disjunctive_revenue",
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity >= 1 AND l_quantity <= 21)
+        |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity >= 10 AND l_quantity <= 30)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 45
+        |        AND l_quantity >= 20 AND l_quantity <= 40))""".stripMargin) {
+      (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val part = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val clause = (b: String, s1: Int, s2: Int, q1: Int, q2: Int) =>
+        col("p_brand") === b && col("p_size").between(s1, s2) &&
+          col("l_quantity") >= q1 && col("l_quantity") <= q2
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(clause("Brand#1", 1, 15, 1, 21) ||
+          clause("Brand#2", 10, 30, 10, 30) ||
+          clause("Brand#3", 20, 45, 20, 40))
+        .agg(sum((dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+    },
+
     // TPC-H Q5 shape: fact-fact shuffle join + broadcast dim chain.
     q("q_join_star",
       s"""SELECT n_name, ${oRev("l_extendedprice", "l_discount")} AS revenue,
