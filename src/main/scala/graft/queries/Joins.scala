@@ -284,6 +284,63 @@ object Joins extends QueryPack {
           .cast("double").as("revenue"))
     },
 
+    // TPC-H Q13 (customer distribution): LEFT join preserving order-less
+    // customers, then a COUNT-OF-COUNTS — two chained aggregations where
+    // the second's input is already key-cardinality-sized. The classic
+    // histogram-of-activity shape.
+    q("q13_customer_distribution",
+      """WITH co AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey
+        |   AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q17 (small-quantity orders): the correlated scalar-average
+    // shape — revenue from lineitems below 20% of their part's average
+    // quantity. Decorrelates to ONE per-part aggregate re-joined to the
+    // fact scan (Catalyst does this from the subquery form too; written
+    // explicitly here, the oracle keeps the correlated original). The
+    // per-part averages relation is |parts|-sized → broadcast probe.
+    q("q17_small_quantity_revenue",
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |       / 7.0, 4) AS DOUBLE) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_size = 1
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin) {
+      (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val part = t(s, dir, "part").filter(col("p_size") === 1)
+        .select("p_partkey")
+      // Per-part 0.2*avg — decimal-exact mean so both engines place
+      // boundary rows identically (avg of integer-valued doubles).
+      val avgq = li.groupBy(col("l_partkey").as("ak"))
+        .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double")
+          / count(lit(1)))).as("cutoff"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(avgq), col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < col("cutoff"))
+        .agg(round(sum(dec(col("l_extendedprice"))) / 7.0, 4)
+          .cast("double").as("avg_yearly"))
+    },
+
     // TPC-H Q5 shape: fact-fact shuffle join + broadcast dim chain.
     q("q_join_star",
       s"""SELECT n_name, ${oRev("l_extendedprice", "l_discount")} AS revenue,
