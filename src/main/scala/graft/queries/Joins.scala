@@ -341,6 +341,51 @@ object Joins extends QueryPack {
           .cast("double").as("avg_yearly"))
     },
 
+    // TPC-H Q22 (global sales opportunity): the composite shape — a
+    // GLOBAL scalar threshold (avg positive balance across the target
+    // nations, broadcast as one row) filters customers, then an
+    // ANTI-join drops anyone with an urgent 1996 order. Exact decimal sums keep the
+    // threshold comparison bit-identical.
+    q("q22_sales_opportunity",
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (3, 7, 11, 17, 21)),
+        |thresh AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |         / COUNT(*) AS a
+        |  FROM pool WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM pool
+        |WHERE c_acctbal > (SELECT a FROM thresh)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT'
+        |                    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |                    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
+      (s, dir) =>
+      val pool = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(3, 7, 11, 17, 21))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val thresh = pool.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("a"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >=
+            lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+      pool.crossJoin(broadcast(thresh))
+        .filter(col("c_acctbal") > col("a"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
     // TPC-H Q5 shape: fact-fact shuffle join + broadcast dim chain.
     q("q_join_star",
       s"""SELECT n_name, ${oRev("l_extendedprice", "l_discount")} AS revenue,
