@@ -386,6 +386,287 @@ object Joins extends QueryPack {
         .orderBy("c_nationkey")
     },
 
+    // TPC-H Q4 (order-priority checking), adapted: the synthetic
+    // lineitem carries no commit/receipt dates, so "late" is shipping
+    // more than 60 days after the order date. The correlated EXISTS
+    // decorrelates to ONE left-semi join whose condition mixes the equi
+    // key with the non-equi lateness predicate — Spark keeps it a
+    // shuffle semi join on l_orderkey (no cartesian), and the semi side
+    // prunes to two columns. At 100 TB both sides partition on orderkey.
+    q("q4_order_priority",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    // flagship — no join at all. The whole query is one codegen'd stage:
+    // parquet scan with ALL THREE predicates pushed (shipdate range,
+    // discount band, quantity cap) feeding a single decimal sum. The
+    // plan to demand: PushedFilters lists every clause, ReadSchema is
+    // 4 columns, one partial+final agg, zero exchanges beyond the final
+    // single-row gather.
+    q("q6_forecast_revenue",
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |     * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |     AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("decimal(38,2)").cast("double").as("revenue"))
+    },
+
+    // TPC-H Q7 (volume shipping): the two-nation flow query — nation
+    // joins on BOTH ends of the order (supplier side and customer side),
+    // with the symmetric pair predicate that forces the planner to keep
+    // both dimension copies distinct. Both nation probes broadcast; the
+    // lineitem→orders→customer chain shuffles on its natural keys; the
+    // year extraction groups into a 2×2×years cube.
+    q("q7_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |       AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    EXTRACT(year FROM l_shipdate) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM supplier, lineitem, orders, customer,
+        |    nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) {
+      (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val n1 = broadcast(nat.select(col("n_nationkey").as("n1_key"),
+        col("n_name").as("supp_nation")))
+      val n2 = broadcast(nat.select(col("n_nationkey").as("n2_key"),
+        col("n_name").as("cust_nation")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" &&
+            col("cust_nation") === "NATION_7"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(drev(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 (national market share): the widest flagship join — all
+    // seven tables (part, lineitem, orders, customer, supplier, nation
+    // ×2 via region) feeding a conditional-ratio aggregate: the target
+    // nation's share of AMERICA-region revenue per order year. Dims
+    // broadcast; fact chain shuffles; the ratio divides two exact
+    // decimal sums cast to double (deterministic, like q14).
+    q("q8_market_share",
+      """SELECT o_year,
+        |  CAST(ROUND(100.00 * nat / tot, 4) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |    SUM(CASE WHEN n2.n_name = 'NATION_6'
+        |        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |             AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4))
+        |        END) AS nat,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |        AS DECIMAL(18,4))) AS tot
+        |  FROM part, lineitem, orders, customer, supplier,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_year)
+        |ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val rev = (dec(col("l_extendedprice")) *
+        (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+      val part = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = broadcast(t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey"))
+      val nat = t(s, dir, "nation")
+      val n1 = broadcast(nat.join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "AMERICA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("n1_key")))
+      val n2 = broadcast(nat.select(col("n_nationkey").as("n2_key"),
+        col("n_name").as("supp_nation")))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("n1_key"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(n2, col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_6", rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("nat"),
+          sum(rev).as("tot"))
+        .select(col("o_year"),
+          round(lit(100.00) * col("nat") / col("tot"), 4)
+            .cast("double").as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q15 (top supplier): the view-plus-scalar-max shape — a
+    // quarter's per-supplier revenue rollup is consumed TWICE, once for
+    // the global max (one broadcast row) and once as the join probe.
+    // The decimal revenue stays decimal through the max-equality test
+    // (bit-exact tie semantics) and only casts to double on output.
+    q("q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |        AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)"))
+          .as("total_revenue"))
+        // consumed twice (max + probe): materialize once, not two scans
+        .localCheckpoint(true)
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    // no-receipt-date schema: a lineitem is "late" when it ships more
+    // than 60 days after the order date. For finished orders, count per
+    // supplier the orders where THAT supplier shipped late, at least one
+    // OTHER supplier participated (semi), and NO other supplier was late
+    // (anti) — the classic sole-blame triple self-join. The late set is
+    // computed once and reused on both probe sides; all three probes
+    // shuffle on l_orderkey, so at 100 TB they co-partition.
+    q("q21_waiting_supplier",
+      """WITH fli AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |late AS (
+        |  SELECT * FROM fli
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM fli l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) {
+      (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val fli = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+      val late = fli.filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        // probed twice (l1 base + l3 anti): one shuffle, not two scans
+        .localCheckpoint(true)
+      val l2 = fli.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+      val supp = broadcast(t(s, dir, "supplier")
+        .select("s_suppkey", "s_name"))
+      late
+        .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
     // TPC-H Q5 shape: fact-fact shuffle join + broadcast dim chain.
     q("q_join_star",
       s"""SELECT n_name, ${oRev("l_extendedprice", "l_discount")} AS revenue,
