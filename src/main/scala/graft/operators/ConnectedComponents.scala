@@ -38,8 +38,9 @@ object ConnectedComponents {
     *                 edges are harmless; isolated nodes simply don't
     *                 appear (callers union them back if needed).
     * @param src,dst  names of the two long-typed endpoint columns.
-    * @param maxIters hard cap on star rounds (O(log n) suffices; 25
-    *                 covers any graph that fits on disk).
+    * @param maxIters hard cap on star rounds (O(log^2 n) proven worst
+    *                 case, O(log n) observed; 25 covers any graph that
+    *                 fits on disk).
     * @return (node: long, comp_id: long) — one row per distinct endpoint.
     */
   def label(edges: DataFrame, src: String = "src", dst: String = "dst",
@@ -110,9 +111,10 @@ object ConnectedComponents {
     }
     // A maxIters exit without the fixpoint means the labels below would
     // come from a non-star intermediate edge set — wrong component ids
-    // with no other symptom. Fail loudly instead (star contraction is
-    // O(log n) rounds, so hitting this means maxIters was set far too
-    // low for the graph, not a transient condition worth retrying).
+    // with no other symptom. Fail loudly instead (star contraction
+    // converges in O(log^2 n) rounds worst case, O(log n) observed, so
+    // hitting this means maxIters was set far too low for the graph,
+    // not a transient condition worth retrying).
     if (!converged)
       throw new IllegalStateException(
         s"connected-components did not converge in $maxIters star rounds " +

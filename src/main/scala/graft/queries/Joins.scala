@@ -667,6 +667,229 @@ object Joins extends QueryPack {
         .orderBy(col("numwait").desc, col("s_name"))
     },
 
+    // TPC-H Q2 (minimum-cost supplier), adapted: no partsupp table in
+    // this schema, so the supply relation is derived — distinct
+    // (part, supplier) pairs from lineitem with supply cost = the best
+    // observed unit price (MIN of extendedprice/quantity; IEEE division
+    // and MIN are bit-identical across engines, no accumulation). The
+    // correlated min-cost subquery decorrelates to ONE window min over
+    // the region-scoped supply, partitioned by part — one shuffle on
+    // partkey, no self-join, no cartesian. The part filter prunes ~94%
+    // of groups BEFORE that shuffle (size/type are functionally
+    // dependent on partkey, so pre-filtering cannot change a group's
+    // min). Dims broadcast; at extreme SF the supplier broadcast would
+    // become a shuffle join — flagged, same tradeoff as q8.
+    q("q2_min_cost_supplier",
+      """WITH supply AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        |  FROM supply, supplier, nation, region
+        |  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+        |FROM part JOIN eu ON p_partkey = ps_partkey
+        |WHERE p_size <= 15 AND p_type = 'LARGE'
+        |  AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eu e2
+        |                       WHERE e2.ps_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val supply = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity"))
+          .as("ps_supplycost"))
+      val natEu = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+      val supp = broadcast(t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
+      val prt = broadcast(t(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_type"))
+      val eu = supply
+        .join(supp, col("ps_suppkey") === col("s_suppkey"))
+        .join(natEu, col("s_nationkey") === col("n_nationkey"))
+        .join(prt, col("ps_partkey") === col("p_partkey"))
+      eu.withColumn("mincost",
+          min(col("ps_supplycost")).over(Window.partitionBy("ps_partkey")))
+        .filter(col("ps_supplycost") === col("mincost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 (product-type profit), adapted: supply cost proxied as
+    // 60% of the part's retail price (no partsupp.ps_supplycost). The
+    // profit expression stays EXACT decimal end to end: 0.6 enters as a
+    // DECIMAL(2,1) literal (never a double), products widen scale
+    // without rounding, and only the final sum rescales to 2 decimals
+    // (HALF_UP in both engines). Part-name LIKE filter broadcast-prunes
+    // lineitem before the orders join; nation broadcast; group by
+    // supplier nation × order year.
+    q("q9_product_type_profit",
+      """SELECT nation, o_year,
+        |  CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    EXTRACT(year FROM o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |      - CAST(p_retailprice AS DECIMAL(18,4))
+        |        * CAST(l_quantity AS DECIMAL(18,4)) * 0.6 AS amount
+        |  FROM part, lineitem, orders, supplier, nation
+        |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE 'small%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+      val amount = dec(col("l_extendedprice")) *
+        (lit(1) - dec(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity")) *
+          lit(BigDecimal("0.6"))
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("small%"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("decimal(38,2)").cast("double")
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 (important stock), adapted: "stock value" per part is
+    // the revenue flowing through ONE nation's suppliers (no
+    // partsupp.availqty). The global-fraction HAVING is the signature
+    // shape: the per-part rollup is consumed twice — once for the total
+    // (one broadcast row) and once as the filter probe. The threshold
+    // compares 1000*val > total in EXACT decimals (integer scaling, no
+    // decimal division — cross-engine bit-safe, same trick as the
+    // similarity thresholds).
+    q("q11_important_stock",
+      """WITH v AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3'
+        |  GROUP BY 1)
+        |SELECT ps_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v
+        |WHERE 1000 * val > (SELECT SUM(val) FROM v)
+        |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, dir) =>
+      val natSupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val v = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("ps_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("val"))
+        // consumed twice (total + probe): materialize once
+        .localCheckpoint(true)
+      val total = v.agg(sum(col("val")).as("total"))
+      v.crossJoin(broadcast(total))
+        .filter(lit(1000) * col("val") > col("total"))
+        .select(col("ps_partkey"), col("val").cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+
+    // TPC-H Q16 (parts/supplier relationship): how many distinct
+    // suppliers serve each surviving (brand, type, size) bucket, after
+    // excluding blacklisted suppliers (negative account balance stands
+    // in for the "customer complaints" LIKE — same NOT IN shape). The
+    // supply relation is the distinct lineitem pair set; the exclusion
+    // is a broadcast anti join (NOT IN with non-null keys), and the
+    // count-distinct rides the same shuffle as the group-by.
+    q("q16_supplier_part_count",
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM supply JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+      (s, dir) =>
+      val prt = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      val bad = broadcast(t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey"))
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(prt, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q20 (potential part promotion), adapted: no availqty, so
+    // the "excess stock" test becomes supply concentration — a
+    // (part, supplier) pair qualifies when 1996 shipments exceed half
+    // of the pair's all-time shipments (2*q96 > qall in exact decimal,
+    // the conditional sum and the unconditional sum sharing ONE
+    // aggregation pass). Qualifying pairs semi-probe 'small%' parts
+    // (broadcast), then the distinct supplier set semi-probes supplier.
+    q("q20_part_promotion",
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |        THEN CAST(l_quantity AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS q96,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qall
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM shipped JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%' AND 2 * q96 > qall)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val in96 = col("l_shipdate") >=
+        lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+      val qualifying = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("small%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+          sum(when(in96, dec(col("l_quantity")))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("q96"),
+          sum(dec(col("l_quantity"))).as("qall"))
+        .filter(lit(2) * col("q96") > col("qall"))
+        .select("l_suppkey")
+      t(s, dir, "supplier").select("s_suppkey", "s_name")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    },
+
     // TPC-H Q5 shape: fact-fact shuffle join + broadcast dim chain.
     q("q_join_star",
       s"""SELECT n_name, ${oRev("l_extendedprice", "l_discount")} AS revenue,
