@@ -239,4 +239,56 @@ class PlanSpec extends AnyFunSuite {
     assert(tokenExchanges == 1,
       s"expected 1 token exchange, saw $tokenExchanges:\n$p")
   }
+
+  test("q6 is a pure scan-agg: all three predicates pushed, no join") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate") &&
+      p.contains("l_discount") && p.contains("l_quantity"),
+      s"not every q6 predicate reached the parquet scan:\n$p")
+    assert(!p.contains("Join"), "q6 must not join anything")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+  }
+
+  test("q4 decorrelates EXISTS to one semi join, no cartesian") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), "EXISTS did not become a semi join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q4 planned a non-equi product:\n$p")
+  }
+
+  test("q2 min-cost probe is one window over broadcast-pruned supply") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("Window"), "min-cost not decorrelated to a window")
+    assert(p.contains("BroadcastHashJoin"), "dims not broadcast")
+    assert(!p.contains("CartesianProduct"), "q2 planned a cartesian")
+    // The part filter must prune BEFORE the window's partkey shuffle:
+    // no second aggregation pass over unfiltered supply.
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly one window, saw $windows")
+  }
+
+  test("q9 broadcasts the part-name probe and pushes the LIKE prefix") {
+    val p = plan("q9_product_type_profit")
+    assert(p.contains("BroadcastHashJoin"), "part probe not broadcast")
+    assert(p.contains("StringStartsWith") || p.contains("p_name"),
+      "p_name LIKE prefix not pushed to the part scan")
+    assert(!p.contains("CartesianProduct"), "q9 planned a cartesian")
+  }
+
+  test("q16 excludes blacklisted suppliers via broadcast anti join") {
+    val p = plan("q16_supplier_part_count")
+    assert(p.contains("LeftAnti"), "NOT IN did not become an anti join")
+    assert(p.contains("BroadcastHashJoin"), "part/blacklist not broadcast")
+  }
+
+  test("q20 folds both quantity sums into one aggregation pass") {
+    val p = plan("q20_part_promotion")
+    assert(p.contains("LeftSemi"), "part probe not a semi join")
+    // q96 and qall must share one HashAggregate pair (partial+final),
+    // not two separate scans of lineitem.
+    val scans = "FileScan parquet".r.findAllIn(p).size +
+      "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 6, s"q20 re-scans its inputs ($scans scans):\n$p")
+  }
 }
