@@ -138,6 +138,45 @@ object HiveCompatFunctions {
           }
           FreqSketchTopK(exprs(0), k)
         }, "built-in")
+      // KLL quantile sketch family (see KllSketch.scala): mergeable
+      // rank/quantile sketches; k must be a literal (plan-time constant).
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "kll_sketch_agg",
+        exprs => {
+          require(exprs.length == 2,
+            s"kll_sketch_agg requires 2 arguments, got ${exprs.length}")
+          val k = exprs(1) match {
+            case l if l.foldable => l.eval() match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"kll_sketch_agg k must be an int literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "kll_sketch_agg k must be a literal")
+          }
+          KllSketchAgg(exprs(0), k)
+        }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "kll_union_agg",
+        exprs => {
+          require(exprs.length == 1,
+            s"kll_union_agg requires 1 argument, got ${exprs.length}")
+          KllUnionAgg(exprs(0))
+        }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "kll_quantile",
+        exprs => {
+          require(exprs.length == 2,
+            s"kll_quantile requires 2 arguments, got ${exprs.length}")
+          KllQuantile(exprs(0), exprs(1))
+        }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "kll_n",
+        exprs => {
+          require(exprs.length == 1,
+            s"kll_n requires 1 argument, got ${exprs.length}")
+          KllN(exprs(0))
+        }, "built-in")
     }
   }
 

@@ -401,6 +401,46 @@ object Aggregates extends QueryPack {
           expr("theta_anotb_estimate(skb, ska)").as("n_purchase_only"))
     },
 
+    // KLL quantile sketches (functions/KllSketch.scala, native
+    // TypedImperativeAggregate) — the mergeable form of per-group
+    // percentiles: per-shard sketches build map-side, kilobyte blobs
+    // (never the raw values) shuffle to the final union, and quantiles
+    // read off the merged sketch. Per-slice blobs can be persisted and
+    // re-unioned for any later rollup without rescanning (kll_union_agg;
+    // KllSketchSpec pins the parquet round-trip). Exact while no
+    // compaction occurs (n per merged group ≤ k: 8192 here vs ~3k
+    // orders/priority at sf0.01), so INCLUSIVE quantiles are literal
+    // order statistics at ceil(q·n) — which is what the oracle computes
+    // relationally; at 100 TB cardinalities the rank error is bounded at
+    // ~1.65/√k and the merge law still holds (KllSketchSpec).
+    q("q_sketch_quantiles",
+      """WITH r AS (
+        |  SELECT o_orderpriority AS pri, o_totalprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT pri, MAX(n) AS n,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN v END) AS p25,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.50*n) AS BIGINT) THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN v END) AS p75,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN v END) AS p95
+        |FROM r GROUP BY pri ORDER BY pri""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("shard", pmod(col("o_orderkey"), lit(16)))
+        .groupBy(col("o_orderpriority").as("pri"), col("shard"))
+        .agg(expr("kll_sketch_agg(o_totalprice, 8192)").as("sk"))
+        .groupBy("pri")
+        .agg(expr("kll_union_agg(sk)").as("sk"))
+        .select(col("pri"),
+          expr("kll_n(sk)").as("n"),
+          expr("kll_quantile(sk, 0.25d)").as("p25"),
+          expr("kll_quantile(sk, 0.50d)").as("p50"),
+          expr("kll_quantile(sk, 0.75d)").as("p75"),
+          expr("kll_quantile(sk, 0.95d)").as("p95"))
+        .orderBy("pri")
+    },
+
     // PIVOT: event counts as a (event_type × day-of-week) matrix — the
     // wide-format rollup Hive users write as N CASE-WHEN aggregates and
     // Spark plans identically from `.pivot` with EXPLICIT values (never
