@@ -290,18 +290,22 @@ object TextAnalysis extends QueryPack {
         |WHERE cb >= 5
         |ORDER BY pmi DESC, g LIMIT 20""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val big = docs
-        .withColumn("w", split(col("text"), " "))
+      val withW = docs.withColumn("w", split(col("text"), " "))
+      val big = withW
         .filter(size(col("w")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(w) - 1)," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
           .as("g"))
         .groupBy("g").agg(count(lit(1)).as("cb"))
-      val tok = docs.select(explode(split(col("text"), " ")).as("term"))
-      val uni = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val tot = tok.agg(count(lit(1)).as("t"))
-        .crossJoin(big.agg(sum(col("cb")).cast("long").as("tb")))
+      val uni = withW.select(explode(col("w")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      // Corpus totals NEVER re-run the explode subtrees: every doc has
+      // size >= 1 token, so total bigrams = sum(size-1) = t - ndocs —
+      // one scan-level agg replaces a second pass over tok AND big.
+      val tot = withW.agg(
+        sum(size(col("w"))).cast("long").as("t"),
+        (sum(size(col("w"))) - count(lit(1))).cast("long").as("tb"))
       big.filter(col("cb") >= 5)
         .withColumn("a", expr("split(g, ' ')[0]"))
         .withColumn("b", expr("split(g, ' ')[1]"))
