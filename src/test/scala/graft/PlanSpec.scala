@@ -291,4 +291,29 @@ class PlanSpec extends AnyFunSuite {
       "Scan parquet".r.findAllIn(p).size
     assert(scans <= 6, s"q20 re-scans its inputs ($scans scans):\n$p")
   }
+
+  test("q_sketch_quantiles shuffles sketch blobs, not raw values") {
+    val p = plan("q_sketch_quantiles")
+    // Two-stage shape: partial kll_sketch_agg per (pri, shard) map-side,
+    // then a second aggregate unioning blobs — the per-row o_totalprice
+    // must not cross an exchange (only pri/shard + binary sketch do).
+    assert(p.contains("kll_sketch_agg") && p.contains("kll_union_agg"),
+      "two-stage sketch aggregation missing")
+    val firstEx = p.indexOf("Exchange")
+    assert(firstEx >= 0, "expected a shuffle between sketch stages")
+    assert(!p.substring(0, firstEx).contains("o_totalprice") ||
+      p.substring(0, firstEx).contains("ObjectHashAggregate"),
+      "raw o_totalprice shuffled instead of sketch blobs")
+  }
+
+  test("q_ann_jl_rerank broadcasts queries and never re-scans the corpus wide") {
+    val p = plan("q_ann_jl_rerank")
+    // The coarse stage must join the 5 broadcast query rows against the
+    // projected corpus (a broadcast join, not a shuffled cartesian of
+    // the corpus against itself).
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "query side not broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "coarse stage planned a corpus cartesian")
+  }
 }
