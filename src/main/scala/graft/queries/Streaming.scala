@@ -177,5 +177,44 @@ object Streaming extends QueryPack {
           .as("n_users"),
           count(lit(1)).cast("long").as("n_types"))
         .orderBy("wstart")
+    },
+
+    // Per-window QUANTILE rollup — the latency-dashboard twin of the
+    // theta rollup above, on the KLL sketch (functions/KllSketch.scala):
+    // per (day-window, event_type) partial sketches build map-side, and
+    // the daily p50/p95 read off a blob union — the raw `value` column
+    // never crosses the shuffle, and persisted per-shard blobs re-union
+    // for any later slice without rescanning (the pattern a streaming
+    // sink keeps in its state store; ThetaSketchSpec proves the same
+    // TypedImperativeAggregate design survives streaming state). Exact
+    // below compaction (~330 events/day ≪ k=8192), so INCLUSIVE
+    // quantiles are order statistics at ceil(q·n) — what the oracle
+    // computes relationally.
+    q("q_stream_quantile_rollup",
+      """WITH r AS (
+        |  SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
+        |           '%Y-%m-%d') AS wstart,
+        |    value AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY
+        |      time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+        |      ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY
+        |      time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))) AS n
+        |  FROM events)
+        |SELECT wstart, MAX(n) AS n,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.50*n) AS BIGINT) THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN v END) AS p95
+        |FROM r GROUP BY wstart ORDER BY wstart""".stripMargin) { (s, dir) =>
+      val shards = t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(expr("kll_sketch_agg(value, 8192)").as("sk"))
+      shards
+        .groupBy(date_format(col("w.start"), "yyyy-MM-dd").as("wstart"))
+        .agg(expr("kll_union_agg(sk)").as("sk"))
+        .select(col("wstart"),
+          expr("kll_n(sk)").as("n"),
+          expr("kll_quantile(sk, 0.50d)").as("p50"),
+          expr("kll_quantile(sk, 0.95d)").as("p95"))
+        .orderBy("wstart")
     })
 }
