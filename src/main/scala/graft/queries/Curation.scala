@@ -814,5 +814,98 @@ object Curation extends QueryPack {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("doc_id")).cast("long").as("id_checksum"))
         .orderBy("split", "source")
+    },
+
+    // DSIR-style IMPORTANCE RESAMPLING (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023): select
+    // raw-corpus documents whose hashed-bigram distribution looks like a
+    // small TARGET domain (here: the English slice). Per-doc importance
+    // weight = sum over bigram tokens of log p_target(f) - log p_raw(f)
+    // with add-one smoothing over 1024 hashed feature buckets. All logs
+    // are quantized to integer MICRO-NATS per feature BEFORE summing, so
+    // the per-doc score is a sum of BIGINTs - order-independent and
+    // bit-exact across engines (float sums would drift with partial-agg
+    // order). The smoothing normalizer ln(R+B)-ln(T+B) is constant per
+    // token, so it joins the score as n_tokens * norm_u rather than
+    // being folded into every bucket.
+    // Scale: both model tables are <=1024 rows (one per feature bucket)
+    // - built with map-side partial aggs and BROADCAST back; the corpus
+    // stream is scan -> explode -> map-side hash probe, then ONE shuffle
+    // (per-doc agg) and a distributed top-k (TakeOrderedAndProject), so
+    // nothing corpus-sized is ever shuffled and the driver never holds
+    // more than 100 result rows. Deterministic: ties break on doc_id.
+    q("q_sample_dsir",
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |f AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15))::BIGINT
+        |      % 1024 AS b
+        |  FROM (SELECT doc_id, lang, source, w,
+        |          unnest(range(1, len(w))) AS i FROM d)),
+        |cr AS (SELECT b, COUNT(*) AS cr FROM f GROUP BY 1),
+        |ct AS (SELECT b, COUNT(*) AS ct FROM f WHERE lang = 'en'
+        |       GROUP BY 1),
+        |tab AS (
+        |  SELECT cr.b,
+        |    CAST(ROUND(1000000 * (ln(COALESCE(ct.ct, 0) + 1)
+        |                          - ln(cr.cr + 1))) AS BIGINT) AS lr_u
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+        |nrm AS (
+        |  SELECT CAST(ROUND(1000000 * (
+        |    ln((SELECT COUNT(*) FROM f) + 1024.0)
+        |    - ln((SELECT COUNT(*) FROM f WHERE lang = 'en') + 1024.0)))
+        |    AS BIGINT) AS norm_u),
+        |sc AS (
+        |  SELECT f.doc_id, MIN(f.lang) AS lang, MIN(f.source) AS source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tab.lr_u) + COUNT(*) * MIN(nrm.norm_u) AS BIGINT)
+        |      AS score_unats
+        |  FROM f JOIN tab ON f.b = tab.b CROSS JOIN nrm
+        |  GROUP BY f.doc_id)
+        |SELECT doc_id, lang, source, n_bigrams, score_unats,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score_unats DESC, doc_id)
+        |    AS BIGINT) AS rank
+        |FROM sc ORDER BY score_unats DESC, doc_id LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val feats = docs.withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bg"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (h60(col("bg")) % 1024).as("b"))
+      val cr = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+      val ct = feats.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      // Per-bucket log-ratio in integer micro-nats: quantize BEFORE the
+      // per-doc sum so aggregation order can never move a bit.
+      val tab = cr.join(ct, Seq("b"), "left")
+        .select(col("b"),
+          round(lit(1000000) * (log(coalesce(col("ct"), lit(0)) + 1)
+            - log(col("cr") + 1))).cast("long").as("lr_u"))
+      val nrm = feats.agg(
+        round(lit(1000000) * (log(count(lit(1)) + 1024.0)
+          - log(sum(when(col("lang") === "en", 1).otherwise(0)) + 1024.0)))
+          .cast("long").as("norm_u"))
+      val sc = feats
+        .join(broadcast(tab), Seq("b"))
+        .crossJoin(broadcast(nrm))
+        .groupBy("doc_id")
+        .agg(min(col("lang")).as("lang"), min(col("source")).as("source"),
+          count(lit(1)).cast("long").as("n_bigrams"),
+          (sum(col("lr_u")) + count(lit(1)) * min(col("norm_u")))
+            .cast("long").as("score_unats"))
+      // Distributed top-k (TakeOrderedAndProject); the rank window runs
+      // over the 100 surviving rows only, never the corpus.
+      sc.orderBy(col("score_unats").desc, col("doc_id")).limit(100)
+        .withColumn("rank",
+          row_number().over(
+            Window.orderBy(col("score_unats").desc, col("doc_id")))
+            .cast("long"))
     })
 }
