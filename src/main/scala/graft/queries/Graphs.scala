@@ -374,5 +374,77 @@ object Graphs extends QueryPack {
           max(col("dg")).cast("long").as("max_degree"),
           sum(col("dg")).cast("long").as("degree_mass"))
         .orderBy("log2_degree")
+    },
+
+    // SESSION ASSEMBLY — turn a per-user event log into ordered training
+    // EPISODES (the chat-log -> training-sequence step of an interaction
+    // pipeline): sessionize by 30-minute inactivity gap (gaps-and-islands,
+    // not fixed windows), then concatenate each session's event types in
+    // exact event order into one episode string, truncated to the first
+    // 12 steps. Ordering is µs ordinals + event_id tie-break, identical
+    // in both engines (ns would disagree: DuckDB's parquet read already
+    // truncated to µs).
+    // Scale: ONE shuffle total - the lag window hashes by user_id, and
+    // every later step (island sum, per-session row_number, the session
+    // agg) reuses that partitioning (user_id is a subset of each key
+    // set, so Catalyst plans no further exchange). The episode agg
+    // buffer is BOUNDED: rows beyond step 12 enter as NULL (collect_list
+    // drops them), so a runaway bot session costs nothing - n_events
+    // still counts every row map-side.
+    q("q_sessions_assemble",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |              OR us - LAG(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, session_id ORDER BY us, event_id) AS rn
+        |  FROM t)
+        |SELECT user_id, session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) - MIN(us) AS dur_us,
+        |  array_to_string(
+        |    list(event_type ORDER BY us, event_id) FILTER (WHERE rn <= 12),
+        |    '>') AS episode
+        |FROM r GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("us"))
+      val sess = ev
+        .withColumn("is_new",
+          when(lag(col("us"), 1).over(byUser).isNull ||
+            col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "session_id")
+            .orderBy(col("us"), col("event_id"))))
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min(col("us")).as("start_us"),
+          (max(col("us")) - min(col("us"))).as("dur_us"),
+          // collect_list skips the NULLs the rn-cap injects, so the
+          // buffer holds <= 12 structs per session; array_sort restores
+          // event order (collect order is partition-nondeterministic).
+          concat_ws(">", expr(
+            "transform(array_sort(collect_list(" +
+              "CASE WHEN rn <= 12 THEN struct(us, event_id, event_type) " +
+              "END)), x -> x.event_type)")).as("episode"))
+        .orderBy("user_id", "session_id")
     })
 }
