@@ -164,4 +164,31 @@ class CurationSpec extends AnyFunSuite {
     // to collapse every doc to the same score.
     assert(rows.distinct.length > 1, "surprisal is constant across docs")
   }
+
+  test("DSIR top-100 is enriched for the target domain") {
+    val rows = SparkEntry.queries("q_sample_dsir")(spark, sfDir).collect()
+    assert(rows.length === 100)
+    val langIx = rows.head.fieldIndex("lang")
+    val topEn = rows.count(_.getString(langIx) == "en").toDouble / 100
+    val docs = T.t(spark, sfDir, "documents")
+    val baseEn = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    // The whole point of importance resampling: documents that look
+    // like the target (English) distribution must be over-represented
+    // in the selection relative to the raw corpus.
+    assert(topEn > baseEn,
+      s"no target enrichment: top-100 en=$topEn vs corpus en=$baseEn")
+    // Ranks are the contiguous 1..100 ordering of the output.
+    val rankIx = rows.head.fieldIndex("rank")
+    assert(rows.map(_.getLong(rankIx)).sorted.toSeq === (1L to 100L))
+  }
+
+  test("DSIR probes broadcast model tables and plans distributed top-k") {
+    val p = SparkEntry.queries("q_sample_dsir")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "feature log-ratio table not broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 not a distributed top-k")
+  }
 }

@@ -148,4 +148,35 @@ class GraphsSketchSpec extends AnyFunSuite {
       assert(s > 0.0 && s < 1.0, s"avg sigmoid out of range: $s")
     }
   }
+
+  test("q_sessions_assemble conserves events; episodes match the cap") {
+    val rows = run("q_sessions_assemble").collect()
+    val total = T.t(spark, sfDir, "events").count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum
+      === total, "sessionization lost or duplicated events")
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_events"))
+      val steps = r.getString(r.fieldIndex("episode")).split(">").length
+      assert(steps === math.min(n, 12L).toInt,
+        s"episode has $steps steps for n_events=$n (cap 12)")
+      assert(r.getLong(r.fieldIndex("dur_us")) >= 0L)
+    }
+    // Session ids are 1..k contiguous per user: ids and their count
+    // agree on both endpoints.
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(rs.head.fieldIndex("session_id"))).sorted
+      assert(ids.head === 1L && ids.last === ids.length.toLong,
+        "session ids not contiguous from 1")
+    }
+  }
+
+  test("q_sessions_assemble plans ONE hash exchange (user_id reused)") {
+    // The lag window shuffles by user_id; the island sum, the
+    // per-session row_number, and the session agg must all reuse that
+    // partitioning (their keys are supersets of user_id). A second
+    // hashpartitioning exchange means the reuse claim regressed.
+    val p = run("q_sessions_assemble").queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 1, s"expected 1 hash exchange, plan has $n")
+  }
 }
