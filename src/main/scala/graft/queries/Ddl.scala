@@ -292,6 +292,67 @@ object Ddl extends QueryPack {
       defining.orderBy("l_returnflag", "l_linestatus")
     },
 
+    // INCREMENTAL materialized-view maintenance (Hive 3's ALTER
+    // MATERIALIZED VIEW ... REBUILD incremental path): the MV is FIRST
+    // materialized from the historical slice only (o_orderdate <
+    // 1999-01-01), then the 1999+ delta is folded in with
+    // MaterializedViews.refreshIncremental — aggregate the DELTA alone,
+    // merge per group into the stored MV (counts/sums by sum, max by
+    // max), swap snapshots. The base is never rescanned: at 100 TB the
+    // refresh costs O(|MV| + |delta agg|), both group-count-bounded.
+    // The oracle recomputes the aggregate over the FULL base, so a
+    // wrong merge (lost group, double-counted delta, float drift) hash-
+    // mismatches. Sums are held as DECIMAL(18,4) inside the MV and cast
+    // to double only at read time - double(old)+double(delta) would NOT
+    // equal double(old+delta).
+    q("q_ddl_mv_incremental",
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS rev_total,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val store = s"g_mv_rev_store_$tag" // mergeable decimals/longs
+      val name = s"g_mv_rev_$tag" // display form the rewrite serves
+      val cutoff = "1999-01-01"
+      // The STORE keeps aggregates in exact mergeable form (decimal
+      // sum, long count/max) - double(old)+double(delta) would not
+      // equal double(old+delta). The display MV casts at the end; the
+      // registered defining carries the same cast because Catalyst
+      // collapses it INTO the Aggregate, and the rewrite matches
+      // optimized canonical plans.
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).as("rev_total"),
+            max(col("o_orderkey")).as("last_key"))
+      def display(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderpriority"), col("n_orders"),
+          col("rev_total").cast("double").as("rev_total"),
+          col("last_key").cast("long").as("last_key"))
+      if (!s.catalog.tableExists(name)) {
+        val o = t(s, dir, "orders")
+        aggOf(o.filter(col("o_orderdate") < cutoff))
+          .write.saveAsTable(store)
+        // Fold the 1999+ delta into the store: O(|MV| + |delta agg|),
+        // no rescan of the historical base.
+        MaterializedViews.refreshIncremental(s, store, aggOf(o),
+          aggOf(o.filter(col("o_orderdate") >= cutoff)),
+          Seq("o_orderpriority"),
+          Seq("n_orders" -> "sum", "rev_total" -> "sum",
+            "last_key" -> "max"))
+        // Display snapshot derives from the STORE (5 rows), not the base.
+        display(s.table(store)).write.saveAsTable(name)
+      }
+      // Table exists by now, so register() only records the plan; the
+      // full-base defining below never actually executes - the rule
+      // serves it from the maintained snapshot (MvSpec proves the plan).
+      MaterializedViews.register(s, name, display(aggOf(t(s, dir, "orders"))))
+      display(aggOf(t(s, dir, "orders"))).orderBy("o_orderpriority")
+    },
+
     // UPDATE + DELETE as batch rewrites (UpdateDeleteSemanticAnalyzer →
     // full-rewrite): DELETE negative-balance rows, UPDATE the remainder
     // (cap balances at 9000). Output checksums the post-state.

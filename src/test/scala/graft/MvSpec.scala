@@ -114,6 +114,18 @@ class MvSpec extends AnyFunSuite {
     assert(err.getMessage.contains("non-mergeable"))
   }
 
+  test("q_ddl_mv_incremental plan reads the maintained MV, not the base") {
+    val df = SparkEntry.queries("q_ddl_mv_incremental")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains(s"g_mv_rev_$tag"),
+      s"incremental MV not substituted into the query plan:\n" +
+        plan.take(1200))
+    // The oracle proves values; this proves the 100 TB claim - the
+    // final read must NOT rescan the orders base.
+    assert(!plan.contains("orders.parquet"),
+      "query still scans the base table after MV substitution")
+  }
+
   test("non-matching aggregate is left alone") {
     MaterializedViews.register(spark, s"g_mv_qty_$tag", defining)
     val l = T.t(spark, sfDir, "lineitem")
