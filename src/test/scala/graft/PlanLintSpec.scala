@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide physical-plan lint: EVERY query in the SparkEntry registry
+  * must avoid the two plan shapes that are fatal at 100 TB regardless of
+  * how correct the results are —
+  *
+  *  - `CartesianProductExec` (unconditioned all-pairs join of two
+  *    distributed relations): banned outright, no exceptions.
+  *  - `BroadcastNestedLoopJoin`: legal ONLY where one side is known
+  *    bounded (a 1-row aggregate scalar, a literal frame, a <=100-row
+  *    query set) — those queries are allowlisted BY NAME so a new
+  *    unbounded BNLJ anywhere else fails the suite.
+  *
+  * This runs over the physical plan of all ~200 registered queries, so
+  * any future query joining without an equi-condition is caught the
+  * moment it lands, not in a round-N scale review.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  /** Queries whose BroadcastNestedLoopJoin sides are provably bounded:
+    * scalar aggregates (1 row), literal hyperplane/centroid frames
+    * (<=64 rows), or capped query sets (<=100 rows) broadcast against
+    * the stream. Each name is a documented, reviewed exception.
+    */
+  private val boundedBnlj = Set(
+    "q_ann_cosine_topk", // <=100-row query set broadcast vs corpus
+    "q_ann_quant_rerank", // same query-set pattern, quantized coarse pass
+    "q_ann_jl_rerank", // same pattern in JL space
+    "q_ann_lsh_bucketed", // 60-row hyperplane literal frame
+    "q_ann_ivf_cells", // centroid scalar frames
+    "q_cluster_kmeans", // 1-row centroid scalars per iteration
+    "q_dedup_semantic", // 1-row cell-stat scalars
+    "q_dedup_embed", // 1-row threshold scalar
+    "q_sim_cosine_pairs", // bounded doc_id<100 subset self-join
+    "q_sim_jaccard_pairs", // bounded doc_id<100 subset self-join
+    "q_embed_project", // 1-row corpus-stats scalar
+    "q_sample_dsir", // 1-row smoothing-normalizer scalar
+    "q_join_cross_theta", // the cross-join demo itself: 25-row regions
+    "q_join_unique", // full-outer composition over 5-row sides
+    "q_text_tfidf", // 1-row corpus-N scalar
+    "q_text_surprisal", // 1-row vocab-total scalar
+    "q_text_pmi", // 1-row corpus-total scalar
+    "q_text_bigram_lm", // 1-row vocab-size scalar
+    "q_text_entropy", // 1-row corpus scalar
+    "q_curriculum_bins", // 1-row percentile-cuts scalar
+    "q_agg_outliers_iqr", // 1-row quartile scalar
+    "q_audit_skew", // 1-row max-count scalar per branch
+    "q_sample_temperature", // 1-row corpus-threshold scalar
+    "q_graph_pagerank", // 1-row rank-mass scalars in the iteration
+    "q_decontam_substring", // <=50-row snippet set broadcast vs corpus
+    "q11_important_stock", // 1-row total-value threshold scalar (TPC-H Q11)
+    "q22_sales_opportunity", // 1-row avg-acctbal scalar (TPC-H Q22)
+    "q_agg_histogram", // 1-row min/max scalar defining bin width
+    "q_audit_orphans", // four 1-row orphan counts zipped into one row
+    "q_cohort_retention", // 1-row corpus-origin scalar
+    "q_filter_adaptive", // 1-row P25-threshold scalar
+    "q_graph_triangles" // three 1-row count scalars zipped into one row
+  )
+
+  test("no registered query plans a cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val plan =
+          try build(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+        else if (plan.contains("BroadcastNestedLoopJoin") &&
+          !boundedBnlj.contains(name)) Some(s"$name: unlisted BNLJ")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-fatal join shapes:\n  ${offenders.mkString("\n  ")}")
+  }
+}
