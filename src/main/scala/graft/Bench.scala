@@ -47,6 +47,10 @@ object Bench {
         try { d.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
+      // Between-queries scratch release (untimed): without it, eager
+      // localCheckpoint blocks from ~200 queries × iters accumulate and
+      // the storage pressure inflates late-running queries 3-5×.
+      T.releaseScratch(spark)
       if (times.isEmpty) { failed ::= d.name; None }
       else Some(d.name -> times.sorted.apply(times.size / 2))
     }

@@ -54,7 +54,7 @@ object Dedup extends QueryPack {
       : org.apache.spark.sql.DataFrame = memo.synchronized {
     val m = memo.computeIfAbsent(s,
       _ => scala.collection.mutable.Map.empty)
-    m.getOrElseUpdate(key, build.localCheckpoint(true))
+    m.getOrElseUpdate(key, T.pinning(s)(build.localCheckpoint(true)))
   }
 
   /** MinHash-LSH near-dup pairs: 24 minhash sigs → 12 bands × 2 →
