@@ -316,4 +316,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "coarse stage planned a corpus cartesian")
   }
+
+  test("q_win_topk_per_group pushes the rank limit below the shuffle " +
+    "(TopNKeyOperator [Hive3+] twin)") {
+    // Hive 3's TopNKeyOperator drops per-key rows beyond the top-N
+    // BEFORE the ReduceSink so only N rows per key ever shuffle; Spark's
+    // InferWindowGroupLimit is the same optimization — the rn <= 3
+    // filter over row_number becomes a WindowGroupLimit pair (Partial
+    // before the exchange, Final after). At 100 TB this is the
+    // difference between shuffling 3 rows and the full history per key.
+    val p = plan("q_win_topk_per_group")
+    val first = p.indexOf("WindowGroupLimit")
+    assert(first >= 0, "rank-limit pushdown (WindowGroupLimit) missing")
+    assert(p.indexOf("WindowGroupLimit", first + 1) > 0,
+      "expected BOTH Partial (map-side) and Final group-limit passes")
+  }
 }
