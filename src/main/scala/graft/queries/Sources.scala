@@ -235,6 +235,34 @@ object Sources extends QueryPack {
         .orderBy("lang")
     },
 
+    // EXPORT / IMPORT round-trip (ExportSemanticAnalyzer /
+    // ImportSemanticAnalyzer — the reference's table-replication
+    // bundle): customer is EXPORTed partitioned by market segment into
+    // a self-describing bundle (_metadata.json schema + partition
+    // layout), IMPORTed back purely from the bundle (stored schema, no
+    // inference scan), and the imported table answers a segment query
+    // WITH partition pruning (two segments read, three untouched —
+    // ExportImportSpec asserts the PartitionFilters). The oracle runs
+    // the same aggregate on the original table: a lossless round-trip
+    // is the only way the hashes can match.
+    q("q_export_import",
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum,
+        |  CAST(MIN(c_custkey) AS BIGINT) AS min_key
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val bundle = tmp(dir, "export")
+      graft.sources.ExportImport.exportTable(
+        t(s, dir, "customer"), bundle, Seq("c_mktsegment"))
+      graft.sources.ExportImport.importTable(s, bundle)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("bal_sum"),
+          min(col("c_custkey")).cast("long").as("min_key"))
+        .orderBy("c_mktsegment")
+    },
+
     q("q_sink_partitioned",
       """SELECT o_orderpriority, COUNT(*) AS cnt
         |FROM orders WHERE o_orderstatus = 'F'
