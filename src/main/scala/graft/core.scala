@@ -37,25 +37,53 @@ object T {
     * partitioned table root; Spark's file source handles split planning,
     * partition pruning and filter/column pushdown identically.
     *
-    * `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (legacy nanosAsLong) and surface BOTH:
-    *   - `ts_ns` BIGINT — exact nanos, oracle twin is DuckDB `epoch_ns(ts)`
-    *   - `ts` TIMESTAMP — micro-truncated, oracle twin is
-    *     `CAST(ts AS TIMESTAMP)` (DuckDB ns→us cast also truncates)
-    * Integer division (`div`) keeps the math in long space: epoch nanos
-    * (~1.7e18) exceed a double's 2^53 integer range. `div` truncates
-    * toward zero, which equals floor division for the non-negative nanos
-    * in the test data (events start 2024-01-01); pre-epoch data would
-    * need an explicit floor.
+    * `events.ts` has shipped as BOTH parquet INT64 TIMESTAMP(NANOS)
+    * (earlier rounds) and TIMESTAMP(MICROS) (current driver generator),
+    * so detect from the read schema and surface the SAME two columns
+    * either way:
+    *   - `ts_ns` BIGINT — exact epoch nanos, oracle twin is DuckDB
+    *     `epoch_ns(ts)` (epoch_ns of a µs timestamp is exact)
+    *   - `ts` TIMESTAMP — microsecond precision, oracle twin is
+    *     `CAST(ts AS TIMESTAMP)` (DuckDB ns→us cast truncates the same
+    *     way the nanos branch here does)
+    * Nanos files: Spark 4 refuses TIMESTAMP(NANOS) as a timestamp
+    * (PARQUET_TYPE_ILLEGAL), so the legacy nanosAsLong conf (set in
+    * HiveCompatFunctions.ensure) reads them as raw BIGINT nanos —
+    * integer `div` keeps the ns→µs math in long space (epoch nanos
+    * ~1.7e18 exceed a double's 2^53 integer range; truncation = floor
+    * for the non-negative nanos in the test data).
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     HiveCompatFunctions.ensure(s)
     if (name == "events") {
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) file read as raw nanos
+          raw.withColumn("ts_ns", col("ts"))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          // TIMESTAMP(MICROS) file. isAdjustedToUTC=false makes Spark
+          // read TIMESTAMP_NTZ; every session here pins
+          // spark.sql.session.timeZone=UTC (Bench/Verify/SparkTestBase),
+          // so the cast to TIMESTAMP is the identity instant mapping and
+          // downstream code keeps the same TimestampType contract the
+          // nanos branch always produced.
+          val ts = col("ts").cast(TimestampType)
+          raw.withColumn("ts", ts)
+            .withColumn("ts_ns", unix_micros(ts) * lit(1000L))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** True if dir's events.parquet stores ts as INT64 TIMESTAMP(NANOS)
+    * (which the nanosAsLong conf surfaces as a raw BIGINT); false for
+    * TIMESTAMP(MICROS) files. Callers that read events with an explicit
+    * LongType schema (the streaming specs' file source) get the raw
+    * int64 either way and use this to pick the µs conversion.
+    */
+  def eventsTsIsNanos(s: SparkSession, dir: String): Boolean = {
+    HiveCompatFunctions.ensure(s)
+    s.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
   }
 
   /** Exact-decimal cast for money/quantity doubles. Summing doubles is

@@ -251,6 +251,41 @@ object Aggregates extends QueryPack {
         .orderBy("bin")
     },
 
+    // EQUI-DEPTH histogram (Hive's NumDistinctValueEstimator /
+    // equi-height column stats shape): 8 bins with ~equal row counts,
+    // bin id from pure integer math — (rn-1)*8 div N over a tie-broken
+    // total order — so Spark and DuckDB agree bit-for-bit with no float
+    // boundary to drift. This exact variant is the correctness baseline:
+    // it needs one global sort (single-task window at the tail), which
+    // is fine for a stats pass but NOT the 100 TB shape — at scale the
+    // same bins come from the mergeable KLL sketch already in this repo
+    // (q_sketch_quantiles) with cut points instead of global ranks; the
+    // two agree up to sketch error. Keeping both gives the oracle-exact
+    // baseline AND the distributed path.
+    q("q_agg_equidepth",
+      """WITH r AS (
+        |  SELECT l_extendedprice AS price,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST((rn - 1) * 8 // n AS INT) AS bin,
+        |  COUNT(*) AS n_rows,
+        |  MIN(price) AS lo, MAX(price) AS hi
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val l = t(s, dir, "lineitem")
+      l.select(col("l_extendedprice").as("price"),
+          row_number().over(Window.orderBy(
+            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+            .as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .withColumn("bin", expr("CAST((rn - 1) * 8 div n AS INT)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price")).as("lo"), max(col("price")).as("hi"))
+        .orderBy("bin")
+    },
+
     // Exact percentile family (UDAFPercentile / GenericUDAFPercentileApprox).
     // Linear interpolation on sorted exact values — deterministic in both
     // engines; round(4) guards the last bit of the interpolation divide.

@@ -907,5 +907,53 @@ object Curation extends QueryPack {
           row_number().over(
             Window.orderBy(col("score_unats").desc, col("doc_id")))
             .cast("long"))
+    },
+
+    // TABLE CHECKSUM: the engine-migration parity audit — the first
+    // thing a team switching engines runs on both sides. Per table:
+    // row count, an order-independent XOR signature, and a modular sum
+    // of portable 60-bit row hashes over the discrete columns (ints +
+    // strings only: float/timestamp→string rendering is engine-specific,
+    // so discrete columns carry identity and the money columns are
+    // validated by the decimal-sum queries elsewhere). XOR and mod-sum
+    // are commutative+associative, so partial aggregation combines in
+    // any order — one scan, map-side combine, a 1-row-per-table shuffle;
+    // at 100 TB this is bandwidth-bound and embarrassingly parallel.
+    // Mod 1e9+7 keeps the sum of ~1e9-bounded terms inside BIGINT for
+    // any row count up to ~9e9 rows per table.
+    q("q_table_checksum",
+      """WITH o AS (
+        |  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR || '|' ||
+        |    o_custkey::VARCHAR || '|' || o_orderstatus || '|' ||
+        |    o_orderpriority), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |c AS (
+        |  SELECT ('0x' || substr(md5(c_custkey::VARCHAR || '|' ||
+        |    c_nationkey::VARCHAR || '|' || c_name || '|' ||
+        |    c_mktsegment), 1, 15))::BIGINT AS h
+        |  FROM customer)
+        |SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+        |  BIT_XOR(h) AS xor_sig, CAST(SUM(h % 1000000007) AS BIGINT) AS mod_sum FROM o
+        |UNION ALL
+        |SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+        |  BIT_XOR(h) AS xor_sig, CAST(SUM(h % 1000000007) AS BIGINT) AS mod_sum FROM c
+        |ORDER BY tbl""".stripMargin) { (s, dir) =>
+      def sig(df: org.apache.spark.sql.DataFrame, tbl: String,
+          cols: org.apache.spark.sql.Column*) =
+        df.select(h60(concat_ws("|", cols: _*)).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_sig"),
+            sum(col("h") % 1000000007L).as("mod_sum"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_sig"),
+            col("mod_sum"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      sig(o, "orders", col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .unionAll(sig(c, "customer", col("c_custkey").cast("string"),
+          col("c_nationkey").cast("string"), col("c_name"),
+          col("c_mktsegment")))
+        .orderBy("tbl")
     })
 }

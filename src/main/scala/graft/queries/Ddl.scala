@@ -371,5 +371,70 @@ object Ddl extends QueryPack {
         .agg(count(lit(1)).as("n_kept"),
           sum(dec(col("c_acctbal"))).cast("double").as("bal_total"))
         .orderBy("c_mktsegment")
+    },
+
+    // SCD TYPE-2 dimension build: turn a per-entity change log (orders
+    // as observations of each customer's o_orderpriority) into validity
+    // intervals [valid_from, valid_to) with a current-row flag — the
+    // MERGE-maintained slowly-changing dimension, built set-at-once.
+    // Shape: one window pass detects attribute changes (lag), a running
+    // sum numbers the versions (islands), a groupBy collapses each
+    // island, and a second window (lead over ~10× fewer version rows)
+    // closes the intervals. Both windows partition BY ENTITY KEY, so at
+    // 100 TB this is two key-partitioned shuffles of the change log —
+    // no global sort, no driver state. Tie-break inside a day by
+    // o_orderkey makes version order total and deterministic; the 5%
+    // entity sample (md5 bucket, not rand) bounds the output.
+    q("q_scd2_build",
+      """WITH obs AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    LAG(o_orderpriority) OVER w AS prev_p
+        |  FROM orders
+        |  WHERE ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT % 20 = 0
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ver AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM obs),
+        |island AS (
+        |  SELECT o_custkey, version, MIN(o_orderpriority) AS priority,
+        |    MIN(o_orderdate) AS valid_from, COUNT(*) AS n_obs
+        |  FROM ver GROUP BY o_custkey, version)
+        |SELECT o_custkey AS custkey, CAST(version AS INT) AS version,
+        |  priority, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+        |    AS valid_to,
+        |  CAST(LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+        |    IS NULL AS BOOLEAN) AS is_current,
+        |  n_obs
+        |FROM island
+        |ORDER BY custkey, version""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byKey = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val o = t(s, dir, "orders")
+        .filter(conv(substring(md5(col("o_custkey").cast("string")), 1, 15),
+          16, 10).cast("long") % 20 === 0)
+      val ver = o
+        .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(byKey))
+        .withColumn("version",
+          sum(when(col("prev_p").isNull
+              || col("prev_p") =!= col("o_orderpriority"), 1).otherwise(0))
+            .over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      val island = ver.groupBy(col("o_custkey"), col("version"))
+        .agg(min(col("o_orderpriority")).as("priority"),
+          min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_obs"))
+      val byVer = Window.partitionBy("o_custkey").orderBy("version")
+      island
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+        .select(col("o_custkey").as("custkey"),
+          col("version").cast("int").as("version"),
+          col("priority"), col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_obs"))
+        .orderBy("custkey", "version")
     })
 }

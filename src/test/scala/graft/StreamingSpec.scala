@@ -14,6 +14,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkTestBase._
 
+  /** Raw int64 ts (explicit LongType file-source schema) → epoch µs
+    * expression, matching whichever unit this round's events.parquet
+    * uses (legacy NANOS or current MICROS — see T.eventsTsIsNanos). */
+  private lazy val tsUsExpr: String =
+    if (T.eventsTsIsNanos(spark, sfDir)) "ts div 1000" else "ts"
+
   test("foreachBatch upsert ingest reproduces the batch table (ACID-ingest parity)") {
     // Hive's "streaming" = transactional micro-batch ingest into a
     // table (SURVEY §2.9). Parity demo: stream events, foreachBatch
@@ -98,8 +104,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming tumbling-window agg matches the batch twin") {
-    // File-source schema: ts arrives as raw nanos (the session reads
-    // parquet TIMESTAMP(NANOS) via nanosAsLong — same as T.t).
+    // File-source schema: ts arrives as a raw int64 (ns or µs file unit
+    // — tsUsExpr normalizes; see T.eventsTsIsNanos).
     HiveCompatFunctions.ensure(spark)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -113,7 +119,7 @@ class StreamingSpec extends AnyFunSuite {
       stageDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(stageDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr(tsUsExpr)))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sum_value"))
@@ -151,7 +157,7 @@ class StreamingSpec extends AnyFunSuite {
       spark.readStream.schema(schema).parquet(stageDir.toString)
         .filter(col("event_type") === evType)
         .select(col("user_id").as(s"${pre}_user"),
-          timestamp_micros(expr("ts div 1000")).as(s"${pre}_ts"))
+          timestamp_micros(expr(tsUsExpr)).as(s"${pre}_ts"))
         .withWatermark(s"${pre}_ts", "10 minutes")
     val joined = side("click", "c").join(side("purchase", "p"),
       expr("""c_user = p_user AND
@@ -189,7 +195,7 @@ class StreamingSpec extends AnyFunSuite {
       stageDir.resolve("events.parquet"))
     val deduped = spark.readStream.schema(schema).parquet(stageDir.toString)
       .select(col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts div 1000")).as("ets"))
+        timestamp_micros(expr(tsUsExpr)).as("ets"))
       .withColumn("mb", date_trunc("minute", col("ets")))
       .withWatermark("ets", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "mb")
