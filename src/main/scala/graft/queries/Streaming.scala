@@ -126,6 +126,33 @@ object Streaming extends QueryPack {
         .orderBy("ubucket")
     },
 
+    // Stream-STATIC enrichment join, batch twin: the standard streaming
+    // pattern of joining a fact stream against a slowly-changing
+    // dimension table (events × customer on user_id = c_custkey). The
+    // dimension side is BROADCAST — in streaming this is exactly how a
+    // dimension lookup must ship (the static side is re-broadcast per
+    // micro-batch, no stream-side shuffle, no state store at all —
+    // unlike a stream-stream join). LEFT join keeps facts whose key has
+    // no dimension row (here: user 0), surfacing them under segment
+    // 'UNKNOWN' instead of dropping revenue. StreamingSpec runs the
+    // same join through readStream and asserts parity.
+    q("q_stream_enrich",
+      """SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  e.event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY segment, e.event_type
+        |ORDER BY segment, e.event_type""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      e.join(broadcast(c), e("user_id") === c("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("segment", "event_type")
+    },
+
     // Streaming dedup, batch twin: distinct (user_id, event_type,
     // minute-bucket) — the exactly-once ingest guard a pipeline puts in
     // front of downstream aggregation. Batch = dropDuplicates on the

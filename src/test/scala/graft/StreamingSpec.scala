@@ -179,6 +179,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static broadcast enrichment matches the batch twin") {
+    // q_stream_enrich's real streaming form: the fact stream joins a
+    // STATIC broadcast dimension — no watermark, no join state store;
+    // the dimension is re-broadcast per micro-batch.
+    HiveCompatFunctions.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-enrich-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val dim = broadcast(T.t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val q = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sum_value"))
+      .writeStream.format("memory").queryName("t_stream_enrich")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("t_stream_enrich")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_stream_enrich")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("dropDuplicatesWithinWatermark dedup matches the batch distinct") {
     // q_stream_dedup's real streaming form: watermark + bounded-state
     // dedup on (user_id, event_type, minute bucket). The watermark is
