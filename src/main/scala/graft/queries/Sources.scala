@@ -55,6 +55,55 @@ object Sources extends QueryPack {
         .orderBy("n_regionkey")
     },
 
+    // MALFORMED-RECORD handling (the serde error-tolerance surface:
+    // Hive's ignore.malformed + error tables): nation rows rendered as
+    // raw CSV text with every 5th key deterministically corrupted
+    // (non-numeric suffix), read back PERMISSIVE with an explicit
+    // corrupt-record column — bad lines land whole in `_bad` with
+    // typed fields null, good lines parse normally, and NOTHING is
+    // silently dropped. The oracle reconstructs both populations from
+    // the clean table, including a hash checksum of the exact corrupt
+    // raw lines — proving the quarantined bytes, not just their count.
+    // One pass, no shuffle (global agg); at 100 TB the same read feeds
+    // a good-rows sink and a `_bad IS NOT NULL` quarantine sink.
+    q("q_src_csv_badrecords",
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT)
+        |    AS key_sum_good,
+        |  CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN
+        |      ('0x' || substr(md5(n_nationkey::VARCHAR || 'x,' || n_name || ','
+        |        || n_regionkey::VARCHAR), 1, 15))::BIGINT % 1000000007
+        |    END) AS BIGINT) AS corrupt_checksum
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val p = tmp(dir, "csvbad")
+      t(s, dir, "nation")
+        .select(concat_ws(",",
+          when(col("n_nationkey") % 5 === 0,
+            concat(col("n_nationkey").cast("string"), lit("x")))
+            .otherwise(col("n_nationkey").cast("string")),
+          col("n_name"), col("n_regionkey").cast("string")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(p)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_regionkey", LongType), StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(p)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_bad").isNull, 1).otherwise(0)).cast("long")
+            .as("n_good"),
+          sum(when(col("_bad").isNotNull, 1).otherwise(0)).cast("long")
+            .as("n_corrupt"),
+          sum(col("n_nationkey")).cast("long").as("key_sum_good"),
+          sum(h60(col("_bad")) % 1000000007L).cast("long")
+            .as("corrupt_checksum"))
+    },
+
     // JSON-lines round-trip (JsonSerDe): nested struct column written to
     // json, read back (schema inference), struct field extracted.
     q("q_src_json",
