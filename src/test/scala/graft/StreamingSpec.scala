@@ -211,6 +211,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("watermark drops late rows and finalizes windows in order") {
+    // The one semantic AvailableNow-over-one-file parity tests can't
+    // reach: LATE data. Single-file micro-batches (maxFilesPerTrigger=1,
+    // mtime+name ordered) over 10-minute tumbling windows with a
+    // 10-minute watermark delay. Spark ≥3.4 keeps DUAL watermarks: the
+    // late-record filter uses the watermark one batch OLDER than the
+    // eviction watermark, so a spacer batch (f2) must sit between the
+    // watermark-advancing batch and the late arrival for the drop to
+    // engage — exactly the semantics a pipeline must plan around:
+    //   f1: 10:05, 10:59  -> watermark after batch = 10:49
+    //   f2: 10:58 (spacer) -> eviction wm 10:49 finalizes [10:00,10:10)
+    //       cnt=1; late wm catches up to 10:49
+    //   f3: 10:05 (LATE — window end 10:10 ≤ late wm 10:49 => DROPPED),
+    //       10:55 (on time, window [10:50,11:00) still open)
+    //   f4: 11:30          -> advances watermark to 11:20
+    //   f5: 11:45          -> batch runs with wm 11:20 ≥ 11:00,
+    //       flushing [10:50,11:00) cnt=3 (10:59, 10:58, 10:55)
+    // Append mode must emit EXACTLY those two windows; f4/f5's own
+    // windows never close and must not appear. A batch aggregate of the
+    // same rows would say cnt=2 for the first window — the difference
+    // IS the late-drop semantics.
+    import org.apache.spark.sql.Row
+    HiveCompatFunctions.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = 1717236000L * 1000000L // 2024-06-01 10:00:00 UTC in epoch µs
+    def r(id: Long, minOff: Long): Row =
+      Row(id, base + minOff * 60000000L, id, "a", 1.0, "{}")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-late-src")
+    def stage(name: String, order: Int, rows: Seq[Row]): Unit = {
+      val tmpd = java.nio.file.Files.createTempDirectory("graft-late-w")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(tmpd.toString + "/d")
+      val part = new java.io.File(tmpd.toString + "/d").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = stageDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + order * 60000L)
+    }
+    stage("f1.parquet", 1, Seq(r(1, 5), r(2, 59)))
+    stage("f2.parquet", 2, Seq(r(3, 58)))
+    stage("f3.parquet", 3, Seq(r(4, 5), r(5, 55)))
+    stage("f4.parquet", 4, Seq(r(6, 90)))
+    stage("f5.parquet", 5, Seq(r(7, 105)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+      .withColumn("ets", timestamp_micros(col("ts")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "HH:mm").as("wstart"), col("cnt"))
+      .writeStream.format("memory").queryName("t_stream_late")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    info("batches: " + q.recentProgress.toSeq
+      .map(p => s"rows=${p.numInputRows} wm=${p.eventTime.get("watermark")}")
+      .mkString(" | "))
+    val emitted = spark.table("t_stream_late")
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toSet
+    assert(emitted === Set(("10:00", 1L), ("10:50", 3L)))
+  }
+
   test("dropDuplicatesWithinWatermark dedup matches the batch distinct") {
     // q_stream_dedup's real streaming form: watermark + bounded-state
     // dedup on (user_id, event_type, minute bucket). The watermark is
