@@ -386,55 +386,123 @@ object Ddl extends QueryPack {
     // o_orderkey makes version order total and deterministic; the 5%
     // entity sample (md5 bucket, not rand) bounds the output.
     q("q_scd2_build",
-      """WITH obs AS (
-        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-        |    LAG(o_orderpriority) OVER w AS prev_p
-        |  FROM orders
-        |  WHERE ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT % 20 = 0
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        |ver AS (
-        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-        |    SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
-        |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |            ROWS UNBOUNDED PRECEDING) AS version
-        |  FROM obs),
-        |island AS (
-        |  SELECT o_custkey, version, MIN(o_orderpriority) AS priority,
-        |    MIN(o_orderdate) AS valid_from, COUNT(*) AS n_obs
-        |  FROM ver GROUP BY o_custkey, version)
-        |SELECT o_custkey AS custkey, CAST(version AS INT) AS version,
-        |  priority, valid_from,
-        |  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
-        |    AS valid_to,
-        |  CAST(LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
-        |    IS NULL AS BOOLEAN) AS is_current,
-        |  n_obs
-        |FROM island
+      s"""WITH ${scd2Cte(scd2SampleSql)}
+        |SELECT custkey, version, priority, valid_from, valid_to,
+        |  CAST(valid_to IS NULL AS BOOLEAN) AS is_current, n_obs
+        |FROM scd2
         |ORDER BY custkey, version""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val byKey = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val o = t(s, dir, "orders")
-        .filter(conv(substring(md5(col("o_custkey").cast("string")), 1, 15),
-          16, 10).cast("long") % 20 === 0)
-      val ver = o
-        .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(byKey))
-        .withColumn("version",
-          sum(when(col("prev_p").isNull
-              || col("prev_p") =!= col("o_orderpriority"), 1).otherwise(0))
-            .over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
-      val island = ver.groupBy(col("o_custkey"), col("version"))
-        .agg(min(col("o_orderpriority")).as("priority"),
-          min(col("o_orderdate")).as("valid_from"),
-          count(lit(1)).as("n_obs"))
-      val byVer = Window.partitionBy("o_custkey").orderBy("version")
-      island
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
-        .select(col("o_custkey").as("custkey"),
-          col("version").cast("int").as("version"),
-          col("priority"), col("valid_from"), col("valid_to"),
-          col("valid_to").isNull.as("is_current"), col("n_obs"))
+      scd2Dim(s, dir, sampled = true)
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("custkey", "version", "priority", "valid_from", "valid_to",
+          "is_current", "n_obs")
         .orderBy("custkey", "version")
+    },
+
+    // POINT-IN-TIME join against the SCD2 dimension: each lineitem is
+    // priced under the customer priority that was VALID AT SHIP TIME
+    // (fact date in [valid_from, valid_to)), the join every
+    // as-of-history warehouse query needs. The join carries an EQUI
+    // conjunct on the entity key, so Catalyst plans a hash/SMJ join on
+    // custkey with the interval test as a post-join filter — per-key
+    // version lists are short (avg ~7 here), so the filter fans out a
+    // handful of candidates per fact, never a cartesian. Facts shipping
+    // before the first observed version match nothing and surface as
+    // 'NONE' via the LEFT join — lost facts are visible, not dropped.
+    // At 100 TB: facts shuffle once on custkey (or broadcast the dim —
+    // versions compress ~10× vs the change log).
+    q("q_scd2_pointintime",
+      s"""WITH ${scd2Cte("")},
+        |f AS (
+        |  SELECT o.o_custkey AS custkey, l.l_shipdate, l.l_extendedprice,
+        |    l.l_discount
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT COALESCE(d.priority, 'NONE') AS priority_at_ship,
+        |  COUNT(*) AS n_lines,
+        |  ${oRev("f.l_extendedprice", "f.l_discount")} AS revenue
+        |FROM f LEFT JOIN scd2 d
+        |  ON f.custkey = d.custkey
+        |  AND f.l_shipdate >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+        |GROUP BY priority_at_ship
+        |ORDER BY priority_at_ship""".stripMargin) { (s, dir) =>
+      val dim = scd2Dim(s, dir, sampled = false)
+        .select(col("custkey").as("d_custkey"), col("priority"),
+          col("valid_from"), col("valid_to"))
+      val facts = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      facts.join(dim,
+          col("custkey") === col("d_custkey") &&
+            col("l_shipdate") >= col("valid_from") &&
+            (col("valid_to").isNull || col("l_shipdate") < col("valid_to")),
+          "left")
+        .groupBy(coalesce(col("priority"), lit("NONE")).as("priority_at_ship"))
+        .agg(count(lit(1)).as("n_lines"),
+          drev(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("priority_at_ship")
     })
+
+  /** Shared SCD2 island logic (see q_scd2_build). `sampled` keeps the
+    * 5% md5 entity bucket that bounds q_scd2_build's output; the
+    * point-in-time join uses the full dimension.
+    */
+  private def scd2Dim(s: org.apache.spark.sql.SparkSession, dir: String,
+      sampled: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val all = t(s, dir, "orders")
+    val o = if (sampled)
+      all.filter(conv(substring(md5(col("o_custkey").cast("string")), 1, 15),
+        16, 10).cast("long") % 20 === 0)
+    else all
+    val ver = o
+      .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(byKey))
+      .withColumn("version",
+        sum(when(col("prev_p").isNull
+            || col("prev_p") =!= col("o_orderpriority"), 1).otherwise(0))
+          .over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+    val island = ver.groupBy(col("o_custkey"), col("version"))
+      .agg(min(col("o_orderpriority")).as("priority"),
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val byVer = Window.partitionBy("o_custkey").orderBy("version")
+    island
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+      .select(col("o_custkey").as("custkey"),
+        col("version").cast("int").as("version"),
+        col("priority"), col("valid_from"), col("valid_to"), col("n_obs"))
+  }
+
+  /** DuckDB twin of scd2Dim as a `scd2` CTE body; `where` restricts the
+    * change log ("" = full). */
+  private def scd2Cte(where: String): String =
+    s"""obs AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    LAG(o_orderpriority) OVER w AS prev_p
+      |  FROM orders $where
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |ver AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |            ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM obs),
+      |island AS (
+      |  SELECT o_custkey, version, MIN(o_orderpriority) AS priority,
+      |    MIN(o_orderdate) AS valid_from, COUNT(*) AS n_obs
+      |  FROM ver GROUP BY o_custkey, version),
+      |scd2 AS (
+      |  SELECT o_custkey AS custkey, CAST(version AS INT) AS version,
+      |    priority, valid_from,
+      |    LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+      |      AS valid_to,
+      |    n_obs
+      |  FROM island)""".stripMargin
+
+  private val scd2SampleSql =
+    "WHERE ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT % 20 = 0"
 }
