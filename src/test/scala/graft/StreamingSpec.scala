@@ -279,6 +279,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted === Set(("10:00", 1L), ("10:50", 3L)))
   }
 
+  test("checkpoint restart resumes exactly-once from committed offsets") {
+    // The durability half of the ingest story: a file-source → file-sink
+    // stream with a checkpoint is stopped, new data arrives, and a NEW
+    // query object restarted on the SAME checkpoint must process ONLY
+    // the unseen file (source offsets live in the checkpoint's file log)
+    // while the sink's metadata log keeps the output exactly-once — no
+    // duplicated f1 rows after restart, nothing reprocessed on a third
+    // idle restart.
+    import org.apache.spark.sql.Row
+    HiveCompatFunctions.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-out").toString + "/tbl"
+    val cpDir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-cp").toString
+    def stage(name: String, order: Int, ids: Seq[Long]): Unit = {
+      val tmpd = java.nio.file.Files.createTempDirectory("graft-ckpt-w")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ids.map(i => Row(i, i * 1000000L, i, "a", 1.0, "{}")), 1), schema)
+        .write.mode("overwrite").parquet(tmpd.toString + "/d")
+      val part = new java.io.File(tmpd.toString + "/d").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = srcDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + order * 60000L)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .select(col("event_id"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    stage("f1.parquet", 1, 1L to 50L)
+    runOnce() // phase 1: f1 committed
+    stage("f2.parquet", 2, 51L to 80L)
+    runOnce() // phase 2 (restart): must pick up ONLY f2
+    runOnce() // phase 3 (idle restart): must add nothing
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 80L)
+    assert(out.select("event_id").distinct().count() === 80L)
+  }
+
   test("dropDuplicatesWithinWatermark dedup matches the batch distinct") {
     // q_stream_dedup's real streaming form: watermark + bounded-state
     // dedup on (user_id, event_type, minute bucket). The watermark is
