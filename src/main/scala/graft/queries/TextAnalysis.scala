@@ -105,6 +105,46 @@ object TextAnalysis extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // QUALITY-SCORE NORMALIZATION: percent_rank of the raw score WITHIN
+    // each language, bucketed into deciles — the step that makes one
+    // global keep-threshold meaningful across languages whose raw score
+    // distributions differ (a fixed token-count cut keeps 90% of English
+    // and 40% of Thai; a per-lang rank cut keeps the same fraction of
+    // each). Fully tie-broken (score, doc_id), so percent_rank is the
+    // same exact rational in both engines and the decile floor cannot
+    // drift. Scale note: the exact window is one shuffle PARTITIONED BY
+    // LANG — fine until one language dominates the corpus (a single
+    // 60 TB 'en' partition); at 100 TB replace the window with per-lang
+    // KLL cut points (q_sketch_quantiles) and bucket by comparison —
+    // same output, no per-lang total sort. This exact variant is the
+    // correctness baseline for that swap.
+    q("q_quality_pct_rank",
+      """WITH sc AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, score,
+        |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY score, doc_id)
+        |      AS pr
+        |  FROM sc)
+        |SELECT lang, CAST(LEAST(FLOOR(pr * 10), 9) AS INT) AS decile,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM r GROUP BY lang, decile
+        |ORDER BY lang, decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("score"))
+      sc.withColumn("pr", percent_rank().over(
+          Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))))
+        .withColumn("decile",
+          least(floor(col("pr") * 10), lit(9L)).cast("int"))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("lang", "decile")
+    },
+
     // Token counting per source: whitespace tokens vs regex word-tokens
     // (the BPE-pretokenizer skeleton: runs of letters / digits).
     q("q_text_tokens",
