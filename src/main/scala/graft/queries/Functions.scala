@@ -501,5 +501,47 @@ object Functions extends QueryPack {
           expr("xpath_long(xml, '/r/v')").as("xnum"),
           expr("xpath_boolean(xml, '/r/b[.=\"true\"]')").as("xbool"))
         .orderBy("r_regionkey")
+    },
+
+    // HIGHER-ORDER array functions — the lambda surface (Hive's brickhouse
+    // -style collection UDFs; Spark SQL transform/filter/aggregate/exists/
+    // forall/zip_with, all codegen-friendly expressions, no UDF): per-order
+    // sorted quantity arrays (ints — exact, no float rendering to drift),
+    // mapped, filtered, folded, quantified, and zipped against their own
+    // reversal. Lambdas evaluate per row inside the projection — zero extra
+    // shuffles beyond the one groupBy; array results serialize through
+    // concat_ws for the engine-neutral comparator. DuckDB twins:
+    // list_transform/list_filter/list_sum and 1-based arr[i] indexing for
+    // the zip.
+    q("q_fn_array_hof",
+      """WITH a AS (
+        |  SELECT l_orderkey AS okey,
+        |    list_sort(list(CAST(l_quantity AS INT))) AS arr
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT okey, arr FROM a WHERE len(arr) = 7 AND okey % 10 = 0)
+        |SELECT okey,
+        |  array_to_string(list_transform(arr, x -> x * 2), ',') AS doubled,
+        |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+        |  CAST(list_sum(arr) AS INT) AS total,
+        |  CAST(len(list_filter(arr, x -> x >= 49)) > 0 AS BOOLEAN) AS has_big,
+        |  CAST(len(list_filter(arr, x -> x <= 0)) = 0 AS BOOLEAN) AS all_pos,
+        |  array_to_string(list_transform(range(1, len(arr) + 1),
+        |    i -> arr[i] + arr[len(arr) - i + 1]), ',') AS palin_sum
+        |FROM b ORDER BY okey""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("int")))
+          .as("arr"))
+        .filter(size(col("arr")) === 7 && col("okey") % 10 === 0)
+        .select(col("okey"),
+          concat_ws(",", expr("transform(arr, x -> x * 2)")).as("doubled"),
+          expr("size(filter(arr, x -> x % 2 = 0))").as("n_even"),
+          expr("aggregate(arr, 0, (a, x) -> a + x)").as("total"),
+          expr("exists(arr, x -> x >= 49)").as("has_big"),
+          expr("forall(arr, x -> x > 0)").as("all_pos"),
+          concat_ws(",",
+            expr("zip_with(arr, reverse(arr), (a, b) -> a + b)"))
+            .as("palin_sum"))
+        .orderBy("okey")
     })
 }
