@@ -127,6 +127,55 @@ object Lateral extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Map HIGHER-ORDER lambdas (transform_values / map_filter /
+    // map_zip_with — the map half of the lambda surface, q_fn_array_hof
+    // has the array half): per-customer order-priority count maps built
+    // with map_from_entries, values doubled, filtered to priorities seen
+    // >1 times, and zipped against a second map (integer cents per
+    // order via long division — no cross-engine float rounding) —
+    // then EXPLODED back to sorted (key, value) rows, because relational
+    // rows are the engine-neutral comparison form (DuckDB's map type
+    // doesn't round-trip the comparator). The oracle computes the same
+    // relation directly from the flat aggregate — proving the lambda
+    // pipeline preserves exactly the relational semantics it encodes.
+    q("q_map_hof",
+      """WITH agg AS (
+        |  SELECT o_custkey, o_orderpriority AS pri,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_custkey < 100 GROUP BY 1, 2)
+        |SELECT o_custkey AS custkey, pri,
+        |  CAST(n * 2 AS BIGINT) AS n2x,
+        |  cents // n AS cents_per_order
+        |FROM agg WHERE n > 1
+        |ORDER BY custkey, pri""".stripMargin) { (s, dir) =>
+      val agg = t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .groupBy(col("o_custkey"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      val maps = agg.groupBy("o_custkey")
+        .agg(
+          map_from_entries(sort_array(collect_list(
+            struct(col("pri"), col("n"))))).as("cnt_m"),
+          map_from_entries(sort_array(collect_list(
+            struct(col("pri"), col("cents"))))).as("rev_m"))
+      maps.select(col("o_custkey"),
+          expr("map_filter(transform_values(cnt_m, (k, v) -> v * 2)," +
+            " (k, v) -> v > 2)").as("cnt2_m"),
+          expr("map_zip_with(cnt_m, rev_m, (k, c, r) -> r div c)")
+            .as("rpo_m"))
+        .select(col("o_custkey").as("custkey"),
+          explode(col("cnt2_m")).as(Seq("pri", "n2x")))
+        .join(maps.select(col("o_custkey").as("ck2"),
+            expr("map_zip_with(cnt_m, rev_m, (k, c, r) -> r div c)")
+              .as("rpo_m")),
+          col("custkey") === col("ck2"))
+        .select(col("custkey"), col("pri"), col("n2x"),
+          element_at(col("rpo_m"), col("pri")).as("cents_per_order"))
+        .orderBy("custkey", "pri")
+    },
+
     // replicate_rows UDTF (GenericUDTFReplicateRows — §2.8 mapping:
     // explode(array_repeat())): each region row emitted key+1 times.
     q("q_replicate_rows",
