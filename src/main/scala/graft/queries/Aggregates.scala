@@ -251,6 +251,36 @@ object Aggregates extends QueryPack {
         .orderBy("bin")
     },
 
+    // Robust statistics: MEDIAN + MAD (median absolute deviation) per
+    // group — the outlier-detection pair that survives heavy tails where
+    // mean/stddev (q_agg_stats) break. Two passes by construction
+    // (MAD needs the median first): pass 1 is a per-group aggregate
+    // whose tiny result BROADCASTS back onto the scan for pass 2 — no
+    // corpus reshuffle, same shape at 100 TB. round(4) guards the last
+    // bit of both engines' identical even-count interpolation.
+    q("q_agg_median_mad",
+      """WITH med AS (
+        |  SELECT l_returnflag, MEDIAN(l_extendedprice) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  ROUND(MIN(m.med), 4) AS median_price,
+        |  ROUND(MEDIAN(ABS(l.l_extendedprice - m.med)), 4) AS mad_price,
+        |  COUNT(*) AS n
+        |FROM lineitem l JOIN med m USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val l = t(s, dir, "lineitem")
+        val med = l.groupBy("l_returnflag")
+          .agg(median(col("l_extendedprice")).as("med"))
+        l.join(broadcast(med), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(round(min(col("med")), 4).as("median_price"),
+            round(median(abs(col("l_extendedprice") - col("med"))), 4)
+              .as("mad_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+    },
+
     // EQUI-DEPTH histogram (Hive's NumDistinctValueEstimator /
     // equi-height column stats shape): 8 bins with ~equal row counts,
     // bin id from pure integer math — (rn-1)*8 div N over a tie-broken
