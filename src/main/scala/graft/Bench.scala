@@ -44,13 +44,17 @@ object Bench {
       .flatMap { d =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { d.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        val r =
+          try { d.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        // Per-ITERATION scratch release (untimed): each run() builds
+        // fresh checkpoint blocks, so without this the 3 iterations
+        // hold 3 copies and ~200 queries × iters accumulate — the
+        // storage pressure inflated late-running queries 3-5× and fed
+        // G1 concurrent-mark churn on large-heap (88 g) driver JVMs.
+        T.releaseScratch(spark)
+        r
       }
-      // Between-queries scratch release (untimed): without it, eager
-      // localCheckpoint blocks from ~200 queries × iters accumulate and
-      // the storage pressure inflates late-running queries 3-5×.
-      T.releaseScratch(spark)
       if (times.isEmpty) { failed ::= d.name; None }
       else Some(d.name -> times.sorted.apply(times.size / 2))
     }

@@ -145,10 +145,16 @@ object T {
     out
   }
 
-  /** Drop all unpinned persisted blocks a statement left behind. */
+  /** Drop all unpinned persisted blocks a statement left behind.
+    * BLOCKING: the async form left removal racing the next statement,
+    * so on a large-heap JVM (the driver runs ~88 g) tens of GB of dead
+    * scratch stayed resident in old gen and G1's concurrent-mark cycles
+    * traced it continuously, stealing CPU from the 32 executor threads.
+    * Callers sit in untimed gaps, so the synchronous wait is free.
+    */
   def releaseScratch(s: SparkSession): Unit =
     s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinnedRdds.contains(id)) rdd.unpersist(blocking = false)
+      if (!pinnedRdds.contains(id)) rdd.unpersist(blocking = true)
     }
 
   /** DuckDB-side twins of dec/dsum/davg for oracle SQL strings. */

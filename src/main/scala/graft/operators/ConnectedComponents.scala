@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -51,7 +52,7 @@ object ConnectedComponents {
     // just because this operator reads its input from two angles.
     val raw = edges
       .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // Single consumer (the final label join) — no checkpoint needed.
     val nodes = raw
       .select(explode(array(col("s"), col("d"))).as("node"))
@@ -62,7 +63,7 @@ object ConnectedComponents {
         greatest(col("s"), col("d")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
     def checksum(df: DataFrame): (Long, Long) = {
       // bit_xor: order-independent over the distinct edge set and
@@ -92,7 +93,7 @@ object ConnectedComponents {
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       // SMALL-STAR over the min-oriented edges: group the not-larger
       // neighborhood of each hi node; everyone (including hi) re-links
       // to its minimum. (m, lo_i) may self-loop when lo_i == m — drop.
@@ -102,7 +103,7 @@ object ConnectedComponents {
         .union(j.select(col("m").as("lo"), col("hi")))
         .filter(col("lo") =!= col("hi"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val s = checksum(small)
       converged = s == prev
       prev = s

@@ -309,7 +309,11 @@ object Aggregates extends QueryPack {
             col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
             .as("rn"),
           count(lit(1)).over(Window.partitionBy()).as("n"))
-        .withColumn("bin", expr("CAST((rn - 1) * 8 div n AS INT)"))
+        // BIGINT math before the multiply: row_number() is 32-bit in
+        // Spark while DuckDB computes (rn-1)*8 in BIGINT — above ~268M
+        // rows the INT product would overflow and silently diverge.
+        .withColumn("bin",
+          expr("CAST((CAST(rn AS BIGINT) - 1) * 8 div n AS INT)"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_rows"),
           min(col("price")).as("lo"), max(col("price")).as("hi"))

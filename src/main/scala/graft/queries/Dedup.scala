@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.storage.StorageLevel
 import graft._
 import graft.T._
 import org.apache.spark.sql.functions._
@@ -54,7 +55,7 @@ object Dedup extends QueryPack {
       : org.apache.spark.sql.DataFrame = memo.synchronized {
     val m = memo.computeIfAbsent(s,
       _ => scala.collection.mutable.Map.empty)
-    m.getOrElseUpdate(key, T.pinning(s)(build.localCheckpoint(true)))
+    m.getOrElseUpdate(key, T.pinning(s)(build.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)))
   }
 
   /** MinHash-LSH near-dup pairs: 24 minhash sigs → 12 bands × 2 →
@@ -81,7 +82,7 @@ object Dedup extends QueryPack {
       dir: String): org.apache.spark.sql.DataFrame = {
     // Three consumers (signature pass + both rescore sides): shingle
     // the corpus once, not three times.
-    val sh = shingleDf(s, dir).localCheckpoint(true)
+    val sh = shingleDf(s, dir).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // 24 minhash signatures — ONE shingle-array pass via the native
     // minhash_sigs kernel (functions/MinHashSigs.scala); bit-identical
     // to min-over-xxhash64(k, v) per k, minus 23 array traversals and
@@ -339,7 +340,7 @@ object Dedup extends QueryPack {
           "array_distinct(transform(sequence(1, size(w) - 2)," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
             " ' ', element_at(w, i + 2))))").as("s"))
-        .localCheckpoint(true) // consumed by the index and both rescore sides
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // consumed by the index and both rescore sides
       val hx = sh.select(col("lang"), col("doc_id"),
           explode(col("s")).as("g"))
         .select(col("lang"), col("doc_id"), h60(col("g")).as("h"))

@@ -379,7 +379,11 @@ object Functions extends QueryPack {
     },
 
     // Misc registry remainder (§2.8): elt, space, factorial,
-    // char_length vs octet_length (multibyte!), locate/position.
+    // char_length vs octet_length (multibyte!), locate/position, and
+    // reflect/java_method (GenericUDFReflect — static-method dispatch;
+    // both always render the result as a string). The oracle computes
+    // the reflected values directly: Integer.toHexString = minimal
+    // lowercase hex = printf('%x'), Math.max = GREATEST.
     q("q_fn_misc",
       """SELECT r_regionkey,
         |  (['alpha', 'beta', 'gamma'])[CAST(r_regionkey % 3 + 1 AS INT)] AS elt_v,
@@ -387,7 +391,9 @@ object Functions extends QueryPack {
         |  CAST(factorial(CAST(r_regionkey + 1 AS INT)) AS BIGINT) AS fact,
         |  length(r_name || 'é') AS n_chars,
         |  octet_length(encode(r_name || 'é')) AS n_bytes,
-        |  strpos(r_name, 'A') AS loc
+        |  strpos(r_name, 'A') AS loc,
+        |  printf('%x', r_regionkey + 255) AS refl_hex,
+        |  CAST(GREATEST(r_regionkey, 2) AS VARCHAR) AS jm_max
         |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
       t(s, dir, "region")
         .select(col("r_regionkey"),
@@ -397,7 +403,11 @@ object Functions extends QueryPack {
           factorial((col("r_regionkey") + 1).cast("int")).as("fact"),
           length(concat(col("r_name"), lit("é"))).as("n_chars"),
           octet_length(concat(col("r_name"), lit("é"))).as("n_bytes"),
-          locate("A", col("r_name")).as("loc"))
+          locate("A", col("r_name")).as("loc"),
+          expr("reflect('java.lang.Integer', 'toHexString'," +
+            " CAST(r_regionkey + 255 AS INT))").as("refl_hex"),
+          expr("java_method('java.lang.Math', 'max'," +
+            " CAST(r_regionkey AS BIGINT), CAST(2 AS BIGINT))").as("jm_max"))
         .orderBy("r_regionkey")
     },
 

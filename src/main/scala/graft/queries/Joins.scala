@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.storage.StorageLevel
 import graft._
 import graft.T._
 import org.apache.spark.sql.functions._
@@ -601,7 +602,7 @@ object Joins extends QueryPack {
             (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)"))
           .as("total_revenue"))
         // consumed twice (max + probe): materialize once, not two scans
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("mx"))
@@ -649,7 +650,7 @@ object Joins extends QueryPack {
           col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
         // probed twice (l1 base + l3 anti): one shuffle, not two scans
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val l2 = fli.select(col("l_orderkey").as("l2_orderkey"),
         col("l_suppkey").as("l2_suppkey"))
       val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
@@ -806,7 +807,7 @@ object Joins extends QueryPack {
         .groupBy(col("l_partkey").as("ps_partkey"))
         .agg(sum(dec(col("l_extendedprice"))).as("val"))
         // consumed twice (total + probe): materialize once
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val total = v.agg(sum(col("val")).as("total"))
       v.crossJoin(broadcast(total))
         .filter(lit(1000) * col("val") > col("total"))

@@ -160,17 +160,15 @@ object Lateral extends QueryPack {
             struct(col("pri"), col("n"))))).as("cnt_m"),
           map_from_entries(sort_array(collect_list(
             struct(col("pri"), col("cents"))))).as("rev_m"))
+      // One generator + other columns is allowed in a single select, so
+      // rpo_m rides along with the explode — no self-join re-derivation.
       maps.select(col("o_custkey"),
           expr("map_filter(transform_values(cnt_m, (k, v) -> v * 2)," +
             " (k, v) -> v > 2)").as("cnt2_m"),
           expr("map_zip_with(cnt_m, rev_m, (k, c, r) -> r div c)")
             .as("rpo_m"))
         .select(col("o_custkey").as("custkey"),
-          explode(col("cnt2_m")).as(Seq("pri", "n2x")))
-        .join(maps.select(col("o_custkey").as("ck2"),
-            expr("map_zip_with(cnt_m, rev_m, (k, c, r) -> r div c)")
-              .as("rpo_m")),
-          col("custkey") === col("ck2"))
+          explode(col("cnt2_m")).as(Seq("pri", "n2x")), col("rpo_m"))
         .select(col("custkey"), col("pri"), col("n2x"),
           element_at(col("rpo_m"), col("pri")).as("cents_per_order"))
         .orderBy("custkey", "pri")

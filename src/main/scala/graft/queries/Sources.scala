@@ -99,7 +99,10 @@ object Sources extends QueryPack {
             .as("n_good"),
           sum(when(col("_bad").isNotNull, 1).otherwise(0)).cast("long")
             .as("n_corrupt"),
-          sum(col("n_nationkey")).cast("long").as("key_sum_good"),
+          // Only verified-good rows contribute — don't rely on
+          // PERMISSIVE nulling the failed field on corrupt rows.
+          sum(when(col("_bad").isNull, col("n_nationkey"))).cast("long")
+            .as("key_sum_good"),
           sum(h60(col("_bad")) % 1000000007L).cast("long")
             .as("corrupt_checksum"))
     },

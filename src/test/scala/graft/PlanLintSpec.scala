@@ -33,7 +33,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_ann_ivf_cells", // centroid scalar frames
     "q_cluster_kmeans", // 1-row centroid scalars per iteration
     "q_dedup_semantic", // 1-row cell-stat scalars
-    "q_dedup_embed", // 1-row threshold scalar
+    "q_dedup_embed", // bounded vec_id<1000 all-pairs exactness baseline
     "q_sim_cosine_pairs", // bounded doc_id<100 subset self-join
     "q_sim_jaccard_pairs", // bounded doc_id<100 subset self-join
     "q_embed_project", // 1-row corpus-stats scalar

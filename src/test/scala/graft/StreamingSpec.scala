@@ -276,7 +276,15 @@ class StreamingSpec extends AnyFunSuite {
       .mkString(" | "))
     val emitted = spark.table("t_stream_late")
       .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toSet
-    assert(emitted === Set(("10:00", 1L), ("10:50", 3L)))
+    // NOTE (Spark-version coupling): this asserts Spark ≥3.4's dual-
+    // watermark schedule (late filter one batch behind eviction) AND
+    // mtime-ordered file-source batching. If it fails right after a
+    // Spark upgrade, suspect harness drift (watermark propagation or
+    // file ordering changed), not a regression in the product code.
+    assert(emitted === Set(("10:00", 1L), ("10:50", 3L)),
+      "expected dual-watermark late-drop schedule (Spark>=3.4 semantics;" +
+        " a Spark upgrade changing watermark propagation or file-source" +
+        " ordering breaks this assertion, not the product code)")
   }
 
   test("foreachBatch MERGE-upserts micro-batches into the ACID table in order") {
