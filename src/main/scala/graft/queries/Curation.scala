@@ -871,6 +871,10 @@ object Curation extends QueryPack {
       (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
+      // Materialized ONCE: cr/ct/nrm/sc all consume the exploded bigram
+      // stream, and without the checkpoint each consumer re-executes the
+      // explode (measured 4x the scan+generate cost; at cpus=32 the
+      // re-execution tripled the query).
       val feats = docs.withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), col("lang"), col("source"), explode(expr(
@@ -879,18 +883,24 @@ object Curation extends QueryPack {
           .as("bg"))
         .select(col("doc_id"), col("lang"), col("source"),
           (h60(col("bg")) % 1024).as("b"))
-      val cr = feats.groupBy("b").agg(count(lit(1)).as("cr"))
-      val ct = feats.filter(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("ct"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // Raw and target bucket counts share ONE aggregation pass (ct is
+      // the conditional count of the en slice — identical to the
+      // oracle's separate CTE since COALESCE(ct,0) == the when-sum).
+      val bucket = feats.groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
       // Per-bucket log-ratio in integer micro-nats: quantize BEFORE the
       // per-doc sum so aggregation order can never move a bit.
-      val tab = cr.join(ct, Seq("b"), "left")
+      val tab = bucket
         .select(col("b"),
-          round(lit(1000000) * (log(coalesce(col("ct"), lit(0)) + 1)
+          round(lit(1000000) * (log(col("ct") + 1)
             - log(col("cr") + 1))).cast("long").as("lr_u"))
-      val nrm = feats.agg(
-        round(lit(1000000) * (log(count(lit(1)) + 1024.0)
-          - log(sum(when(col("lang") === "en", 1).otherwise(0)) + 1024.0)))
+      // The smoothing normalizer needs only the two corpus totals —
+      // derived from the 1024-row bucket table, not a third corpus pass.
+      val nrm = bucket.agg(
+        round(lit(1000000) * (log(sum(col("cr")) + 1024.0)
+          - log(sum(col("ct")) + 1024.0)))
           .cast("long").as("norm_u"))
       val sc = feats
         .join(broadcast(tab), Seq("b"))

@@ -340,15 +340,24 @@ object Dedup extends QueryPack {
           "array_distinct(transform(sequence(1, size(w) - 2)," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
             " ' ', element_at(w, i + 2))))").as("s"))
+        // Shingle hashes computed ONCE here (md5 over every shingle is
+        // the dominant scalar cost): the posting explode and the anchor
+        // min both read the pre-hashed array from the checkpoint.
+        .withColumn("hs", expr("transform(s, g -> " +
+          "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // consumed by the index and both rescore sides
       val hx = sh.select(col("lang"), col("doc_id"),
-          explode(col("s")).as("g"))
-        .select(col("lang"), col("doc_id"), h60(col("g")).as("h"))
+          explode(col("hs")).as("h"))
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy("lang", "h").orderBy("doc_id")
       val hxc = hx.withColumn("rn", row_number().over(wb))
         .filter(col("rn") <= 1000).drop("rn")
-      val anch = hx.groupBy("lang", "doc_id").agg(min(col("h")).as("ah"))
+      // Anchor = min shingle hash per doc — computed map-side from the
+      // pre-hashed ARRAY (array_min) instead of a second explode +
+      // groupBy pass over hx: same value (s is already distinct), one
+      // fewer corpus shuffle.
+      val anch = sh.select(col("lang"), col("doc_id"),
+        array_min(col("hs")).as("ah"))
       val postings = hxc.select(col("lang").as("p_lang"),
         col("doc_id").as("p_id"), col("h").as("p_h"))
       val cand = anch.join(postings,

@@ -310,13 +310,17 @@ object Similarity extends QueryPack {
         col("nrm").as("qn"))
       val cv = e.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce"), col("nrm").as("cn"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      // Top-1 per query via max_by (map-side combine before the
+      // exchange) instead of a full-shuffle row_number window; ties
+      // break as the oracle orders (cos DESC, cand_id ASC).
       cand.join(qv, "q_id").join(cv, "cand_id")
         .withColumn("cos_sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("q_id", "cand_id", "cos_sim")
+        .groupBy("q_id")
+        .agg(max_by(struct(col("cand_id"), col("cos_sim")),
+          struct(col("cos_sim"), (lit(0L) - col("cand_id")).as("inv")))
+          .as("best"))
+        .select(col("q_id"), col("best.cand_id").as("cand_id"),
+          col("best.cos_sim").as("cos_sim"))
         .orderBy("q_id")
     },
 
@@ -509,25 +513,30 @@ object Similarity extends QueryPack {
       // Centroids train on a deterministic ~20% sample — the standard
       // scale move: Lloyd iterations never scan the full corpus (only
       // the final index build does), and centroid quality barely moves.
+      // Materialized once: every Lloyd round consumes it, and without
+      // the checkpoint each round re-runs the scan + norm projection.
       val trainSet = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))
       for (_ <- 1 to iters) {
         // Assignment argmax via map-side-combining max_by (not a sort
-        // window — the training pass never sorts the corpus), carrying
-        // only (vec_id, cent_id, cos) triples; embeddings re-join by id.
+        // window — the training pass never sorts the corpus). The
+        // embedding rides THROUGH the argmax groupBy as first() — every
+        // row of a vec_id group carries the same embedding, so this is
+        // exact and saves the join-back by id (measured: one shuffle
+        // chain per Lloyd round instead of two).
         // The argmax compares the ROUNDED cosine (tie → lower cent_id)
         // so the oracle's replay can't flip a cell on a last-ulp delta.
-        val cells = trainSet.crossJoin(broadcast(cents))
+        val assigned = trainSet.crossJoin(broadcast(cents))
           .withColumn("cent_cos",
             round(dot("embedding", "cent") / (col("nrm") * col("cent_nrm")),
               6))
           .groupBy("vec_id")
           .agg(max_by(col("cent_id"),
             struct(col("cent_cos"), (lit(0L) - col("cent_id")).as("inv")))
-            .as("cell"))
-        val assigned = trainSet.select(col("vec_id"), col("embedding"))
-          .join(cells, "vec_id")
+            .as("cell"),
+            first(col("embedding")).as("embedding"))
         // New centroid = per-dimension mean of the cell: explode to
         // (cell, dim, value), exact decimal sum cast to double then
         // divided by count (the davg shape — deterministic in any
@@ -551,6 +560,11 @@ object Similarity extends QueryPack {
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("cent_cos",
           round(dot("embedding", "cent") / (col("nrm") * col("cent_nrm")), 6))
+        // The 64-double centroid array is dead weight once cent_cos is
+        // computed — dropping it before the ranking window + checkpoint
+        // halves both the window shuffle and the materialized bytes.
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cent_id"), col("cent_cos"))
         .withColumn("arn", row_number().over(wAssign))
         // Two consumers (index build + probe list): materialize the
         // corpus×centroid ranking once instead of re-running the
@@ -571,15 +585,22 @@ object Similarity extends QueryPack {
       val probes = ranked.filter(col("arn") <= nprobe)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cent_id").as("ccell"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      // Top-1 per query via max_by, NOT a row_number window: the scored
+      // relation is |queries| × nprobe × cellSize pairs (~12M here) and
+      // a window would shuffle ALL of it; max_by partial-aggregates
+      // map-side down to one row per query before the exchange. Ties
+      // break identically to the oracle's ORDER BY cos_sim DESC,
+      // cand_id (max over (cos, -cand_id)).
       probes.join(index, col("ccell") === col("cell") &&
           col("q_id") =!= col("cand_id"))
         .withColumn("cos_sim",
           round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("q_id", "cand_id", "cos_sim")
+        .groupBy("q_id")
+        .agg(max_by(struct(col("cand_id"), col("cos_sim")),
+          struct(col("cos_sim"), (lit(0L) - col("cand_id")).as("inv")))
+          .as("best"))
+        .select(col("q_id"), col("best.cand_id").as("cand_id"),
+          col("best.cos_sim").as("cos_sim"))
         .orderBy("q_id")
     },
 
@@ -816,8 +837,12 @@ object Similarity extends QueryPack {
           .withColumn("d",
             (col("en") + col("cn") - lit(2) * dot("qd", "cd")).cast("long"))
           // argmin via min(struct): map-side combining, no sort window.
-          .groupBy("vec_id", "q")
-          .agg(min(struct(col("d"), col("cid"))).as("best"))
+          // The 64-long q array rides through as first() instead of
+          // being part of the grouping key (hashing a 512-byte array
+          // key per row measured slower than carrying it as a value).
+          .groupBy("vec_id")
+          .agg(min(struct(col("d"), col("cid"))).as("best"),
+            first(col("q")).as("q"))
           .select(col("vec_id"), col("q"),
             col("best.cid").as("cid"), col("best.d").as("d"))
       def withCd(c: org.apache.spark.sql.DataFrame) = c
