@@ -88,6 +88,15 @@ object HiveCompatFunctions {
             s"simhash64 requires exactly 1 argument, got ${exprs.length}")
           SimHash64(exprs(0))
         }, "built-in")
+      // Oracle-replayable 60-bit variant on the portable md5 h60 token
+      // hash: see SimHash60.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash60",
+        exprs => {
+          require(exprs.length == 1,
+            s"simhash60 requires exactly 1 argument, got ${exprs.length}")
+          SimHash60(exprs(0))
+        }, "built-in")
       // Theta sketch family (see ThetaSketch.scala): mergeable distinct
       // sketches with set algebra (intersection/difference — HLL can't).
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

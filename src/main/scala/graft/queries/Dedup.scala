@@ -507,26 +507,61 @@ object Dedup extends QueryPack {
         .orderBy("source_a", "source_b")
     },
 
-    // SimHash near-dup (rows-only: the 64-bit signature depends on
-    // xxhash64, which the SQL oracle can't reproduce; correctness is
-    // covered by SimHashSpec's recall-vs-exact-Jaccard test). Classic
-    // scheme: per token-hash bit j, +1 if set else -1 per occurrence;
-    // signature bit j = sign of the sum; candidates blocked on
-    // 4 × 16-bit bands (hamming <= 3 guarantees one identical band by
-    // pigeonhole; we filter hamming <= 8 within-bucket). The signature
-    // itself is a SHUFFLE-FREE per-row projection via the native
-    // simhash64 kernel (functions/SimHash64.scala) — the former
-    // relational form (explode → token-count → 64-column agg) multiplied
-    // the corpus by ~tokens/doc and shuffled it twice for the same bits.
-    qRows("q_dedup_simhash") { (s, dir) =>
+    // SimHash near-dup — fully oracle-checked since round 7: the
+    // signature runs on the PORTABLE 60-bit kernel (simhash60,
+    // functions/SimHash60.scala — token hash = first 15 md5 hex digits,
+    // the same h60 value DuckDB parses), so the oracle replays the
+    // entire pipeline: per token-hash bit j, +1 if set else -1 per
+    // OCCURRENCE; signature bit j = sign of the sum (tie → 0);
+    // candidates blocked on 4 × 15-bit bands (hamming <= 3 guarantees
+    // one identical band by pigeonhole; we filter hamming <= 8
+    // within-bucket). The signature itself stays a SHUFFLE-FREE per-row
+    // codegen'd projection — the relational form (explode →
+    // token-count → 60-column agg) multiplies the corpus by ~tokens/doc
+    // and shuffles it twice for the same bits; the oracle pays that
+    // price (bits CTE), the engine never does.
+    q("q_dedup_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.j,
+        |    SUM(CASE WHEN (h >> CAST(r.j AS INT)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS sb
+        |  FROM th CROSS JOIN range(0, 60) r(j) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN sb > 0 THEN (1::BIGINT << CAST(j AS INT))
+        |             ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, simhash, CAST(b.b AS INT) AS band,
+        |    (simhash >> CAST(15 * b.b AS INT)) & 32767 AS bv
+        |  FROM sig CROSS JOIN range(0, 4) b(b)),
+        |capped AS (
+        |  SELECT doc_id, simhash, band, bv FROM (
+        |    SELECT doc_id, simhash, band, bv,
+        |      ROW_NUMBER() OVER (PARTITION BY band, bv ORDER BY doc_id)
+        |        AS rnk
+        |    FROM banded) WHERE rnk <= 1000),
+        |pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+        |  FROM capped l JOIN capped r
+        |    ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id)
+        |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       HiveCompatFunctions.ensure(s)
       val sigs = t(s, dir, "documents")
         .select(col("doc_id"),
-          expr("simhash64(split(text, ' '))").as("simhash"))
-      // 4 × 16-bit band blocking.
+          expr("simhash60(split(text, ' '))").as("simhash"))
+      // 4 × 15-bit band blocking.
       val bands = (0 until 4).map(b =>
         struct(lit(b).as("band"),
-          expr(s"(simhash >> ${16 * b}) & 65535").as("bv")))
+          expr(s"(simhash >> ${15 * b}) & 32767").as("bv")))
       val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(array(bands: _*)).as("bh"))
         .select(col("doc_id"), col("simhash"),
