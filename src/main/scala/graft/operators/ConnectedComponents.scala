@@ -42,10 +42,13 @@ object ConnectedComponents {
     * @param maxIters hard cap on star rounds (O(log^2 n) proven worst
     *                 case, O(log n) observed; 25 covers any graph that
     *                 fits on disk).
+    * @param smallCutoff edge count at or below which the single-task
+    *                 union-find fast path runs instead of the star
+    *                 rounds (tests pass 0 to force the rounds).
     * @return (node: long, comp_id: long) — one row per distinct endpoint.
     */
   def label(edges: DataFrame, src: String = "src", dst: String = "dst",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, smallCutoff: Long = 1_000_000L): DataFrame = {
     // Materialize the INPUT once: nodes and the canonical edge set are
     // both derived from it, and an expensive upstream plan (an LSH
     // bucket join, an all-pairs cosine filter) must not execute twice
@@ -85,7 +88,7 @@ object ConnectedComponents {
     // through the rounds, 0.2 s here). No driver-side graph state: the
     // edges flow coalesce(1) → mapPartitions on an executor; above the
     // cutoff the O(log n) star contraction below is the 100 TB path.
-    if (prev._1 > 0L && prev._1 <= 1_000_000L) {
+    if (prev._1 > 0L && prev._1 <= smallCutoff) {
       val session = edges.sparkSession
       import session.implicits._
       val comp = e.select(col("lo"), col("hi")).as[(Long, Long)]

@@ -37,11 +37,25 @@ object ConnectedComponentsLawsSpec
     } yield (a, b))
   } yield edges
 
+  // Default path: these graphs are far below the 1M-edge cutoff, so
+  // this exercises the single-task union-find fast path against the
+  // independent in-test implementation.
   property("labels match union-find ground truth on random graphs") =
     Prop.forAllNoShrink(genEdges) { edges =>
       import spark.implicits._
       val got = ConnectedComponents
         .label(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    }
+
+  // smallCutoff = 0 forces the distributed star rounds on the same
+  // random graphs — the 100 TB path keeps its own ground-truth check.
+  property("star rounds match union-find ground truth on random graphs") =
+    Prop.forAllNoShrink(genEdges) { edges =>
+      import spark.implicits._
+      val got = ConnectedComponents
+        .label(edges.toDF("src", "dst"), smallCutoff = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == unionFind(edges)
     }
