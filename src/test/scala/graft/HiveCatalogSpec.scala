@@ -104,4 +104,78 @@ class HiveCatalogSpec extends AnyFunSuite {
       assert(msDir.isDirectory && msDir.listFiles().nonEmpty)
     }
   }
+
+  test("LOAD DATA into a Hive-format table + partitioned overwrite") {
+    withHiveSession { hs =>
+      // Stage a pipe-delimited text file — the classic LOAD DATA input.
+      val stage = java.nio.file.Files.createTempDirectory("hcat-load")
+      val f1 = stage.resolve("batch1.txt")
+      java.nio.file.Files.writeString(f1,
+        "1|alpha\n2|beta\n3|gamma\n")
+      val f2 = stage.resolve("batch2.txt")
+      java.nio.file.Files.writeString(f2, "4|delta\n5|epsilon\n")
+
+      hs.sql("DROP TABLE IF EXISTS hcat_load")
+      hs.sql("""CREATE TABLE hcat_load (id INT, name STRING)
+                ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+                STORED AS TEXTFILE""")
+      // LOAD DATA is a FILE MOVE into the table location — no rewrite,
+      // no scan; the second load APPENDS (Hive semantics).
+      hs.sql(s"LOAD DATA LOCAL INPATH '$f1' INTO TABLE hcat_load")
+      assert(hs.table("hcat_load").count() === 3)
+      hs.sql(s"LOAD DATA LOCAL INPATH '$f2' INTO TABLE hcat_load")
+      assert(hs.table("hcat_load").count() === 5)
+      assert(hs.sql(
+        "SELECT sum(id) s FROM hcat_load").head.getLong(0) === 15L)
+
+      // Partitioned target: load lands in the named partition, and
+      // OVERWRITE replaces only that partition.
+      val fp = stage.resolve("part_a.txt")
+      java.nio.file.Files.writeString(fp, "10|x\n11|y\n")
+      hs.sql("DROP TABLE IF EXISTS hcat_load_p")
+      hs.sql("""CREATE TABLE hcat_load_p (id INT, name STRING)
+                PARTITIONED BY (src STRING)
+                ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+                STORED AS TEXTFILE""")
+      hs.sql(s"LOAD DATA LOCAL INPATH '$fp' INTO TABLE hcat_load_p" +
+        " PARTITION (src='a')")
+      val fb = stage.resolve("part_b.txt")
+      java.nio.file.Files.writeString(fb, "20|z\n")
+      hs.sql(s"LOAD DATA LOCAL INPATH '$fb' INTO TABLE hcat_load_p" +
+        " PARTITION (src='b')")
+      assert(hs.table("hcat_load_p").count() === 3)
+      val fo = stage.resolve("part_a2.txt")
+      java.nio.file.Files.writeString(fo, "12|w\n")
+      hs.sql(s"LOAD DATA LOCAL INPATH '$fo' OVERWRITE INTO TABLE" +
+        " hcat_load_p PARTITION (src='a')")
+      assert(hs.sql("SELECT id FROM hcat_load_p WHERE src='a'")
+        .collect().map(_.getInt(0)).toSeq === Seq(12))
+      assert(hs.sql("SELECT id FROM hcat_load_p WHERE src='b'")
+        .collect().map(_.getInt(0)).toSeq === Seq(20))
+    }
+  }
+
+  test("permanent CREATE FUNCTION persists in the metastore across sessions") {
+    withHiveSession { hs =>
+      // Hive-UDF-backed PERMANENT function (metastore FUNCS table) —
+      // the reference's CREATE FUNCTION surface; class is the repo's
+      // own hive-exec UDF subclass, already on the session classpath.
+      hs.sql("DROP FUNCTION IF EXISTS hcat_titlecase")
+      hs.sql("CREATE FUNCTION hcat_titlecase AS" +
+        " 'graft.functions.HiveLegacyUdf'")
+      assert(hs.sql("SELECT hcat_titlecase('hello WORLD') r")
+        .head.getString(0) === "Hello World")
+
+      // A NEW session over the same metastore resolves it without any
+      // re-registration — the definition lives in the catalog, not in
+      // session state (CREATE TEMPORARY FUNCTION would fail this hop).
+      val s2 = hs.newSession()
+      assert(s2.sql("SELECT hcat_titlecase('spark sql') r")
+        .head.getString(0) === "Spark Sql")
+      assert(s2.catalog.functionExists("hcat_titlecase"))
+      // NULL flows through the reflective bridge as NULL.
+      assert(s2.sql("SELECT hcat_titlecase(CAST(NULL AS STRING)) r")
+        .head.isNullAt(0))
+    }
+  }
 }
