@@ -35,6 +35,9 @@ object SparkEntry {
     c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     c.set("spark.sql.adaptive.enabled", "true")
     HiveCompatFunctions.ensure(spark)
+    // Dormant until spark.graft.stats.answerQueries=true (Hive's
+    // hive.compute.query.using.stats twin — see plans/StatsAnswer).
+    StatsAnswer.install(spark)
     spark
   }
 

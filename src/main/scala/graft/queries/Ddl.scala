@@ -217,6 +217,43 @@ object Ddl extends QueryPack {
         .orderBy("seg_band")
     },
 
+    // Metadata-only answering (Hive StatsOptimizer /
+    // hive.compute.query.using.stats twin — plans/StatsAnswer.scala):
+    // count(*) / count(col) / min / max over an ANALYZEd table resolve
+    // from CATALOG STATISTICS as a LocalRelation — zero tasks, zero
+    // bytes read (StatsAnswerSpec asserts the scanless plan and the
+    // write-invalidation accuracy contract). The oracle recomputes the
+    // same numbers by scanning the source parquet — equality IS the
+    // correctness claim: the stats answer must match the true scan.
+    q("q_stats_metadata_only",
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  COUNT(o_custkey) AS n_cust
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val tbl = s"g_stats_orders_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        t(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .write.saveAsTable(tbl)
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      // Execute UNDER the flag (plans are lazy — the flag must be on at
+      // optimization time, and must not leak into later queries), then
+      // surface the one answered row as a local relation.
+      s.conf.set(StatsAnswer.Flag, "true")
+      val row =
+        try s.table(tbl).agg(
+          count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"),
+          count(col("o_custkey")).as("n_cust")).head
+        finally s.conf.unset(StatsAnswer.Flag)
+      import s.implicits._
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+        .toDF("n_rows", "min_key", "max_key", "n_cust")
+    },
+
     // CREATE VIEW + query-through-view (CreateViewDesc): views expand at
     // analysis time — the plan is identical to inlining the subquery.
     q("q_ddl_view",
