@@ -610,6 +610,133 @@ object Curation extends QueryPack {
         .orderBy("source")
     },
 
+    // QUALITY-CLASSIFIER TRAINING (the missing half of
+    // q_quality_logistic, which only SCORES with fixed weights): batch
+    // gradient descent on a logistic model, the shape of every
+    // wiki-vs-crawl quality filter (fastText-style) and of DSIR's
+    // discriminator. Target domain = the English slice (y = lang='en');
+    // features = bias, ln(1+tokens), stopword ratio, chars/token — each
+    // ROUNDED to 6 decimals so both engines start from identical
+    // numbers. Three unrolled steps (the IVF-Lloyd pattern): per step,
+    // z and sigma(z) carry the same 6-decimal guard as every
+    // transcendental in this repo, per-row gradient contributions are
+    // quantized to integer MICRO-units BEFORE the sum (order-independent
+    // and bit-exact in any aggregation order), and the weight update
+    // w - ROUND(0.05*g/n) is computed from exact integers — so the weight
+    // table is bit-identical across engines AND across partitionings.
+    // Scale shape: the corpus is scanned once per step with a broadcast
+    // 1-row weight relation (no driver-side model state), the gradient
+    // is one map-side-combined aggregation; 100 TB = 3 scans, 3
+    // one-row shuffles. Oracle: all three steps unrolled as CTEs.
+    q("q_quality_train", {
+      val featSql =
+        """f AS (
+          |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+          |    ROUND(ln(1 + len(string_split(text, ' '))), 6) AS x1,
+          |    ROUND(CAST(len(list_filter(string_split(text, ' '),
+          |        t -> list_contains(
+          |          ['the','of','and','a','to','in','is','it'], t)))
+          |        AS DOUBLE) / len(string_split(text, ' ')), 6) AS x2,
+          |    ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          |        / len(string_split(text, ' ')), 6) AS x3
+          |  FROM documents)""".stripMargin
+      def gradSql(g: String, w: String) =
+        s"""$g AS (
+           |  SELECT t.step + 1 AS step,
+           |    CAST(SUM(CAST(ROUND(1000000 * (s - y)) AS BIGINT))
+           |      AS BIGINT) AS g0,
+           |    CAST(SUM(CAST(ROUND(1000000 * x1 * (s - y)) AS BIGINT))
+           |      AS BIGINT) AS g1,
+           |    CAST(SUM(CAST(ROUND(1000000 * x2 * (s - y)) AS BIGINT))
+           |      AS BIGINT) AS g2,
+           |    CAST(SUM(CAST(ROUND(1000000 * x3 * (s - y)) AS BIGINT))
+           |      AS BIGINT) AS g3,
+           |    COUNT(*) AS n, MIN(t.w0) AS pw0, MIN(t.w1) AS pw1,
+           |    MIN(t.w2) AS pw2, MIN(t.w3) AS pw3
+           |  FROM (
+           |    SELECT f.y, f.x1, f.x2, f.x3, w.step, w.w0, w.w1, w.w2, w.w3,
+           |      ROUND(1.0 / (1.0 + exp(-ROUND(
+           |        (w.w0 + f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3)
+           |          / 1000000.0, 6))), 6) AS s
+           |    FROM f CROSS JOIN $w w) t
+           |  GROUP BY t.step)""".stripMargin
+      def stepSql(wNew: String, g: String) =
+        s"""$wNew AS (
+           |  SELECT step,
+           |    pw0 - CAST(ROUND(0.05 * g0 / n) AS BIGINT) AS w0,
+           |    pw1 - CAST(ROUND(0.05 * g1 / n) AS BIGINT) AS w1,
+           |    pw2 - CAST(ROUND(0.05 * g2 / n) AS BIGINT) AS w2,
+           |    pw3 - CAST(ROUND(0.05 * g3 / n) AS BIGINT) AS w3
+           |  FROM $g)""".stripMargin
+      s"""WITH $featSql,
+         |w0t AS (SELECT 0 AS step, CAST(0 AS BIGINT) AS w0,
+         |  CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+         |  CAST(0 AS BIGINT) AS w3),
+         |${gradSql("gr1", "w0t")}, ${stepSql("w1t", "gr1")},
+         |${gradSql("gr2", "w1t")}, ${stepSql("w2t", "gr2")},
+         |${gradSql("gr3", "w2t")}, ${stepSql("w3t", "gr3")}
+         |SELECT step, w0 AS w_bias_u, w1 AS w_logtok_u, w2 AS w_stop_u,
+         |  w3 AS w_chars_u
+         |FROM (SELECT * FROM w1t UNION ALL SELECT * FROM w2t
+         |      UNION ALL SELECT * FROM w3t) ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val d = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")))
+        .select(
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          round(log(lit(1) + col("n_tok")), 6).as("x1"),
+          round(expr("size(filter(w, t -> array_contains(" +
+              "array('the','of','and','a','to','in','is','it'), t)))")
+            .cast("double") / col("n_tok"), 6).as("x2"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double")
+            / col("n_tok"), 6).as("x3"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      var w = s.range(1).select(lit(0).as("step"),
+        lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
+        lit(0L).as("w3"))
+      val steps = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      for (_ <- 1 to 3) {
+        val g = d.crossJoin(broadcast(w))
+          .withColumn("z", round(
+            (col("w0") + col("x1") * col("w1") + col("x2") * col("w2")
+              + col("x3") * col("w3")) / 1000000.0, 6))
+          .withColumn("s", round(
+            lit(1.0) / (lit(1.0) + exp(lit(0) - col("z"))), 6))
+          .groupBy(col("step"))
+          .agg(
+            sum(round(lit(1000000) * (col("s") - col("y"))).cast("long"))
+              .as("g0"),
+            sum(round(lit(1000000) * col("x1") * (col("s") - col("y")))
+              .cast("long")).as("g1"),
+            sum(round(lit(1000000) * col("x2") * (col("s") - col("y")))
+              .cast("long")).as("g2"),
+            sum(round(lit(1000000) * col("x3") * (col("s") - col("y")))
+              .cast("long")).as("g3"),
+            count(lit(1)).as("n"),
+            first(col("w0")).as("pw0"), first(col("w1")).as("pw1"),
+            first(col("w2")).as("pw2"), first(col("w3")).as("pw3"))
+        w = g.select((col("step") + 1).as("step"),
+            (col("pw0") - round(lit(0.05) * col("g0") / col("n"))
+              .cast("long")).as("w0"),
+            (col("pw1") - round(lit(0.05) * col("g1") / col("n"))
+              .cast("long")).as("w1"),
+            (col("pw2") - round(lit(0.05) * col("g2") / col("n"))
+              .cast("long")).as("w2"),
+            (col("pw3") - round(lit(0.05) * col("g3") / col("n"))
+              .cast("long")).as("w3"))
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        steps += w
+      }
+      steps.reduce(_ unionAll _)
+        .select(col("step"), col("w0").as("w_bias_u"),
+          col("w1").as("w_logtok_u"), col("w2").as("w_stop_u"),
+          col("w3").as("w_chars_u"))
+        .orderBy("step")
+    },
+
     // Deterministic per-key CAP: keep at most 30 docs per source, chosen
     // by md5(doc_id) order — a seeded shuffle, so retries/re-runs keep
     // the SAME rows (rand() would not survive a task retry). One shuffle
