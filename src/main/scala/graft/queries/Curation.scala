@@ -564,6 +564,44 @@ object Curation extends QueryPack {
         .orderBy("lang")
     },
 
+    // WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis
+    // priority sampling, IPL 2006): each doc draws a deterministic
+    // uniform u from the portable md5 hash and takes priority
+    // ln(u)/w — monotone-equivalent to the classic u^(1/w) key — with
+    // weight w = token count, so long documents are proportionally
+    // more likely to be kept. The global top-k by priority IS the
+    // weighted sample-without-replacement. Priorities are quantized to
+    // integer micro-nats (the DSIR trick) so ordering is bit-identical
+    // across engines. Plan: pure per-row projection + distributed
+    // top-k (TakeOrderedAndProject) — no shuffle of the corpus, no
+    // replacement bookkeeping, retry-stable (hash, not rand()); at
+    // 100 TB this is scan + a k-row heap per partition.
+    q("q_sample_weighted",
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |       % 1000000 + 1) / 1000001.0 AS u
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, w,
+        |    CAST(ROUND(1000000 * ln(u) / w) AS BIGINT) AS pri_u
+        |  FROM f)
+        |SELECT doc_id, source, w, pri_u
+        |FROM p ORDER BY pri_u DESC, doc_id LIMIT 200""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          ((h60(col("doc_id").cast("string")) % 1000000 + 1)
+            / lit(1000001.0)).as("u"))
+        .select(col("doc_id"), col("source"), col("w"),
+          round(lit(1000000) * log(col("u")) / col("w")).cast("long")
+            .as("pri_u"))
+        .orderBy(col("pri_u").desc, col("doc_id"))
+        .limit(200)
+    },
+
     // Model-based quality FILTER: a fixed-weight logistic regression over
     // cheap per-row features (log token count, stopword ratio, mean word
     // length) — the plumbing of a fastText-style quality classifier with

@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-N not pushed down")
   }
 
+  test("q_sample_weighted is a scan + distributed top-k (no shuffle, no sort)") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample top-k not pushed down")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"weighted sampling shuffled the corpus:\n$p")
+  }
+
   test("q_sink_partitioned read prunes partitions") {
     val p = plan("q_sink_partitioned")
     assert(p.contains("PartitionFilters") &&
