@@ -441,11 +441,62 @@ object TextAnalysis extends QueryPack {
     // Full BPE vocabulary training (operators/BpeTrain.scala): 8 merge
     // rounds over the (word, freq) vocabulary — per round, ONE scalar
     // (the argmax pair) reaches the driver and the symbol relation is
-    // re-folded and checkpointed. Rows-only: the merge sequence is
-    // iteratively data-dependent, beyond one SQL query; BpeSpec proves
-    // the trainer bit-equal to an independent in-memory reference
-    // implementation and round-trips encodeWord against it.
-    qRows("q_bpe_merges") { (s, dir) =>
+    // re-folded and checkpointed. Fully oracle-checked since round 7:
+    // the 8 data-dependent rounds UNROLL as CTEs (the IVF-Lloyd
+    // pattern), and the greedy non-overlapping left-to-right merge —
+    // the step no SQL fold can express over arrays — is replayed as a
+    // STRING replace: symbols are wrapped chr(1)·sym·chr(2) and
+    // concatenated, so the pair pattern chr(1)l chr(2)chr(1)r chr(2)
+    // never shares a boundary character with an adjacent match, and
+    // SQL replace()'s left-to-right non-overlapping scan IS the greedy
+    // fold (proved equal on [a,a,a] → [aa,a] etc. by BpeSpec's
+    // independent reference trainer). The sentinels are safe because
+    // the corpus is printable text; a corpus containing \\x01/\\x02
+    // would need different sentinels.
+    q("q_bpe_merges", {
+      def pairs(p: String, prev: String) =
+        s"""$p AS MATERIALIZED (
+           |  SELECT u.p.l AS l, u.p.r AS r,
+           |    CAST(SUM(u.freq) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT unnest(list_transform(range(1, len(sy)),
+           |      i -> {'l': sy[i], 'r': sy[i + 1]})) AS p, freq
+           |    FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+           |            chr(2) || chr(1)) AS sy, freq FROM $prev))
+           |    u
+           |  GROUP BY 1, 2)""".stripMargin
+      def best(b: String, p: String) =
+        s"$b AS MATERIALIZED (SELECT l, r, cnt FROM $p" +
+          " ORDER BY cnt DESC, l, r LIMIT 1)"
+      // One line on purpose: this SQL nests inside an outer
+      // stripMargin, which would eat the first pipe of a
+      // line-leading `||`.
+      def merge(sNew: String, prev: String, b: String) =
+        s"$sNew AS MATERIALIZED (SELECT replace(s, " +
+          s"chr(1) || (SELECT l FROM $b) || chr(2) || " +
+          s"chr(1) || (SELECT r FROM $b) || chr(2), " +
+          s"chr(1) || (SELECT l FROM $b) || (SELECT r FROM $b) || chr(2)" +
+          s") AS s, freq FROM $prev)"
+      val rounds = (1 to 8).map { i =>
+        Seq(pairs(s"p$i", s"s${i - 1}"), best(s"b$i", s"p$i")) ++
+          (if (i < 8) Seq(merge(s"s$i", s"s${i - 1}", s"b$i")) else Nil)
+      }.flatten.mkString(",\n")
+      val rows = (1 to 8).map(i =>
+        s"SELECT $i AS rank, l AS \"left\", r AS \"right\"," +
+          s" l || r AS merged, cnt AS pair_count FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w AS word, COUNT(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT chr(1) || array_to_string(
+         |      list_append(string_split(word, ''), '</w>'),
+         |      chr(2) || chr(1)) || chr(2) AS s, freq
+         |  FROM words),
+         |$rounds
+         |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
       val vocab = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
