@@ -641,5 +641,77 @@ object TextAnalysis extends QueryPack {
               " cast(pos as string)) as entry), null)))," +
               " x -> x.entry)")).as("head_postings"))
         .orderBy("token")
+    },
+
+    // BM25 RANKED RETRIEVAL — the search primitive the TF-IDF /
+    // inverted-index pair stops short of: score a fixed 3-term query
+    // against every document with Okapi BM25 (k1=1.2, b=0.75) and
+    // return the top 20. Determinism discipline: every double
+    // expression takes only EXACT INTEGERS (tf, df, dl, N, Σdl) as
+    // inputs so both engines evaluate identical IEEE arithmetic; the
+    // per-term IDF is quantized to integer micro-nats BEFORE the
+    // per-doc combination (the DSIR trick), and the final score is an
+    // order-independent BIGINT sum. Scale shape: terms filter BEFORE
+    // the tf aggregation (only query-term postings ever shuffle — at
+    // 100 TB that is |q| * df rows, not the corpus); doc length rides
+    // the explode projection (no corpus self-join); df/N/avgdl are
+    // 1-to-3-row broadcasts; top-k is TakeOrderedAndProject.
+    q("q_text_bm25",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |corp AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl
+        |         FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(ROUND(1000000 * ln(
+        |      (((SELECT n FROM corp) - df + 0.5) / (df + 0.5)) + 1))
+        |      AS BIGINT) AS idf_u
+        |  FROM df),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    COUNT(*) AS n_terms_matched,
+        |    CAST(SUM(CAST(ROUND(
+        |      idf.idf_u * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 *
+        |        tf.dl * (SELECT n FROM corp) / CAST((SELECT sdl FROM corp)
+        |          AS DOUBLE))))) AS BIGINT)) AS BIGINT) AS score_u
+        |  FROM tf JOIN idf ON tf.term = idf.term
+        |  GROUP BY 1)
+        |SELECT doc_id, n_terms_matched, score_u
+        |FROM sc ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val terms = Seq("hash", "join", "stream")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val dl = d.select(col("doc_id"), size(col("w")).as("dl"))
+      val corp = dl.agg(count(lit(1)).as("n"),
+        sum(col("dl")).cast("long").as("sdl"))
+      val tf = d.select(col("doc_id"), size(col("w")).as("dl"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = df.crossJoin(broadcast(corp))
+        .select(col("term"),
+          round(lit(1000000) * log(
+            ((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1))
+            .cast("long").as("idf_u"))
+      tf.join(broadcast(idf), "term")
+        .crossJoin(broadcast(corp))
+        .withColumn("part_u", round(
+          col("idf_u") * (col("tf") * 2.2 / (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") * col("n")
+              / col("sdl").cast("double"))))).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_matched"),
+          sum(col("part_u")).cast("long").as("score_u"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+        .limit(20)
     })
 }
