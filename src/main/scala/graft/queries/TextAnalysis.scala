@@ -16,6 +16,69 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryPack {
 
+  /** Corpus (word, freq) vocabulary — shared by BPE training/encoding. */
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** DuckDB replay of k BPE merge rounds (see q_bpe_merges for the
+    * sentinel-string greedy-merge argument): emits the words/s0 CTEs
+    * plus (p_i pair counts, b_i argmax, s_i merged state) per round.
+    * MATERIALIZED throughout — plain CTE inlining is exponential in
+    * round count (each round references the previous ~3×).
+    * `withFinalMerge` controls whether the LAST round's s_k is emitted
+    * (training only needs b_k; encoding needs the merged state).
+    */
+  private def bpeTrainCtes(k: Int, withFinalMerge: Boolean): String = {
+    def pairs(p: String, prev: String) =
+      s"""$p AS MATERIALIZED (
+         |  SELECT u.p.l AS l, u.p.r AS r,
+         |    CAST(SUM(u.freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(sy)),
+         |      i -> {'l': sy[i], 'r': sy[i + 1]})) AS p, freq
+         |    FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+         |            chr(2) || chr(1)) AS sy, freq FROM $prev))
+         |    u
+         |  GROUP BY 1, 2)""".stripMargin
+    def best(b: String, p: String) =
+      s"$b AS MATERIALIZED (SELECT l, r, cnt FROM $p" +
+        " ORDER BY cnt DESC, l, r LIMIT 1)"
+    // One line on purpose: this SQL nests inside an outer stripMargin,
+    // which would eat the first pipe of a line-leading `||`.
+    def merge(sNew: String, prev: String, b: String) =
+      s"$sNew AS MATERIALIZED (SELECT replace(s, " +
+        s"chr(1) || (SELECT l FROM $b) || chr(2) || " +
+        s"chr(1) || (SELECT r FROM $b) || chr(2), " +
+        s"chr(1) || (SELECT l FROM $b) || (SELECT r FROM $b) || chr(2)" +
+        s") AS s, freq FROM $prev)"
+    val rounds = (1 to k).map { i =>
+      Seq(pairs(s"p$i", s"s${i - 1}"), best(s"b$i", s"p$i")) ++
+        (if (i < k || withFinalMerge)
+          Seq(merge(s"s$i", s"s${i - 1}", s"b$i"))
+        else Nil)
+    }.flatten.mkString(",\n")
+    s"""words AS (
+       |  SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT chr(1) || array_to_string(
+       |      list_append(string_split(word, ''), '</w>'),
+       |      chr(2) || chr(1)) || chr(2) AS s, freq
+       |  FROM words),
+       |$rounds""".stripMargin
+  }
+
+  /** UNION ALL of the k argmax rows as the merge table. */
+  private def bpeMergeRows(k: Int): String =
+    (1 to k).map(i =>
+      s"SELECT $i AS rank, l AS \"left\", r AS \"right\"," +
+        s" l || r AS merged, cnt AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+
   def defs: Seq[QueryDef] = Seq(
 
     // Language-ID via marker-token heuristic (an n-gram language model
@@ -453,56 +516,50 @@ object TextAnalysis extends QueryPack {
     // independent reference trainer). The sentinels are safe because
     // the corpus is printable text; a corpus containing \\x01/\\x02
     // would need different sentinels.
-    q("q_bpe_merges", {
-      def pairs(p: String, prev: String) =
-        s"""$p AS MATERIALIZED (
-           |  SELECT u.p.l AS l, u.p.r AS r,
-           |    CAST(SUM(u.freq) AS BIGINT) AS cnt
-           |  FROM (
-           |    SELECT unnest(list_transform(range(1, len(sy)),
-           |      i -> {'l': sy[i], 'r': sy[i + 1]})) AS p, freq
-           |    FROM (SELECT string_split(substr(s, 2, length(s) - 2),
-           |            chr(2) || chr(1)) AS sy, freq FROM $prev))
-           |    u
-           |  GROUP BY 1, 2)""".stripMargin
-      def best(b: String, p: String) =
-        s"$b AS MATERIALIZED (SELECT l, r, cnt FROM $p" +
-          " ORDER BY cnt DESC, l, r LIMIT 1)"
-      // One line on purpose: this SQL nests inside an outer
-      // stripMargin, which would eat the first pipe of a
-      // line-leading `||`.
-      def merge(sNew: String, prev: String, b: String) =
-        s"$sNew AS MATERIALIZED (SELECT replace(s, " +
-          s"chr(1) || (SELECT l FROM $b) || chr(2) || " +
-          s"chr(1) || (SELECT r FROM $b) || chr(2), " +
-          s"chr(1) || (SELECT l FROM $b) || (SELECT r FROM $b) || chr(2)" +
-          s") AS s, freq FROM $prev)"
-      val rounds = (1 to 8).map { i =>
-        Seq(pairs(s"p$i", s"s${i - 1}"), best(s"b$i", s"p$i")) ++
-          (if (i < 8) Seq(merge(s"s$i", s"s${i - 1}", s"b$i")) else Nil)
-      }.flatten.mkString(",\n")
-      val rows = (1 to 8).map(i =>
-        s"SELECT $i AS rank, l AS \"left\", r AS \"right\"," +
-          s" l || r AS merged, cnt AS pair_count FROM b$i")
-        .mkString("\nUNION ALL ")
-      s"""WITH words AS (
-         |  SELECT w AS word, COUNT(*) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |s0 AS MATERIALIZED (
-         |  SELECT chr(1) || array_to_string(
-         |      list_append(string_split(word, ''), '</w>'),
-         |      chr(2) || chr(1)) || chr(2) AS s, freq
-         |  FROM words),
-         |$rounds
-         |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
-    }) { (s, dir) =>
-      val vocab = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      graft.operators.BpeTrain.train(vocab, 8)
+    q("q_bpe_merges",
+      s"""WITH ${bpeTrainCtes(8, withFinalMerge = false)}
+         |SELECT * FROM (${bpeMergeRows(8)}) ORDER BY rank""".stripMargin) {
+      (s, dir) =>
+      graft.operators.BpeTrain.train(bpeVocab(s, dir), 8)
         .orderBy("rank")
+    },
+
+    // BPE tokenizer APPLICATION at corpus scale — the consumption half
+    // of q_bpe_merges: re-train the 8 merges, ENCODE every vocabulary
+    // word by replaying them in rank order (operators/BpeTrain
+    // .encodeWord — k chained per-row folds, zero shuffle; the corpus
+    // cost is ONE vocab pass regardless of corpus size because
+    // encoding distributes over the (word, freq) vocabulary, never the
+    // raw corpus), and report the tokens-per-word histogram weighted
+    // by word frequency — the fertility distribution a tokenizer team
+    // reads before shipping a vocab. The oracle replays training AND
+    // encoding with the same sentinel-string chain: the final merged
+    // string state IS the encoded vocabulary.
+    q("q_bpe_encode",
+      s"""WITH ${bpeTrainCtes(8, withFinalMerge = true)},
+         |enc AS (
+         |  SELECT len(string_split(substr(s, 2, length(s) - 2),
+         |           chr(2) || chr(1))) AS n_tokens, freq
+         |  FROM s8)
+         |SELECT n_tokens, COUNT(*) AS n_vocab_words,
+         |  CAST(SUM(freq) AS BIGINT) AS word_occurrences
+         |FROM enc GROUP BY n_tokens ORDER BY n_tokens""".stripMargin) {
+      (s, dir) =>
+      val vocab = bpeVocab(s, dir)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // The trained merge table is the MODEL — 8 rows to the driver,
+      // the same artifact a tokenizer ships; encoding then runs as
+      // per-row folds over the distributed vocabulary.
+      val merges = graft.operators.BpeTrain.train(vocab, 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      vocab.withColumn("n_tokens",
+          size(graft.operators.BpeTrain.encodeWord(col("word"), merges)))
+        .groupBy("n_tokens")
+        .agg(count(lit(1)).as("n_vocab_words"),
+          sum(col("freq")).cast("long").as("word_occurrences"))
+        .orderBy("n_tokens")
     },
 
     // Per-document token ENTROPY (nats): H = ln(n) - sum(c*ln(c))/n over
