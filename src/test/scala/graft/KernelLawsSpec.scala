@@ -56,4 +56,30 @@ object KernelLawsSpec extends Properties("KernelLaws") {
         .filter(col("native") =!= col("rel"))
         .count() == 0L
     }
+
+  property("simhash60(arr) == relational form over the portable md5 h60 hash") =
+    Prop.forAllNoShrink(Gen.listOfN(5, tokens)) { rows =>
+      import spark.implicits._
+      HiveCompatFunctions.ensure(spark)
+      val df = rows.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "arr")
+      val tok = df.select(col("id"), explode(col("arr")).as("tokv"))
+        .groupBy("id", "tokv").agg(count(lit(1)).as("cnt"))
+        // The exact portable hash the kernel must reproduce: first 15
+        // md5 hex digits as a BIGINT (== DuckDB's ('0x'||...)::BIGINT).
+        .withColumn("h",
+          expr("CAST(conv(substr(md5(tokv), 1, 15), 16, 10) AS BIGINT)"))
+      val bitSums = (0 until 60).map(j =>
+        sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"s$j"))
+      val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      val sig = (0 until 60).map(j =>
+        shiftleft(when(col(s"s$j") > 0, 1L).otherwise(0L), j))
+        .reduce(_ bitwiseOR _)
+      val rel = sums.select(col("id"), sig.as("rel"))
+      df.select(col("id"), expr("simhash60(arr)").as("native"))
+        .join(rel, "id")
+        .filter(col("native") =!= col("rel"))
+        .count() == 0L
+    }
 }
