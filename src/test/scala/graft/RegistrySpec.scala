@@ -14,6 +14,18 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
   }
 
+  test("EVERY registered query is oracle-checked (no rows-only entries)") {
+    // As of round 7 the full registry (incl. the iterative trainers —
+    // IVF, k-means, logistic GD, BPE) has DuckDB oracles; the driver
+    // counts a no_oracle entry as an error, so a new rows-only query
+    // is a correctness-score regression. If a genuinely inexpressible
+    // operator ever lands, allowlist it HERE with the reason.
+    val rowsOnly = SparkEntry.all.map(_.name).toSet --
+      SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty,
+      s"queries without oracle SQL: ${rowsOnly.toSeq.sorted.mkString(", ")}")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
