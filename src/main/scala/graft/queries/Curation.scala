@@ -896,6 +896,96 @@ object Curation extends QueryPack {
     // counts end-to-end; the only double is the final ratio. One
     // row per audited key column; per key: one count shuffle + a
     // key-count-sized window (key cardinality, not row count).
+    // DISTRIBUTION-DRIFT AUDIT: pairwise Jensen–Shannon divergence
+    // between the per-SOURCE hashed-bigram distributions (the same
+    // 1024-bucket feature space DSIR scores against) — the corpus-mix
+    // monitor a pipeline runs when a new crawl lands or a snapshot
+    // refreshes ("did source X's content shift?"). JS rather than KL:
+    // symmetric and FINITE with empty buckets (0·ln0 = 0 by
+    // convention, handled explicitly), so no smoothing constant to
+    // tune. Per-bucket contributions quantize to integer micro-nats
+    // before the order-independent BIGINT sum; all ratios are
+    // exact-int/exact-int doubles, so both engines run identical IEEE
+    // arithmetic. Scale: one corpus pass builds the (source, bucket)
+    // counts (map-side combined, ≤ sources×1024 rows out), the dense
+    // bucket frame and pairing are broadcast-sized; nothing
+    // corpus-sized is ever joined or shuffled twice.
+    q("q_audit_drift",
+      """WITH f AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15))::BIGINT
+        |      % 1024 AS b
+        |  FROM (SELECT source, w, unnest(range(1, len(w))) AS i
+        |        FROM (SELECT source, string_split(text, ' ') AS w
+        |              FROM documents)
+        |        WHERE len(w) >= 2)),
+        |c AS (SELECT source, b, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM c
+        |      GROUP BY 1),
+        |dense AS (
+        |  SELECT n.source, r.b, n.n, COALESCE(c.cnt, 0) AS cnt
+        |  FROM n CROSS JOIN range(0, 1024) r(b)
+        |  LEFT JOIN c ON c.source = n.source AND c.b = r.b),
+        |pair AS (
+        |  SELECT a.source AS source_a, bb.source AS source_b, a.b,
+        |    CAST(a.cnt AS DOUBLE) / a.n AS p,
+        |    CAST(bb.cnt AS DOUBLE) / bb.n AS q,
+        |    a.n AS n_a, bb.n AS n_b
+        |  FROM dense a JOIN dense bb
+        |    ON a.b = bb.b AND a.source < bb.source),
+        |terms AS (
+        |  SELECT source_a, source_b, n_a, n_b,
+        |    CAST(ROUND(1000000 * (
+        |      (CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q))
+        |            ELSE 0 END) +
+        |      (CASE WHEN q > 0 THEN 0.5 * q * ln(2 * q / (p + q))
+        |            ELSE 0 END))) AS BIGINT) AS js_u
+        |  FROM pair)
+        |SELECT source_a, source_b,
+        |  CAST(SUM(js_u) AS BIGINT) AS js_unats,
+        |  MIN(n_a) AS n_bigrams_a, MIN(n_b) AS n_bigrams_b
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val f = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bg"))
+        .select(col("source"), (h60(col("bg")) % 1024).as("b"))
+      val c = f.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val n = c.groupBy("source").agg(sum(col("cnt")).cast("long").as("n"))
+      val dense = broadcast(n)
+        .crossJoin(broadcast(
+          s.range(0, 1024).select(col("id").as("b"))))
+        .join(c, Seq("source", "b"), "left")
+        .select(col("source"), col("b"), col("n"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val a = dense.select(col("source").as("source_a"), col("b"),
+        (col("cnt").cast("double") / col("n")).as("p"), col("n").as("n_a"))
+      val bb = dense.select(col("source").as("source_b"),
+        col("b").as("b2"),
+        (col("cnt").cast("double") / col("n")).as("q"), col("n").as("n_b"))
+      a.join(bb, col("b") === col("b2") &&
+          col("source_a") < col("source_b"))
+        .withColumn("js_u", round(lit(1000000) * (
+          when(col("p") > 0,
+            lit(0.5) * col("p") * log(lit(2) * col("p")
+              / (col("p") + col("q")))).otherwise(0.0) +
+          when(col("q") > 0,
+            lit(0.5) * col("q") * log(lit(2) * col("q")
+              / (col("p") + col("q")))).otherwise(0.0)))
+          .cast("long"))
+        .groupBy("source_a", "source_b")
+        .agg(sum(col("js_u")).cast("long").as("js_unats"),
+          min(col("n_a")).as("n_bigrams_a"),
+          min(col("n_b")).as("n_bigrams_b"))
+        .orderBy("source_a", "source_b")
+    },
+
     q("q_audit_skew", {
       val one = (tag: String, tbl: String, kc: String) =>
         s"""SELECT '$tag' AS keycol,

@@ -58,7 +58,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_cohort_retention", // 1-row corpus-origin scalar
     "q_filter_adaptive", // 1-row P25-threshold scalar
     "q_graph_triangles", // three 1-row count scalars zipped into one row
-    "q_text_bm25" // 1-row corpus N/avgdl scalar joined to query-term tf
+    "q_text_bm25", // 1-row corpus N/avgdl scalar joined to query-term tf
+    "q_audit_drift" // sources(≤~20 rows) × 1024-bucket literal frame
   )
 
   test("no registered query plans a cartesian product") {
