@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify contract: the driver parses the LAST stdout line as JSON.
+// Two sbt behaviors broke that in rounds 1-7 (BENCH_r*.json `parsed:null`):
+// the logger's "[info] " prefix on forked-run output, and the
+// "[success] Total time: ..." trailer printed AFTER the JSON line. Pass
+// run output through unprefixed and drop the trailer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,7 +30,10 @@ object Bench {
     // Warm-up (untimed): bring the fresh fork JVM to steady state before
     // anything is timed. `count()` on parquet is answered from footer
     // metadata (no data pages), so the table pass hashes every column of
-    // every row — that forces real column-chunk decode (page cache +
+    // every row and COLLECTS the hash — `head()`, not `count()`, because
+    // count-on-top-of-aggregate lets ColumnPruning drop the inner
+    // sum(xxhash64) entirely (verified: empty ReadSchema), skipping the
+    // column-chunk decode this pass exists to force (page cache +
     // parquet reader JIT). Then a spread of representative queries
     // (join chain, windows, explode/regexp, array lambdas, decimal aggs,
     // set ops) runs once untimed: on a cold VM the first-timed queries
@@ -39,13 +42,28 @@ object Bench {
     // unchanged tree — JVM state, not plan).
     T.star.foreach { n =>
       try T.t(spark, sfDir, n)
-        .selectExpr("sum(xxhash64(*)) as h").count()
+        .selectExpr("sum(xxhash64(*)) as h").head()
       catch { case _: Throwable => () }
     }
     val warmQs = Set("q1_pricing_summary", "q8_market_share",
       "q_win_rank", "q_explode_words", "q_text_tokens", "q_except_all",
       "q_ann_cosine_topk", "q_agg_cube", "q_join_star", "q_sample_dsir")
+    // Fail loud if a rename/removal silently drops a query out of the
+    // warm-up set (filter(contains) alone would just skip it).
+    val regNames = SparkEntry.all.map(_.name).toSet
+    require(warmQs.subsetOf(regNames),
+      s"warmQs names missing from registry: ${(warmQs -- regNames).toSeq.sorted.mkString(",")}")
     SparkEntry.all.filter(d => warmQs.contains(d.name)).foreach { d =>
+      try d.run(spark, sfDir).count() catch { case _: Throwable => () }
+      T.releaseScratch(spark)
+    }
+    // Sacrificial untimed re-run of the FIRST registered query right
+    // before the timed loop: q1 is in warmQs, but nine other warm-up
+    // queries run between its warm-up pass and its first timed slot, and
+    // the r7 driver run still showed q1 at 2.38× while the suite median
+    // ratio was 1.006 — residual first-slot JVM/allocator state, not a
+    // plan issue. Re-running it as the LAST untimed action absorbs it.
+    SparkEntry.all.headOption.foreach { d =>
       try d.run(spark, sfDir).count() catch { case _: Throwable => () }
       T.releaseScratch(spark)
     }
@@ -95,7 +113,15 @@ object Bench {
     val slow = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$slow,"n":${results.size},"failed":$fs,"iters":$iters,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
-    spark.stop()
+    val line =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$slow,"n":${results.size},"failed":$fs,"iters":$iters,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    println(line)
+    // The driver parses the LAST stdout line as JSON. Stop Spark FIRST
+    // (its shutdown may still log), then re-print the line as the final
+    // act on both streams; build.sbt's StdoutOutput + showSuccess=false
+    // keep sbt from prefixing it or appending a [success] trailer.
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
+    System.err.println(line)
   }
 }
