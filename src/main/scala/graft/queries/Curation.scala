@@ -986,19 +986,31 @@ object Curation extends QueryPack {
         .orderBy("source_a", "source_b")
     },
 
+    // KEY-SKEW AUDIT — per join-key column: key cardinality, hottest key,
+    // count percentiles and a skew ratio (max/mean multiplicity). Scale
+    // shape (the r7 verdict's one flagged plan): the per-key count
+    // relation is billions of rows on a 100 TB fact table, so the old
+    // `cume_dist() OVER (ORDER BY cnt)` + `MAX(cnt) OVER ()` single-task
+    // global window is exactly the pattern SCALE.md bans. Rewritten as
+    // ONE partial/final aggregate over the counts: percentiles via
+    // percentile_approx (exact below its 1e6 accuracy at test SF; the
+    // mergeable-sketch path at 100 TB — bounded rank error, same pairing
+    // vs DuckDB quantile_disc that q_curriculum_bins pins), hottest key
+    // via max_by with a (cnt, -key) struct (deterministic min-key
+    // tie-break). No window anywhere in the Spark plan; the oracle keeps
+    // a window for hot_key because DuckDB-side shape is scale-irrelevant.
     q("q_audit_skew", {
       val one = (tag: String, tbl: String, kc: String) =>
         s"""SELECT '$tag' AS keycol,
            |  CAST(COUNT(*) AS BIGINT) AS n_keys,
            |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
-           |  CAST(MIN(CASE WHEN cd >= 0.5 THEN cnt END) AS BIGINT) AS p50_cnt,
-           |  CAST(MIN(CASE WHEN cd >= 0.95 THEN cnt END) AS BIGINT) AS p95_cnt,
-           |  CAST(MIN(CASE WHEN cd >= 0.99 THEN cnt END) AS BIGINT) AS p99_cnt,
+           |  CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_cnt,
+           |  CAST(quantile_disc(cnt, 0.95) AS BIGINT) AS p95_cnt,
+           |  CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt,
            |  CAST(MIN(CASE WHEN cnt = mx THEN key END) AS BIGINT) AS hot_key,
            |  ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4)
            |    AS skew_ratio
-           |FROM (SELECT key, cnt, cume_dist() OVER (ORDER BY cnt) AS cd,
-           |        MAX(cnt) OVER () AS mx
+           |FROM (SELECT key, cnt, MAX(cnt) OVER () AS mx
            |      FROM (SELECT $kc AS key, COUNT(*) AS cnt
            |            FROM $tbl GROUP BY 1))""".stripMargin
       s"""SELECT * FROM (
@@ -1010,26 +1022,22 @@ object Curation extends QueryPack {
          |ORDER BY keycol""".stripMargin
     }) { (s, dir) =>
       import org.apache.spark.sql.DataFrame
-      import org.apache.spark.sql.expressions.Window
       def one(tag: String, df: DataFrame, kc: String): DataFrame = {
         val counts = df.groupBy(col(kc).as("key"))
           .agg(count(lit(1)).as("cnt"))
         counts
-          .withColumn("cd", cume_dist().over(Window.orderBy("cnt")))
-          .withColumn("mx", max(col("cnt")).over(Window.partitionBy()))
           .agg(count(lit(1)).cast("long").as("n_keys"),
             max(col("cnt")).cast("long").as("max_cnt"),
-            min(when(col("cd") >= 0.5, col("cnt"))).cast("long")
-              .as("p50_cnt"),
-            min(when(col("cd") >= 0.95, col("cnt"))).cast("long")
-              .as("p95_cnt"),
-            min(when(col("cd") >= 0.99, col("cnt"))).cast("long")
-              .as("p99_cnt"),
-            min(when(col("cnt") === col("mx"), col("key"))).cast("long")
-              .as("hot_key"),
+            expr("percentile_approx(cnt, array(0.5D, 0.95D, 0.99D), 1000000)")
+              .as("qs"),
+            expr("max_by(key, struct(cnt, -key))").cast("long").as("hot_key"),
             round(max(col("cnt")).cast("double") * count(lit(1))
               / sum(col("cnt")), 4).as("skew_ratio"))
-          .select(lit(tag).as("keycol"), col("*"))
+          .select(lit(tag).as("keycol"), col("n_keys"), col("max_cnt"),
+            expr("qs[0]").cast("long").as("p50_cnt"),
+            expr("qs[1]").cast("long").as("p95_cnt"),
+            expr("qs[2]").cast("long").as("p99_cnt"),
+            col("hot_key"), col("skew_ratio"))
       }
       one("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")
         .unionAll(one("lineitem.l_suppkey", t(s, dir, "lineitem"),

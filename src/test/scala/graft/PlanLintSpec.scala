@@ -47,7 +47,6 @@ class PlanLintSpec extends AnyFunSuite {
     "q_text_entropy", // 1-row corpus scalar
     "q_curriculum_bins", // 1-row percentile-cuts scalar
     "q_agg_outliers_iqr", // 1-row quartile scalar
-    "q_audit_skew", // 1-row max-count scalar per branch
     "q_sample_temperature", // 1-row corpus-threshold scalar
     "q_graph_pagerank", // 1-row rank-mass scalars in the iteration
     "q_decontam_substring", // <=50-row snippet set broadcast vs corpus
@@ -61,6 +60,44 @@ class PlanLintSpec extends AnyFunSuite {
     "q_text_bm25", // 1-row corpus N/avgdl scalar joined to query-term tf
     "q_audit_drift" // sources(≤~20 rows) × 1024-bucket literal frame
   )
+
+  /** Queries allowed an un-partitioned Window: documented single-task
+    * exactness baselines whose distributed twin ships in the same repo.
+    * Everything else must partition its windows — `OVER (ORDER BY ...)`
+    * with no PARTITION BY sorts the whole relation in ONE task, the
+    * quiet scale killer the r7 verdict flagged in q_audit_skew (since
+    * rewritten to a partial/final percentile_approx aggregate).
+    */
+  private val globalWindowBaselines = Set(
+    "q_agg_equidepth" // documented exactness baseline; KLL twin in-code
+  )
+
+  test("no registered query plans an un-partitioned Window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, Window, WindowGroupLimit}
+    // A global window over a LIMIT-bounded subtree is fine (the single
+    // task sees <= limit rows — q_sample_dsir ranks its top-100 output);
+    // over an unbounded relation it is the single-task sort this lint bans.
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit => () }.isDefined
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val plan =
+          try build(spark, sfDir).queryExecution.optimizedPlan
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val hits = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            "Window"
+          case w: WindowGroupLimit
+              if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            "WindowGroupLimit"
+        }
+        if (hits.nonEmpty && !globalWindowBaselines.contains(name))
+          Some(s"$name: ${hits.mkString(",")} with empty partitionSpec")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"single-task global windows:\n  ${offenders.mkString("\n  ")}")
+  }
 
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
