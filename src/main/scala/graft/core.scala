@@ -157,6 +157,31 @@ object T {
       if (!pinnedRdds.contains(id)) rdd.unpersist(blocking = true)
     }
 
+  /** Content fingerprint of one test table: md5 over the sorted
+    * (path, size, mtime) listing of `$dir/$name.parquet` (file or
+    * directory). Setup-once memos (the BPE merge table, ANALYZEd stats
+    * tables) keyed by data-dir PATH alone silently go stale if the
+    * dir's parquet is regenerated in-process; keying on this makes them
+    * self-invalidate, and it costs one directory listing — no data read.
+    */
+  def contentTag(dir: String, name: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir, s"$name.parquet")
+    val files: Seq[Path] =
+      if (Files.isDirectory(root))
+        Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      else if (Files.exists(root)) Seq(root)
+      else Seq.empty
+    val sig = files.map(_.toString).sorted.map { p =>
+      val path = Paths.get(p)
+      s"$p:${Files.size(path)}:${Files.getLastModifiedTime(path).toMillis}"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+  }
+
   /** DuckDB-side twins of dec/dsum/davg for oracle SQL strings. */
   def oDec(e: String): String = s"CAST($e AS DECIMAL(18,4))"
   def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"

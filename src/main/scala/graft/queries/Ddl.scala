@@ -231,8 +231,13 @@ object Ddl extends QueryPack {
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
         |  COUNT(o_custkey) AS n_cust
         |FROM orders""".stripMargin) { (s, dir) =>
+      // Table name carries a content fingerprint of the source parquet:
+      // if the dir's orders.parquet is regenerated in-process, the old
+      // saved table + its ANALYZE stats are abandoned and a fresh one is
+      // built, so the stats-answered row can't silently diverge from the
+      // oracle's live scan (stale-memo advice, round 7).
       val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
-      val tbl = s"g_stats_orders_$tag"
+      val tbl = s"g_stats_orders_${tag}_${T.contentTag(dir, "orders")}"
       if (!s.catalog.tableExists(tbl)) {
         t(s, dir, "orders").select("o_orderkey", "o_custkey")
           .write.saveAsTable(tbl)

@@ -27,7 +27,9 @@ object TextAnalysis extends QueryPack {
     * q_ddl_ctas_analyze setup-once precedent): training is pure in the
     * dir's file content, and q_bpe_encode's own cost is the APPLY pass.
     * q_bpe_merges itself never reads this memo — the training query
-    * keeps exercising the trainer end to end.
+    * keeps exercising the trainer end to end. Keyed by dir path PLUS
+    * T.contentTag of documents.parquet, so regenerating the dir's data
+    * in-process retrains instead of silently encoding with stale merges.
     */
   private val trainedMerges =
     new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
@@ -560,7 +562,8 @@ object TextAnalysis extends QueryPack {
       // The trained merge table is the MODEL — 8 rows to the driver,
       // the same artifact a tokenizer ships; encoding then runs as
       // per-row folds over the distributed vocabulary.
-      val merges = trainedMerges.getOrElseUpdate(dir,
+      val merges = trainedMerges.getOrElseUpdate(
+        dir + "#" + T.contentTag(dir, "documents"),
         graft.operators.BpeTrain.train(vocab, 8)
           .orderBy("rank").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq)
