@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
   *   delta_<w>_update/   insert/ + delete/ subdirs committed by ONE
   *                       rename (update = delete + insert, one write id)
   *
-  * Write-id allocation (`currentWriteId + 1`) assumes ONE writer per
-  * table root at a time — Hive delegates this to the metastore's txn
-  * manager, which this file deliberately does not re-implement. Callers
-  * serialize writes (see Ddl.acidDemo); a concurrent second writer is
-  * detected, not corrupting: its commit rename fails against the
-  * already-claimed dir name and throws.
+  * Write-id allocation is optimistic (`currentWriteId + 1` at operation
+  * start) with a CAS at commit time: the root is re-listed immediately
+  * before the rename and the commit ABORTS if any write id >= the
+  * claimed one landed meanwhile (see `commit`). A losing concurrent
+  * writer therefore throws and must retry from a fresh snapshot — it
+  * never silently publishes deltas derived from a stale snapshot. What
+  * this file deliberately does NOT re-implement is Hive's metastore txn
+  * manager (a distributed lock service): without one, the re-list ->
+  * rename window remains, the same residual a catalog-less file-based
+  * lakehouse has.
   *
   * Every row carries `row__id` = STRUCT(write_id, row_id) — Hive's
   * ROW__ID(writeId, bucket, rowId) minus the bucket leg (Spark's file
@@ -83,21 +87,38 @@ object AcidTable {
 
   /** Commit protocol: produce the write under `root/.tmp_<name>`, then
     * one rename to `root/<name>`. Readers list only final names, so a
-    * writer crash before the rename leaves the table untouched. Write-id
-    * collisions (two writers claiming one id) are detected best-effort:
-    * the existence check below catches a loser that arrives second, but
-    * rename-vs-rename is not atomic on every FS — LocalFileSystem in
-    * particular degrades rename-onto-existing-dir to a nested copy that
-    * "succeeds" — so true multi-writer safety needs an external lock
-    * manager (Hive delegates this to the metastore txn manager; callers
-    * here serialize writes, see Ddl.acidDemo).
+    * writer crash before the rename leaves the table untouched.
+    *
+    * Concurrent-writer conflict detection is a write-id CAS: `w` is the
+    * id this commit claims (allocated as currentWriteId+1 when the
+    * operation STARTED), and immediately before the rename the root is
+    * re-listed — if any commit with id >= w landed meanwhile, this
+    * writer aborts and cleans its temp dir. That catches the real
+    * anomaly (two writers deriving deltas from the same snapshot: the
+    * second's tombstones/updates never saw the first's rows) even when
+    * the two dirs have different names and both renames would "succeed".
+    * The residual window is re-list -> rename, which is what a
+    * file-based lakehouse without a catalog/lock service honestly
+    * provides (Hive closes it with the metastore txn manager's locks;
+    * pre-catalog Delta/Iceberg have the same residual race on
+    * non-atomic-visibility filesystems). Losers must RETRY from a fresh
+    * snapshot, not re-rename. private[graft] so AcidSpec can stage the
+    * two-writer race deterministically.
     */
-  private def commit(s: SparkSession, root: String, name: String)
-      (write: String => Unit): Unit = {
+  private[graft] def commit(s: SparkSession, root: String, w: Long,
+      name: String)(write: String => Unit): Unit = {
     val f = fs(s, root)
     val tmp = new Path(s"$root/.tmp_$name")
     if (f.exists(tmp)) f.delete(tmp, true) // leftover from a crashed writer
     write(tmp.toString)
+    val committed = writes(s, root).map(_._2).maxOption.getOrElse(0L)
+    if (committed >= w) {
+      f.delete(tmp, true)
+      throw new IllegalStateException(
+        s"ACID commit conflict: write id $w is stale under $root " +
+          s"(highest committed id is $committed — a concurrent writer " +
+          "landed first); recompute against a fresh snapshot and retry")
+    }
     val dst = new Path(s"$root/$name")
     if (f.exists(dst) || !f.rename(tmp, dst))
       throw new IllegalStateException(
@@ -114,7 +135,7 @@ object AcidTable {
 
   /** Create the table: `df` becomes base_1. */
   def create(s: SparkSession, root: String, df: DataFrame): Unit =
-    commit(s, root, "base_1")(tmp => withRid(df, 1L).write.parquet(tmp))
+    commit(s, root, 1L, "base_1")(tmp => withRid(df, 1L).write.parquet(tmp))
 
   /** Snapshot read. `asOf` = write id (None = latest). Returns data
     * columns + `row__id`.
@@ -148,7 +169,7 @@ object AcidTable {
   /** Append rows as a new write. Returns the write id. */
   def insert(s: SparkSession, root: String, df: DataFrame): Long = {
     val w = currentWriteId(s, root) + 1
-    commit(s, root, s"delta_${w}_insert")(tmp =>
+    commit(s, root, w, s"delta_${w}_insert")(tmp =>
       withRid(df, w).write.parquet(tmp))
     w
   }
@@ -157,7 +178,7 @@ object AcidTable {
   def delete(s: SparkSession, root: String, pred: Column): Long = {
     val w = currentWriteId(s, root) + 1
     val tomb = read(s, root).filter(pred).select(RID)
-    commit(s, root, s"delta_${w}_delete")(tmp => tomb.write.parquet(tmp))
+    commit(s, root, w, s"delta_${w}_delete")(tmp => tomb.write.parquet(tmp))
     w
   }
 
@@ -172,7 +193,7 @@ object AcidTable {
     val w = currentWriteId(s, root) + 1
     val hit = read(s, root).filter(pred).cache()
     try {
-      commit(s, root, s"delta_${w}_update") { tmp =>
+      commit(s, root, w, s"delta_${w}_update") { tmp =>
         hit.select(RID).write.parquet(s"$tmp/delete")
         val updated = set.foldLeft(hit.drop(RID)) { case (d, (c, e)) =>
           d.withColumn(c, e) }
@@ -192,7 +213,7 @@ object AcidTable {
     // snapshot must be materialized BEFORE the commit rename: the plan
     // reads the very dirs the cleaner below deletes.
     val snap = read(s, root)
-    commit(s, root, s"base_$w")(tmp => snap.write.parquet(tmp))
+    commit(s, root, w, s"base_$w")(tmp => snap.write.parquet(tmp))
     val f = fs(s, root)
     writes(s, root).filter(_._2 < w).foreach {
       case ("base", i) => f.delete(new Path(s"$root/base_$i"), true)

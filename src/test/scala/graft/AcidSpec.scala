@@ -118,6 +118,49 @@ class AcidSpec extends AnyFunSuite {
     assert(AcidTable.read(spark, root).count() === expect)
   }
 
+  test("racing writers: commit-time write-id CAS aborts the loser") {
+    val root = freshRoot()
+    AcidTable.create(spark, root, T.t(spark, sfDir, "nation")) // w1
+    // Two writers read the SAME snapshot (currentWriteId=1) and both
+    // claim w=2 — with DIFFERENT dir names (insert vs delete), so both
+    // renames would "succeed" and the old name-collision check alone
+    // would publish a delete derived from a snapshot that never saw the
+    // concurrent insert. Stage the interleaving deterministically
+    // through the private[graft] commit seam.
+    val w = AcidTable.currentWriteId(spark, root) + 1
+    assert(w === 2L)
+    val extra = T.t(spark, sfDir, "nation")
+      .filter(col("n_nationkey") < 3)
+      .withColumn("n_nationkey", col("n_nationkey") + 200)
+      .withColumn("row__id",
+        struct(lit(w).as("write_id"),
+          monotonically_increasing_id().as("row_id")))
+    // Writer A commits first.
+    AcidTable.commit(spark, root, w, s"delta_${w}_insert")(tmp =>
+      extra.write.parquet(tmp))
+    // Writer B (same claimed id, different kind) must abort at the CAS.
+    val tomb = AcidTable.read(spark, root, Some(1L))
+      .filter(col("n_regionkey") === 0).select("row__id")
+    val e = intercept[IllegalStateException] {
+      AcidTable.commit(spark, root, w, s"delta_${w}_delete")(tmp =>
+        tomb.write.parquet(tmp))
+    }
+    assert(e.getMessage.contains("commit conflict"))
+    // The loser left nothing behind: no tombstones applied, A's insert
+    // visible, no .tmp_ residue, and the write id advanced exactly once.
+    assert(AcidTable.read(spark, root).count() === 28)
+    assert(AcidTable.currentWriteId(spark, root) === 2L)
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp_"))
+    assert(leftovers.isEmpty, s"loser left temp dirs: ${leftovers.toSeq}")
+    // And a retry from a FRESH snapshot (w=3) succeeds: region 0 holds
+    // 5 base nations plus nation 0's inserted copy (regionkey travels
+    // with the copy) — 28 - 6 = 22.
+    AcidTable.delete(spark, root, col("n_regionkey") === 0)
+    assert(AcidTable.currentWriteId(spark, root) === 3L)
+    assert(AcidTable.read(spark, root).count() === 22)
+  }
+
   test("tombstone side of merge-on-read is broadcast") {
     val root = freshRoot()
     AcidTable.create(spark, root, T.t(spark, sfDir, "customer"))
