@@ -201,8 +201,10 @@ object Similarity extends QueryPack {
     },
 
     // LSH-bucketed ANN — the 100 TB path. Multi-table random-hyperplane
-    // LSH: 10 tables × 6 sign bits; a vector lands in one 6-bit bucket
-    // PER TABLE and candidates are the union of its buckets. For a true
+    // LSH: 10 tables × b sign bits, b = max(6, ceil(log2(corpus/32)))
+    // ADAPTIVE to corpus size (see the sizing note at the Spark side);
+    // a vector lands in one b-bit bucket PER TABLE and candidates are
+    // the union of its buckets. For a true
     // neighbor at angle θ, P(same bit) = 1-θ/π ≈ 0.6 at the cosines in
     // this corpus, so per-table co-bucket ≈ 0.6^6 and union recall
     // ≈ 1-(1-0.6^6)^10 ≈ 0.4 — tune (bits, tables) so bucket size
@@ -218,21 +220,27 @@ object Similarity extends QueryPack {
     // cap, band self-join, exact rescore) is plain SQL — so DuckDB
     // replays the complete bucket+rescore pipeline bit-for-bit.
     q("q_ann_lsh_bucketed",
-      """WITH hp AS (
+      """WITH params AS (
+        |  SELECT GREATEST(6, (SELECT CAST(COUNT(*) AS INT) FROM range(40) t(k)
+        |                      WHERE (32::BIGINT << CAST(k AS INT)) <
+        |                        (SELECT COUNT(*) FROM embeddings))) AS bits),
+        |hp AS (
         |  SELECT k, list_transform(range(0, 64), d ->
         |      ('0x' || substr(md5(k::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
         |        % 2000001 / 1000000.0 - 1.0) AS hpv
-        |  FROM range(60) t(k)),
+        |  FROM range(400) t(k)
+        |  WHERE k < 10 * (SELECT bits FROM params)),
         |e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
         |      AS nrm
         |  FROM embeddings),
         |bits AS (
-        |  SELECT e.vec_id, k // 6 AS tbl,
+        |  SELECT e.vec_id, k // (SELECT bits FROM params) AS tbl,
         |    CASE WHEN ROUND(list_sum(list_transform(range(1, 65),
         |          i -> e.embedding[i]::DOUBLE * hp.hpv[i])), 6) > 0
-        |      THEN (1::BIGINT << CAST(k % 6 AS INT)) ELSE 0 END AS bit
+        |      THEN (1::BIGINT << CAST(k % (SELECT bits FROM params) AS INT))
+        |      ELSE 0 END AS bit
         |  FROM e CROSS JOIN hp),
         |buckets AS (
         |  SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
@@ -263,7 +271,18 @@ object Similarity extends QueryPack {
         |  FROM scored) WHERE rn = 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
       val dim = 64
       val tables = 10
-      val bits = 6        // 2^6 = 64 buckets/table; raise with corpus size
+      // ADAPTIVE bits = the sizing rule above made executable: smallest
+      // b with corpus/2^b <= 32 (floor 6), via pure integer shifts so
+      // the oracle's replay can't drift on a log2 boundary ulp. With
+      // fixed bits, 10× corpus = 10× occupancy = 100× candidate pairs —
+      // measured 1.3 s -> 139.6 s at sf0.1 -> sf1 before this; growing
+      // bits with log2(n) holds expected occupancy ~constant, so
+      // candidate volume scales ~linearly (recall per table drops as
+      // buckets shrink — the standard trade, bought back with tables /
+      // multi-probe, NOT with bigger buckets). The count() is one
+      // parquet-footer metadata read, O(files) at any scale.
+      val nVecs = t(s, dir, "embeddings").count()
+      val bits = math.max(6, (0 until 40).count(k => (32L << k) < nVecs))
       val bucketCap = 1000 // max members considered per (table, bucket)
       // Hyperplane k, component d = centered pseudo-random double from
       // the portable h60 hash of "k:d" — deterministic, generated
@@ -429,10 +448,15 @@ object Similarity extends QueryPack {
         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
         |      AS nrm
         |  FROM embeddings),
+        |params AS (
+        |  SELECT (SELECT MIN(1::BIGINT << CAST(k AS INT)) FROM range(31) t(k)
+        |          WHERE (1::BIGINT << CAST(k AS INT))
+        |              * (1::BIGINT << CAST(k AS INT)) >=
+        |            (SELECT COUNT(*) FROM e)) AS seedmod),
         |c0 AS (
         |  SELECT vec_id AS cent_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS cent, nrm AS cnrm
-        |  FROM e WHERE vec_id % 31 = 0),
+        |  FROM e WHERE vec_id % (SELECT seedmod FROM params) = 0),
         |tr AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % 5 = 0),
         |a1 AS (
         |  SELECT vec_id, cent_id AS cell FROM (
@@ -507,7 +531,21 @@ object Similarity extends QueryPack {
       val cellCap = 2000
       val iters = 2
       val e = withNorm(t(s, dir, "embeddings"))
-      var cents = e.filter(col("vec_id") % 31 === 0)
+      // ADAPTIVE cell count ~ sqrt(n) — the standard IVF sizing (FAISS's
+      // nlist ≈ sqrt(N)). Seeds are vec_id % p == 0 with p the smallest
+      // power of two whose square covers the corpus, so |cells| lands in
+      // (sqrt(n)/2, sqrt(n)] via pure integer shifts both engines
+      // replay identically. The old fixed `% 31` grew the CELL COUNT
+      // linearly with the corpus, making assignment/ranking n²/31 —
+      // measured 1.35 s -> 108.7 s at sf0.1 -> sf1; with c ~ sqrt(n)
+      // both the n×c assignment and the n×nprobe×(n/c) probe rescore
+      // are O(n^1.5), IVF's textbook scaling. The count() is one
+      // parquet-footer metadata read.
+      val nVecs = e.sparkSession.read
+        .parquet(s"$dir/embeddings.parquet").count()
+      val seedMod = (0 until 31).map(1L << _)
+        .find(p => p * p >= nVecs).getOrElse(1L << 31)
+      var cents = e.filter(col("vec_id") % seedMod === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
           col("nrm").as("cent_nrm"))
       // Centroids train on a deterministic ~20% sample — the standard
