@@ -270,8 +270,11 @@ object Dedup extends QueryPack {
       val dropped = pairComponents(s, dir)
         .filter(col("node") =!= col("comp_id"))
         .select("node")
+      // No broadcast hint on dropped: at a constant dup RATE the
+      // non-survivor set grows linearly with the corpus — AQE
+      // broadcasts it while small, shuffle-joins at scale.
       t(s, dir, "documents")
-        .join(broadcast(dropped), col("doc_id") === col("node"), "left")
+        .join(dropped, col("doc_id") === col("node"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("node").isNull, 1).otherwise(0)).cast("long")

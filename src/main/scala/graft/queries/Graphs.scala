@@ -299,10 +299,13 @@ object Graphs extends QueryPack {
       // Orient low-degree → high-degree (id tie-break): hub nodes get
       // near-zero out-degree, so the wedge self-join below never
       // explodes at a hub.
+      // No broadcast hint on deg: the degree table is |V| rows — it
+      // grows with the graph. AQE broadcasts it while small,
+      // shuffle-joins at scale.
       val ed = e
-        .join(broadcast(deg).withColumnRenamed("n", "u")
+        .join(deg.withColumnRenamed("n", "u")
           .withColumnRenamed("dg", "du"), "u")
-        .join(broadcast(deg).withColumnRenamed("n", "v")
+        .join(deg.withColumnRenamed("n", "v")
           .withColumnRenamed("dg", "dv"), "v")
         .select(when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")),

@@ -172,7 +172,10 @@ object Joins extends QueryPack {
       val ord = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       val cust = t(s, dir, "customer").select("c_custkey")
-      li.join(broadcast(big), col("l_orderkey") === col("bk"), "left_semi")
+      // No broadcast hint on big: the >150-qty order set is fact-derived
+      // (selectivity-bound but linear in the corpus) — AQE broadcasts it
+      // while small, shuffle-joins at scale.
+      li.join(big, col("l_orderkey") === col("bk"), "left_semi")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -335,8 +338,14 @@ object Joins extends QueryPack {
       val avgq = li.groupBy(col("l_partkey").as("ak"))
         .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double")
           / count(lit(1)))).as("cutoff"))
+      // NO broadcast hint on avgq: its cardinality is the DISTINCT
+      // PARTKEY domain of the fact table — it grows with the corpus
+      // (2M rows at the 100× scale point, where the forced broadcast
+      // measured 80-176 s vs ~7 s for the shuffle plan). AQE runtime-
+      // broadcasts it while it is actually small and shuffle-joins it
+      // at scale; a hint would freeze the small-SF plan forever.
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(avgq), col("l_partkey") === col("ak"))
+        .join(avgq, col("l_partkey") === col("ak"))
         .filter(col("l_quantity") < col("cutoff"))
         .agg(round(sum(dec(col("l_extendedprice"))) / 7.0, 4)
           .cast("double").as("avg_yearly"))

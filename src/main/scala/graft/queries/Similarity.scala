@@ -595,19 +595,25 @@ object Similarity extends QueryPack {
             sqrt(dot("cent", "cent")).as("cent_nrm"))
           .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       }
+      // Rank centroids per vector on a SKINNY (vec_id, cent_id,
+      // cent_cos) relation: the embedding must feed the dot product
+      // (map-side, against the broadcast centroids) but must NOT ride
+      // through the ranking window — at the 100× scale point the fat
+      // n×c window shuffled the 64-float arrays c times per vector and
+      // dominated the query. The rank<=nprobe filter compiles to
+      // WindowGroupLimit (map-side per-group limit before the
+      // exchange), so the shuffle carries ~nprobe skinny rows per
+      // vector; embeddings are joined back by vec_id only for the
+      // ≤ nprobe·n survivors. Checkpoint materializes that small
+      // relation once for its two consumers (index build + probes).
       val ranked = e.crossJoin(broadcast(cents))
-        .withColumn("cent_cos",
-          round(dot("embedding", "cent") / (col("nrm") * col("cent_nrm")), 6))
-        // The 64-double centroid array is dead weight once cent_cos is
-        // computed — dropping it before the ranking window + checkpoint
-        // halves both the window shuffle and the materialized bytes.
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("cent_id"), col("cent_cos"))
+        .select(col("vec_id"), col("cent_id"),
+          round(dot("embedding", "cent") / (col("nrm") * col("cent_nrm")),
+            6).as("cent_cos"))
         .withColumn("arn", row_number().over(wAssign))
-        // Two consumers (index build + probe list): materialize the
-        // corpus×centroid ranking once instead of re-running the
-        // crossJoin + window per consumer.
+        .filter(col("arn") <= nprobe)
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        .join(e, "vec_id") // re-attach embedding+nrm to the survivors
       // Inverted file: every vector lives in exactly ONE cell (arn=1),
       // capped per cell deterministically by vec_id.
       val wCell = org.apache.spark.sql.expressions.Window
@@ -620,7 +626,7 @@ object Similarity extends QueryPack {
       // Probe list: each query searches its nprobe nearest cells. A
       // candidate sits in one cell, so a (q, cand) pair matches at most
       // once — no dedup needed before re-scoring.
-      val probes = ranked.filter(col("arn") <= nprobe)
+      val probes = ranked
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cent_id").as("ccell"))
       // Top-1 per query via max_by, NOT a row_number window: the scored
