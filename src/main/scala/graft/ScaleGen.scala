@@ -22,14 +22,16 @@ import org.apache.spark.sql.functions._
   *    factor. nation/region stay fixed (as in the driver's own sf0.01 →
   *    sf0.1 scaling), so per-nation group cardinality grows N× — the
   *    realistic direction: more rows per group, not more groups.
-  *  - documents: doc_id shifts; TEXT is letter-rotated by r (a per-word
-  *    caesar over [a-z]) — word lengths, token counts, doc lengths and
-  *    the zipf shape survive exactly, but replicas share no vocabulary,
-  *    so the duplicate/near-duplicate RATE of the corpus is constant as
-  *    it grows (naive copies would multiply every dup-group size by N
-  *    and quadratically blow up pair-generating queries — that would be
-  *    measuring a different corpus, not a bigger one). n_chars stays
-  *    truthful (rotation preserves length).
+  *  - documents: doc_id shifts; TEXT passes through a per-replica
+  *    seeded alphabet PERMUTATION (replica 0 = identity) — word
+  *    lengths, token counts, doc lengths and the zipf shape survive
+  *    exactly, but replicas share no vocabulary, so the duplicate/
+  *    near-duplicate RATE of the corpus is constant as it grows (naive
+  *    copies would multiply every dup-group size by N and quadratically
+  *    blow up pair-generating queries — that would be measuring a
+  *    different corpus, not a bigger one; a caesar ROTATION would
+  *    collide past 26 replicas). n_chars stays truthful (a permutation
+  *    preserves length).
   *  - embeddings: vec_id shifts; vectors get a per-replica ORTHOGONAL
   *    transform (circular dimension shift by r + deterministic sign
   *    flips). Orthogonality preserves every within-replica cosine/L2
@@ -102,15 +104,31 @@ object ScaleGen {
       shift(_, _, "event_id" -> kEvent, "user_id" -> kUser)),
       "events", 8)
 
-    // documents: caesar-rotate letters by r — vocabulary disjoint across
-    // replicas, every length/shape statistic preserved.
+    // documents: per-replica seeded alphabet permutation — vocabulary
+    // disjoint across replicas (w.h.p. for any replica count), every
+    // length/shape statistic preserved. Fisher-Yates driven by a
+    // splitmix-style integer hash of (r, i): deterministic, no RNG
+    // state shared across replicas.
+    def perm(r: Int): String = {
+      val a = Alpha.toCharArray
+      var i = a.length - 1
+      while (i > 0) {
+        var z = (r.toLong << 16) + i
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+        z ^= z >>> 33
+        val j = ((z % (i + 1)) + (i + 1)).toInt % (i + 1)
+        val t = a(i); a(i) = a(j); a(j) = t
+        i -= 1
+      }
+      new String(a)
+    }
     write(reps("documents") { (df, r) =>
-      val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
-      val rotU = AlphaU.drop(r % 26) + AlphaU.take(r % 26)
+      val p = perm(r)
       shift(df, r, "doc_id" -> kDoc)
         .withColumn("text",
           if (r == 0) col("text")
-          else translate(col("text"), Alpha + AlphaU, rot + rotU))
+          else translate(col("text"), Alpha + AlphaU, p + p.toUpperCase))
     }, "documents", 8)
 
     // embeddings: per-replica orthogonal transform — dimension circular
