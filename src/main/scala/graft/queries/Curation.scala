@@ -1134,52 +1134,75 @@ object Curation extends QueryPack {
       (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      // Materialized ONCE: cr/ct/nrm/sc all consume the exploded bigram
-      // stream, and without the checkpoint each consumer re-executes the
-      // explode (measured 4x the scan+generate cost; at cpus=32 the
-      // re-execution tripled the query).
-      val feats = docs.withColumn("w", split(col("text"), " "))
+      // The exploded bigram stream is RECOMPUTED per pass, never
+      // materialized: DSIR is the textbook two-pass shape (pass 1 learns
+      // the 1024-bucket model, pass 2 scores the corpus against the
+      // broadcast model), and both passes are scan → explode → map-side
+      // agg. An earlier version localCheckpointed this stream to share
+      // it — corpus × bigram rows with lang/source strings in block
+      // storage, which the 100× scale run exposed as the dominant cost
+      // (a 100 TB corpus can always afford two scans; it can never
+      // afford materializing its own explode).
+      def feats(cols: org.apache.spark.sql.Column*) = docs
+        .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+        .select(cols :+ explode(expr(
           "transform(sequence(1, size(w) - 1)," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-          .as("bg"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          (h60(col("bg")) % 1024).as("b"))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          .as("bg"): _*)
+        .withColumn("b", h60(col("bg")) % 1024).drop("bg")
       // Raw and target bucket counts share ONE aggregation pass (ct is
       // the conditional count of the en slice — identical to the
       // oracle's separate CTE since COALESCE(ct,0) == the when-sum).
-      val bucket = feats.groupBy("b").agg(count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val bucket = feats(col("lang")).groupBy("b")
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      // The learned model is a BOUNDED artifact — ≤1024 rows regardless
+      // of corpus size — so pass 1 runs exactly once and the rows are
+      // pinned on the driver (the BPE merge-table precedent). Without
+      // this, every broadcast() deriving from `bucket` (tab AND nrm)
+      // re-executed the whole explode+agg subplan inside its broadcast
+      // build — measured 3 corpus passes where 1 suffices at the 100×
+      // point. tab/nrm are then derived from the LOCAL relation with
+      // the same Spark expressions, so every float op stays bit-
+      // identical to the distributed form the oracle replays.
+      val bucketLocal = s.createDataFrame(
+        java.util.Arrays.asList(bucket.collect(): _*), bucket.schema)
       // Per-bucket log-ratio in integer micro-nats: quantize BEFORE the
       // per-doc sum so aggregation order can never move a bit.
-      val tab = bucket
+      val tab = bucketLocal
         .select(col("b"),
           round(lit(1000000) * (log(col("ct") + 1)
             - log(col("cr") + 1))).cast("long").as("lr_u"))
       // The smoothing normalizer needs only the two corpus totals —
-      // derived from the 1024-row bucket table, not a third corpus pass.
-      val nrm = bucket.agg(
+      // derived from the 1024-row bucket model, not a corpus pass.
+      val nrm = bucketLocal.agg(
         round(lit(1000000) * (log(sum(col("cr")) + 1024.0)
           - log(sum(col("ct")) + 1024.0)))
           .cast("long").as("norm_u"))
-      val sc = feats
+      // Scoring pass shuffles ONLY (doc_id, lr_u) — lang/source ride
+      // along for zero scoring purpose, so they are re-joined AFTER the
+      // top-100 limit instead (a broadcast of 100 rows against a
+      // column-pruned documents scan), keeping the per-doc shuffle at
+      // 16 bytes/bigram no matter how wide the document metadata gets.
+      val sc = feats(col("doc_id"))
         .join(broadcast(tab), Seq("b"))
         .crossJoin(broadcast(nrm))
         .groupBy("doc_id")
-        .agg(min(col("lang")).as("lang"), min(col("source")).as("source"),
-          count(lit(1)).cast("long").as("n_bigrams"),
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
           (sum(col("lr_u")) + count(lit(1)) * min(col("norm_u")))
             .cast("long").as("score_unats"))
       // Distributed top-k (TakeOrderedAndProject); the rank window runs
       // over the 100 surviving rows only, never the corpus.
-      sc.orderBy(col("score_unats").desc, col("doc_id")).limit(100)
+      val top = sc.orderBy(col("score_unats").desc, col("doc_id")).limit(100)
         .withColumn("rank",
           row_number().over(
             Window.orderBy(col("score_unats").desc, col("doc_id")))
             .cast("long"))
+      broadcast(top).join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_bigrams"), col("score_unats"), col("rank"))
+        .orderBy(col("rank"))
     },
 
     // TABLE CHECKSUM: the engine-migration parity audit — the first

@@ -333,19 +333,23 @@ object Joins extends QueryPack {
         .select("l_partkey", "l_quantity", "l_extendedprice")
       val part = t(s, dir, "part").filter(col("p_size") === 1)
         .select("p_partkey")
-      // Per-part 0.2*avg — decimal-exact mean so both engines place
-      // boundary rows identically (avg of integer-valued doubles).
-      val avgq = li.groupBy(col("l_partkey").as("ak"))
-        .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double")
-          / count(lit(1)))).as("cutoff"))
-      // NO broadcast hint on avgq: its cardinality is the DISTINCT
-      // PARTKEY domain of the fact table — it grows with the corpus
-      // (2M rows at the 100× scale point, where the forced broadcast
-      // measured 80-176 s vs ~7 s for the shuffle plan). AQE runtime-
-      // broadcasts it while it is actually small and shuffle-joins it
-      // at scale; a hint would freeze the small-SF plan forever.
+      // The p_size=1 broadcast join runs FIRST: it keeps every lineitem
+      // row of a surviving part (inner join on the key), so the per-part
+      // average over the joined subset equals the correlated subquery's
+      // average over the FULL lineitem for exactly the parts that can
+      // reach the final filter — while the aggregation input shrinks by
+      // the part-filter selectivity (~50×). The correlated 0.2*avg is
+      // then a WINDOW over l_partkey (the q2 decorrelation pattern): one
+      // shuffle of the filtered subset, no second join, no per-part
+      // aggregate relation whose cardinality grows with the corpus (the
+      // earlier groupBy+join form aggregated the full 60 M-row lineitem
+      // at the 100× scale point before the filter could bite). Decimal-
+      // exact mean so both engines place boundary rows identically.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .join(avgq, col("l_partkey") === col("ak"))
+        .withColumn("cutoff", lit(0.2) *
+          (sum(dec(col("l_quantity"))).over(w).cast("double")
+            / count(lit(1)).over(w)))
         .filter(col("l_quantity") < col("cutoff"))
         .agg(round(sum(dec(col("l_extendedprice"))) / 7.0, 4)
           .cast("double").as("avg_yearly"))
@@ -648,29 +652,39 @@ object Joins extends QueryPack {
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) {
       (s, dir) =>
+      // The semi (some OTHER supplier participates) and anti (no OTHER
+      // supplier was late) probes both reduce to per-order DISTINCT-
+      // supplier facts, and since suppkeys are non-null those facts are
+      // min/max-expressible: ≥2 distinct suppliers ⟺ min≠max over the
+      // order's lineitems, and "the only late supplier is l1's" ⟺
+      // min==max over the order's LATE lineitems (l1 itself is late, so
+      // the late set is non-empty and pinned to l1's supplier). That
+      // turns the classic triple self-join into ONE window over
+      // l_orderkey: lineitem⋈orders runs once, nothing is checkpointed,
+      // and no semi/anti re-shuffles — the earlier form materialized the
+      // late set in block storage and recomputed the fact join for the
+      // semi probe, which the 100× scale run measured at 23×/decade.
       val ord = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate")
       val fli = t(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
-      val late = fli.filter(col("l_shipdate") >
-          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        // probed twice (l1 base + l3 anti): one shuffle, not two scans
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-      val l2 = fli.select(col("l_orderkey").as("l2_orderkey"),
-        col("l_suppkey").as("l2_suppkey"))
-      val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
-        col("l_suppkey").as("l3_suppkey"))
+        .withColumn("late_supp",
+          when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), col("l_suppkey")))
+        .select("l_orderkey", "l_suppkey", "late_supp")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
       val supp = broadcast(t(s, dir, "supplier")
         .select("s_suppkey", "s_name"))
-      late
-        .join(l2, col("l2_orderkey") === col("l_orderkey") &&
-          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
-        .join(l3, col("l3_orderkey") === col("l_orderkey") &&
-          col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      fli
+        .withColumn("min_s", min(col("l_suppkey")).over(w))
+        .withColumn("max_s", max(col("l_suppkey")).over(w))
+        .withColumn("min_late", min(col("late_supp")).over(w))
+        .withColumn("max_late", max(col("late_supp")).over(w))
+        .filter(col("late_supp").isNotNull &&
+          col("min_s") =!= col("max_s") &&
+          col("min_late") === col("max_late"))
         .join(supp, col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))

@@ -767,13 +767,24 @@ object TextAnalysis extends QueryPack {
         .filter(col("term").isin(terms: _*))
         .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val idf = df.crossJoin(broadcast(corp))
+      // The model side is BOUNDED (corp: 1 row; df: ≤|q| rows), so it
+      // is computed once and pinned as local relations — broadcast() of
+      // the derived frames directly would re-execute the corpus subplan
+      // inside EACH broadcast build (corp twice, the postings pass once
+      // more for idf): 4 corpus passes where 2 suffice. Deriving idf
+      // from the local rows with the same Spark expressions keeps every
+      // float op bit-identical to the oracle's replay.
+      val corpLocal = s.createDataFrame(
+        java.util.Arrays.asList(corp.collect(): _*), corp.schema)
+      val dfLocal = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val idf = dfLocal.crossJoin(broadcast(corpLocal))
         .select(col("term"),
           round(lit(1000000) * log(
             ((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1))
             .cast("long").as("idf_u"))
       tf.join(broadcast(idf), "term")
-        .crossJoin(broadcast(corp))
+        .crossJoin(broadcast(corpLocal))
         .withColumn("part_u", round(
           col("idf_u") * (col("tf") * 2.2 / (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") * col("n")

@@ -99,6 +99,88 @@ class PlanLintSpec extends AnyFunSuite {
       s"single-task global windows:\n  ${offenders.mkString("\n  ")}")
   }
 
+  /** Queries allowed an explicit broadcast() HINT on a subtree that
+    * scans a fact table: each is bounded by construction in a way the
+    * mechanical check below can't see (a literal id filter selecting a
+    * fixed query/eval set, never a corpus-growing fraction).
+    */
+  private val boundedFactBroadcasts = Set(
+    // Grouped on a FIXED-DOMAIN categorical key — the broadcast side has
+    // at most |domain| rows no matter the corpus size:
+    "q_agg_median_mad", // per-l_returnflag medians (3 flags)
+    "q_agg_outliers_iqr", // per-event_type quartiles (fixed type vocab)
+    // Token-vocabulary model tables: grow with DISTINCT tokens, which
+    // is Heaps-law sublinear on natural text — a deliberate, documented
+    // scale judgment (SCALE.md), unlike a per-fact-key aggregate whose
+    // cardinality tracks the corpus row count:
+    "q_text_surprisal", // unigram count table
+    "q_text_pmi", // unigram + bigram count tables
+    "q_text_bigram_lm", // bigram-LM count tables
+    // Literal-id filters selecting a FIXED query/eval set (a constant
+    // number of rows however large the corpus grows):
+    "q_ann_cosine_topk", // vec_id < 5 query vectors
+    "q_ann_quant_rerank", // same bounded query set
+    "q_ann_jl_rerank", // same bounded query set + its projection
+    "q_decontam_ngram", // doc_id < 50 eval-benchmark gram set
+    "q_decontam_substring" // doc_id < 50 eval snippet set
+  )
+
+  /** Round-8 lesson, machine-checked: an explicit broadcast() on a
+    * relation DERIVED FROM A FACT TABLE freezes the small-SF plan
+    * forever — at the 100× scale point, hinted per-partkey aggregates
+    * and high-volume order sets measured 10-20× slower than the same
+    * query with the hint removed (AQE runtime-broadcasts them while
+    * they are genuinely small and shuffle-joins at scale). A hint is
+    * legitimate only when the hinted subtree is bounded by construction:
+    * a GlobalLimit, a grouping on a fixed-domain key (≤1024-bucket
+    * models), a 0-key scalar aggregate, or a literal id filter
+    * (allowlisted by name above). Dim-table broadcasts (nation/region/
+    * supplier/customer/part) are excused here — their growth caveats
+    * are documented per-query (q8 pattern).
+    */
+  test("no broadcast hint on an unbounded fact-derived relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val facts = Set("lineitem", "orders", "events", "documents", "embeddings")
+    def scansFact(p: LogicalPlan): Boolean = p.collectFirst {
+      case l: LogicalRelation if (l.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.exists(rp =>
+            facts.exists(t => rp.toString.contains(t + ".parquet")))
+        case _ => false
+      }) => ()
+    }.isDefined
+    def boundedSubtree(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: GlobalLimit => ()
+      case a: Aggregate if a.groupingExpressions.isEmpty => ()
+      // Grouping on a modular/bucketed key is a bounded model table
+      // (≤ the modulus); detecting the modulus mechanically is out of
+      // scope — those queries collect their bounded models to a
+      // LocalRelation instead (q_sample_dsir precedent), which never
+      // reaches here because the local relation severs the fact scan.
+    }.isDefined
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val plan =
+          try build(spark, sfDir).queryExecution.analyzed
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val hits = plan.collect {
+          // Only BROADCAST freezes a size assumption into the plan;
+          // merge/shuffle-hash hints (q_join_merge_bigbig) pick among
+          // scale-safe distributed strategies and are fine on facts.
+          case h: ResolvedHint
+              if h.hints.strategy.contains(
+                org.apache.spark.sql.catalyst.plans.logical.BROADCAST) &&
+                scansFact(h.child) && !boundedSubtree(h.child) => h
+        }
+        if (hits.nonEmpty && !boundedFactBroadcasts.contains(name))
+          Some(s"$name: ${hits.size} unbounded fact-derived broadcast hint(s)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"fact-derived broadcast hints (AQE should decide these):\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
