@@ -70,11 +70,18 @@ object Bench {
 
     // Dev filter (same contract as Verify): SPARK_GRAFT_ONLY=q_a,q_b
     // times just those queries; unset (the driver) = all.
+    // SPARK_GRAFT_REVERSE=1 times them in reverse registry order — the
+    // scale-measurement protocol runs each set in both orders and takes
+    // the per-query MIN, which controls for in-JVM state accumulation
+    // (GC debris, shuffle-file page-cache pressure) that grows with
+    // position at multi-GB SFs (measured ±4× position effects at sf10).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val ordered0 = SparkEntry.all.filter(d => only.forall(_.contains(d.name)))
+    val ordered = if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
+      ordered0.reverse else ordered0
     var failed = List.empty[String]
-    val results = SparkEntry.all
-      .filter(d => only.forall(_.contains(d.name)))
+    val results = ordered
       .flatMap { d =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
