@@ -336,31 +336,50 @@ object Dedup extends QueryPack {
         |  CAST(SUM(a_id * 100000 + b_id) AS BIGINT) AS pair_checksum
         |FROM p WHERE 10 * ni >= 9 * mn
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val sh = t(s, dir, "documents")
+      // RECOMPUTED per consumer, never materialized (SCALE.md round-8
+      // rule): an earlier version localCheckpointed the corpus with its
+      // shingle-string AND hash arrays — several × corpus size in block
+      // storage, which the 100× scale point measured as the dominant
+      // cost. The index stream explodes POSITIONS and hashes each
+      // shingle as a SCALAR expression AFTER the explode — a
+      // `transform(..., g -> md5(g))` array lambda runs interpreted
+      // (higher-order functions have no codegen), measured ~12 µs per
+      // md5 vs ~1 µs for the identical scalar post-explode; this is
+      // also exactly the shape the DuckDB oracle replays (unnest, then
+      // hash per row). Per-doc shingle DISTINCTNESS (the oracle's
+      // list_distinct) becomes a relational dropDuplicates on
+      // (lang, doc_id, h) — a skinny 8-byte-hash shuffle with map-side
+      // combine, the same thing any distributed inverted-index build
+      // does. Only the two rescore sides build the string-array form.
+      val grams = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("lang"), col("doc_id"), col("w"),
+          explode(expr("sequence(1, size(w) - 2)")).as("i"))
+        .select(col("lang"), col("doc_id"),
+          concat(element_at(col("w"), col("i")), lit(" "),
+            element_at(col("w"), col("i") + 1), lit(" "),
+            element_at(col("w"), col("i") + 2)).as("g"))
+        .select(col("lang"), col("doc_id"),
+          expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+      val hx = grams.dropDuplicates("lang", "doc_id", "h")
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "h").orderBy("doc_id")
+      val hxc = hx.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= 1000).drop("rn")
+      // Anchor = min shingle hash per doc; min is duplicate-blind, so
+      // it aggregates the raw gram stream with map-side combine (no
+      // dependence on the dedup shuffle).
+      val anch = grams.groupBy("lang", "doc_id")
+        .agg(min(col("h")).as("ah"))
+      def shingles = t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 3)
         .select(col("lang"), col("doc_id"), expr(
           "array_distinct(transform(sequence(1, size(w) - 2)," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
             " ' ', element_at(w, i + 2))))").as("s"))
-        // Shingle hashes computed ONCE here (md5 over every shingle is
-        // the dominant scalar cost): the posting explode and the anchor
-        // min both read the pre-hashed array from the checkpoint.
-        .withColumn("hs", expr("transform(s, g -> " +
-          "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))"))
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // consumed by the index and both rescore sides
-      val hx = sh.select(col("lang"), col("doc_id"),
-          explode(col("hs")).as("h"))
-      val wb = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang", "h").orderBy("doc_id")
-      val hxc = hx.withColumn("rn", row_number().over(wb))
-        .filter(col("rn") <= 1000).drop("rn")
-      // Anchor = min shingle hash per doc — computed map-side from the
-      // pre-hashed ARRAY (array_min) instead of a second explode +
-      // groupBy pass over hx: same value (s is already distinct), one
-      // fewer corpus shuffle.
-      val anch = sh.select(col("lang"), col("doc_id"),
-        array_min(col("hs")).as("ah"))
       val postings = hxc.select(col("lang").as("p_lang"),
         col("doc_id").as("p_id"), col("h").as("p_h"))
       val cand = anch.join(postings,
@@ -370,8 +389,8 @@ object Dedup extends QueryPack {
           least(col("doc_id"), col("p_id")).as("a_id"),
           greatest(col("doc_id"), col("p_id")).as("b_id"))
         .distinct()
-      val x = sh.select(col("doc_id").as("a_id"), col("s").as("sa"))
-      val y = sh.select(col("doc_id").as("b_id"), col("s").as("sb"))
+      val x = shingles.select(col("doc_id").as("a_id"), col("s").as("sa"))
+      val y = shingles.select(col("doc_id").as("b_id"), col("s").as("sb"))
       cand.join(x, "a_id").join(y, "b_id")
         .withColumn("jp", expr("jaccard_parts(sa, sb)"))
         .withColumn("ni", expr("shiftright(jp, 32)").cast("int"))

@@ -166,20 +166,28 @@ object Joins extends QueryPack {
         |ORDER BY total DESC, o_orderkey LIMIT 20""".stripMargin) {
       (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      // ONE aggregation serves both the HAVING filter and the output
+      // qty: the classic Q18 form semi-joins lineitem against the
+      // big-order set and re-aggregates the same quantities a second
+      // time — a second 60 M-row pass at the 100× point that recomputes
+      // a number the first aggregate already holds. o_orderdate/
+      // o_totalprice/c_custkey are functionally dependent on the
+      // orderkey, so grouping once on l_orderkey and joining orders
+      // AFTER the >150 filter is row-for-row identical. The filtered
+      // set is selectivity-bound but fact-derived, so no broadcast
+      // hint — AQE broadcasts it while small, shuffle-joins at scale.
+      // ONE decimal-exact sum serves both the HAVING filter and the
+      // output: l_quantity is integer-valued, so the decimal sum and
+      // the oracle's double SUM are both exact and the >150 boundary
+      // is identical.
       val big = li.groupBy("l_orderkey")
-        .agg(sum(col("l_quantity")).as("sq"))
-        .filter(col("sq") > 150).select(col("l_orderkey").as("bk"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"))
+        .filter(col("qty") > 150)
       val ord = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       val cust = t(s, dir, "customer").select("c_custkey")
-      // No broadcast hint on big: the >150-qty order set is fact-derived
-      // (selectivity-bound but linear in the corpus) — AQE broadcasts it
-      // while small, shuffle-joins at scale.
-      li.join(big, col("l_orderkey") === col("bk"), "left_semi")
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"))
         .select(col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
           col("o_totalprice").cast("double").as("total"), col("qty"))
