@@ -236,6 +236,92 @@ object Sources extends QueryPack {
         .orderBy("n_regionkey")
     },
 
+    // RCFile round-trip (SURVEY §2.1 row "RCFile", previously skipped as
+    // legacy): Hive's first columnar container (row-groups of
+    // column-chunks; Facebook/ICDE'11) bridged at the RDD layer with the
+    // hive-exec/serde classes Spark already ships. Write nation as a
+    // 4-column text-encoded RCFile via RCFileOutputFormat, read it back
+    // through RCFileInputFormat with ColumnProjectionUtils READ PRUNING:
+    // only columns 0-2 are requested, so the wide filler column's
+    // chunks are skipped inside each row-group — the columnar skip that
+    // motivated the format (the same knob Hive's ColumnPruner sets).
+    // Compatibility ingress only: at 100 TB the first job converts
+    // RCFile to parquet, exactly as here (read → DataFrame → columnar
+    // ops downstream).
+    q("q_src_rcfile",
+      """SELECT n_regionkey, COUNT(*) AS cnt,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      import org.apache.hadoop.hive.ql.io.{RCFileInputFormat, RCFileOutputFormat}
+      import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+      import org.apache.hadoop.io.LongWritable
+      import java.nio.charset.StandardCharsets.UTF_8
+      val p = tmp(dir, "rcfile")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      // Write side: one RCFile.Writer per partition (the mapred
+      // OutputFormat wants the MR task commit protocol's work dir, which
+      // Spark's saveAsHadoopFile doesn't provide — so this bridge opens
+      // the writer directly, like the Avro one).
+      t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"),
+          // Wide filler column that the read side prunes.
+          repeat(concat(col("n_name"), lit(" ")), 20).as("n_filler"))
+        .rdd.coalesce(2).mapPartitionsWithIndex { (idx, it) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          RCFileOutputFormat.setColumnNumber(conf, 4)
+          val pfs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+          val w = new org.apache.hadoop.hive.ql.io.RCFile.Writer(pfs, conf,
+            new org.apache.hadoop.fs.Path(p, f"part-$idx%05d.rc"))
+          var n = 0L
+          it.foreach { r =>
+            val cols = Array(r.getLong(0).toString, r.getString(1),
+              r.getLong(2).toString, r.getString(3))
+            val v = new BytesRefArrayWritable(4)
+            var i = 0
+            while (i < 4) {
+              val b = cols(i).getBytes(UTF_8)
+              v.set(i, new BytesRefWritable(b, 0, b.length))
+              i += 1
+            }
+            w.append(v)
+            n += 1
+          }
+          w.close()
+          Iterator.single(n)
+        }.count()
+      val rjc = new org.apache.hadoop.mapred.JobConf(
+        s.sparkContext.hadoopConfiguration)
+      org.apache.hadoop.mapred.FileInputFormat.setInputPaths(rjc, p)
+      val readIds = new java.util.ArrayList[Integer]()
+      readIds.add(0); readIds.add(1); readIds.add(2)
+      org.apache.hadoop.hive.serde2.ColumnProjectionUtils
+        .appendReadColumns(rjc, readIds)
+      val rows = s.sparkContext.hadoopRDD(rjc,
+          classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
+          classOf[LongWritable], classOf[BytesRefArrayWritable], 2)
+        // Decode IMMEDIATELY: the record reader reuses the writable, so
+        // bytes must be copied out before the iterator advances.
+        .map { case (_, v) =>
+          def str(i: Int): String = {
+            val ref = v.get(i)
+            new String(ref.getData, ref.getStart, ref.getLength, UTF_8)
+          }
+          org.apache.spark.sql.Row(str(0).toLong, str(1), str(2).toLong)
+        }
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType))))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("key_sum"),
+          min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
     // JDBC external handler (SURVEY §2.1: jdbc-handler) against embedded
     // Derby: write nation over JDBC, read it back with predicate
     // pushdown (the filter ships to the database as SQL — check
