@@ -32,9 +32,14 @@ object Bench {
     // metadata (no data pages), so the table pass hashes every column of
     // every row and COLLECTS the hash — `head()`, not `count()`, because
     // count-on-top-of-aggregate lets ColumnPruning drop the inner
-    // sum(xxhash64) entirely (verified: empty ReadSchema), skipping the
+    // aggregate entirely (verified: empty ReadSchema), skipping the
     // column-chunk decode this pass exists to force (page cache +
-    // parquet reader JIT). Then a spread of representative queries
+    // parquet reader JIT). The fold is bit_xor, NOT sum: under Spark 4's
+    // default ANSI mode, summing uniform-random 64-bit hashes overflows
+    // LongType within a handful of rows, so a sum(xxhash64) pass aborts
+    // on [ARITHMETIC_OVERFLOW] before decoding the table (seen in the
+    // sf10 stderr; swallowed by the catch). XOR cannot overflow and
+    // still requires every row's hash. Then a spread of representative queries
     // (join chain, windows, explode/regexp, array lambdas, decimal aggs,
     // set ops) runs once untimed: on a cold VM the first-timed queries
     // otherwise absorb the C2-compile/codegen storm and report 8-12×
@@ -42,7 +47,7 @@ object Bench {
     // unchanged tree — JVM state, not plan).
     T.star.foreach { n =>
       try T.t(spark, sfDir, n)
-        .selectExpr("sum(xxhash64(*)) as h").head()
+        .selectExpr("bit_xor(xxhash64(*)) as h").head()
       catch { case _: Throwable => () }
     }
     val warmQs = Set("q1_pricing_summary", "q8_market_share",
