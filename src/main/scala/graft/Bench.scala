@@ -62,17 +62,6 @@ object Bench {
       try d.run(spark, sfDir).count() catch { case _: Throwable => () }
       T.releaseScratch(spark)
     }
-    // Sacrificial untimed re-run of the FIRST registered query right
-    // before the timed loop: q1 is in warmQs, but nine other warm-up
-    // queries run between its warm-up pass and its first timed slot, and
-    // the r7 driver run still showed q1 at 2.38× while the suite median
-    // ratio was 1.006 — residual first-slot JVM/allocator state, not a
-    // plan issue. Re-running it as the LAST untimed action absorbs it.
-    SparkEntry.all.headOption.foreach { d =>
-      try d.run(spark, sfDir).count() catch { case _: Throwable => () }
-      T.releaseScratch(spark)
-    }
-
     // Dev filter (same contract as Verify): SPARK_GRAFT_ONLY=q_a,q_b
     // times just those queries; unset (the driver) = all.
     // SPARK_GRAFT_REVERSE=1 times them in reverse registry order — the
@@ -85,6 +74,19 @@ object Bench {
     val ordered0 = SparkEntry.all.filter(d => only.forall(_.contains(d.name)))
     val ordered = if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
       ordered0.reverse else ordered0
+
+    // Sacrificial untimed re-run of the FIRST query that will be timed,
+    // right before the timed loop: q1 is in warmQs, but nine other
+    // warm-up queries run between its warm-up pass and its first timed
+    // slot, and the r7 driver run still showed q1 at 2.38× while the
+    // suite median ratio was 1.006 — residual first-slot JVM/allocator
+    // state, not a plan issue. Re-running it as the LAST untimed action
+    // absorbs it. Uses the filtered, possibly-reversed list so targeted
+    // SPARK_GRAFT_ONLY dev runs warm the query they will actually time.
+    ordered.headOption.foreach { d =>
+      try d.run(spark, sfDir).count() catch { case _: Throwable => () }
+      T.releaseScratch(spark)
+    }
     var failed = List.empty[String]
     val results = ordered
       .flatMap { d =>

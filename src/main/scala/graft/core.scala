@@ -169,9 +169,11 @@ object T {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(dir, s"$name.parquet")
     val files: Seq[Path] =
-      if (Files.isDirectory(root))
-        Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-      else if (Files.exists(root)) Seq(root)
+      if (Files.isDirectory(root)) {
+        val st = Files.walk(root)
+        try st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        finally st.close() // walk holds a directory fd until closed
+      } else if (Files.exists(root)) Seq(root)
       else Seq.empty
     val sig = files.map(_.toString).sorted.map { p =>
       val path = Paths.get(p)

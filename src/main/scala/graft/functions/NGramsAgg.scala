@@ -6,6 +6,25 @@ import org.apache.spark.sql.{Encoder, Encoders}
 
 final case class NGramFreq(ngram: String, freq: Long)
 
+/** JVM-wide trim telemetry for the bounded n-gram buffers below.
+  *
+  * With the Hive precision-factor trim, results become partition/
+  * arrival-order dependent (and can undercount) once a group's
+  * vocabulary exceeds 2·k·pf entries — below that they are exact. The
+  * oracle-checked SFs stay well under the cap, so the determinism gate
+  * holds only by that margin; this counter makes a cap-crossing LOUD
+  * instead of a silent drift: specs reset it, run the oracle-sized
+  * fixture, and assert zero trims (NGramsGuardSpec), so a future SF or
+  * fixture that crosses the boundary fails a named test rather than
+  * surfacing as an unexplained oracle hash mismatch. Per-JVM (exact in
+  * local mode; per-executor on a cluster — still a usable signal).
+  */
+object NGramsTrims {
+  val count = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = count.set(0L)
+  def get: Long = count.get()
+}
+
 /** Port of Hive's `ngrams` UDAF (GenericUDAFnGrams,
   * hive-exec-2.3.10 ql/udf/generic/GenericUDAFnGrams.class — SURVEY.md
   * §2.4): top-k n-gram frequencies over arrays of tokens.
@@ -49,6 +68,7 @@ final class NGramsAgg(n: Int, k: Int, pf: Int = 512)
     * entries (ties broken on the gram so the cut is deterministic).
     */
   private def trim(b: java.util.HashMap[String, Long]): Unit = {
+    NGramsTrims.count.incrementAndGet()
     val entries = new java.util.ArrayList(b.entrySet())
     entries.sort { (x: java.util.Map.Entry[String, Long], y: java.util.Map.Entry[String, Long]) =>
       val c = java.lang.Long.compare(y.getValue, x.getValue)
@@ -99,6 +119,7 @@ final class ContextNGramsAgg(context: Seq[Option[String]], k: Int, pf: Int = 512
   private def bump(b: java.util.HashMap[String, Long], g: String, c: Long): Unit = {
     b.put(g, b.getOrDefault(g, 0L) + c)
     if (b.size > 2 * cap) {
+      NGramsTrims.count.incrementAndGet()
       val entries = new java.util.ArrayList(b.entrySet())
       entries.sort { (x: java.util.Map.Entry[String, Long], y: java.util.Map.Entry[String, Long]) =>
         val cc = java.lang.Long.compare(y.getValue, x.getValue)

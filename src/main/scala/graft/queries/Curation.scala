@@ -995,7 +995,16 @@ object Curation extends QueryPack {
     // ONE partial/final aggregate over the counts: percentiles via
     // percentile_approx (exact below its 1e6 accuracy at test SF; the
     // mergeable-sketch path at 100 TB — bounded rank error, same pairing
-    // vs DuckDB quantile_disc that q_curriculum_bins pins), hottest key
+    // vs DuckDB quantile_disc that q_curriculum_bins pins). ACCURACY
+    // BOUNDARY (advice r8): once a key column's distinct-key count
+    // exceeds the 1e6 accuracy parameter, percentile_approx silently
+    // becomes approximate while the DuckDB quantile_disc oracle stays
+    // exact — at that point the CORRECTNESS gate itself flags the
+    // divergence (hash mismatch), which is the desired loud failure;
+    // the fix then is to scale the accuracy with n_keys or swap in the
+    // KLL twin (q_sketch_quantiles) with a rank-tolerant oracle. The
+    // largest oracle-checked key domain (sf0.1 l_partkey, 20k keys) is
+    // 50× under the boundary. Hottest key
     // via max_by with a (cnt, -key) struct (deterministic min-key
     // tie-break). No window anywhere in the Spark plan; the oracle keeps
     // a window for hot_key because DuckDB-side shape is scale-irrelevant.

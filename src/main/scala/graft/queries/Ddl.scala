@@ -239,6 +239,15 @@ object Ddl extends QueryPack {
       val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
       val tbl = s"g_stats_orders_${tag}_${T.contentTag(dir, "orders")}"
       if (!s.catalog.tableExists(tbl)) {
+        // Reap stale fingerprints for THIS dir first: each in-process
+        // regeneration of orders.parquet changes the contentTag, and
+        // without the DROP every regeneration abandons the previous
+        // saved table + its data files — unbounded warehouse growth
+        // across regenerations (advice, round 8).
+        s.catalog.listTables().collect()
+          .map(_.name)
+          .filter(n => n.startsWith(s"g_stats_orders_${tag}_") && n != tbl)
+          .foreach(stale => s.sql(s"DROP TABLE IF EXISTS $stale"))
         t(s, dir, "orders").select("o_orderkey", "o_custkey")
           .write.saveAsTable(tbl)
         s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")

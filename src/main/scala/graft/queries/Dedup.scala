@@ -640,5 +640,91 @@ object Dedup extends QueryPack {
         .orderBy((col("n_inter").cast("double") / col("n_union")).desc,
           col("a_id"), col("b_id"))
         .limit(10)
+    },
+
+    // PARAGRAPH-LEVEL dedup with document reassembly (C4 / CCNet line
+    // dedup — the granularity production pipelines actually dedup at:
+    // remove each duplicated paragraph corpus-wide, keep the first
+    // occurrence, and write back the reassembled documents). The test
+    // corpus has no newlines, so "paragraph" = non-overlapping 15-token
+    // chunk (last chunk = remainder) — a deterministic segmentation both
+    // engines replay exactly; with a real corpus the split() delimiter
+    // becomes '\n' and nothing else changes. First occurrence = lowest
+    // (doc_id, paragraph index), encoded as the integer doc_id*2^20+p so
+    // the window MIN is engine-portable (bound: docs under 2^20
+    // paragraphs ≈ 15 M tokens — far above any real document).
+    //
+    // Scale shape (100 TB): ownership is min() OVER (PARTITION BY
+    // paragraph-hash) — ONE shuffle of the paragraph stream on a 60-bit
+    // hash, never all-pairs, no corpus-wide window (suite-linted);
+    // reassembly is the second, unavoidable shuffle (groupBy doc_id of
+    // the KEPT paragraphs — the deduped corpus has to be assembled
+    // somewhere), with sort-within-group done per-doc on bounded arrays
+    // (array_sort of (p, para) structs), not a corpus sort. Output
+    // carries md5(new_text), not the text, to keep the checked result
+    // small; a production sink would write new_text itself. Reassembly
+    // is verified end-to-end: for docs with nothing dropped, new_md5
+    // equals md5(original text) by construction (chunks partition the
+    // token list and rejoin with the same separator).
+    q("q_dedup_paragraph",
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |px AS (
+        |  SELECT doc_id, source, w,
+        |    unnest(range(1, (len(w) + 14) // 15 + 1)) AS p
+        |  FROM d),
+        |para AS (
+        |  SELECT doc_id, source, p,
+        |    array_to_string(w[(p-1)*15+1 : p*15], ' ') AS para
+        |  FROM px),
+        |k AS (
+        |  SELECT doc_id, source, p, para,
+        |    doc_id * 1048576 + p AS ok,
+        |    MIN(doc_id * 1048576 + p) OVER (
+        |      PARTITION BY ('0x' || substr(md5(para), 1, 15))::BIGINT)
+        |      AS owner
+        |  FROM para)
+        |SELECT doc_id, source,
+        |  COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN ok = owner THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN ok = owner THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(COALESCE(string_agg(CASE WHEN ok = owner THEN para END,
+        |    ' ' ORDER BY p), '')) AS new_md5,
+        |  CAST(len(COALESCE(string_agg(CASE WHEN ok = owner THEN para END,
+        |    ' ' ORDER BY p), '')) AS BIGINT) AS new_len
+        |FROM k GROUP BY doc_id, source ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val paras = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1),
+            expr("(size(w) + 14) div 15").cast("int"))).as("p"),
+          col("w"))
+        .select(col("doc_id"), col("source"), col("p"),
+          concat_ws(" ", expr("slice(w, (p - 1) * 15 + 1, 15)")).as("para"))
+      val wOwn = org.apache.spark.sql.expressions.Window
+        .partitionBy(h60(col("para")))
+      paras
+        .withColumn("ok", col("doc_id") * 1048576L + col("p"))
+        .withColumn("owner", min(col("ok")).over(wOwn))
+        .withColumn("kept", col("ok") === col("owner"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("kept"), 0L).otherwise(1L)).cast("long")
+            .as("n_dropped"),
+          array_sort(collect_list(when(col("kept"),
+            struct(col("p"), col("para"))))).as("ps"))
+        .select(col("doc_id"), col("source"), col("n_paras"),
+          col("n_kept"), col("n_dropped"),
+          md5(concat_ws(" ", expr("transform(ps, x -> x.para)")))
+            .as("new_md5"),
+          length(concat_ws(" ", expr("transform(ps, x -> x.para)")))
+            .cast("long").as("new_len"))
+        .orderBy("doc_id")
     })
 }

@@ -74,6 +74,26 @@ class NGramsAggSpec extends AnyFunSuite with Matchers {
     top.map(_._2) shouldBe Seq(1000L, 500L, 250L)
   }
 
+  test("trim telemetry: zero in the exact regime, loud when the cap is crossed") {
+    // The determinism gate holds only while vocabularies stay under
+    // 2*k*pf (advice, round 8) — NGramsTrims makes a crossing a named
+    // failure instead of a silent drift from the oracle. Exact-regime
+    // fixture first: the same shape the oracle-checked queries run.
+    NGramsTrims.reset()
+    val small = new NGramsAgg(2, 20) // cap 10240
+    val docs = Seq.fill(200)(Seq("a", "b", "c", "d"))
+    small.finish(docs.foldLeft(small.zero)(small.reduce))
+    assert(NGramsTrims.get === 0L,
+      "oracle-regime fixture tripped the trim — the exactness margin is gone")
+
+    // Cap-crossing fixture: the counter must fire.
+    val tiny = new NGramsAgg(2, 5, pf = 4) // trim threshold 40
+    var buf = tiny.zero
+    (0 until 200).foreach(i => buf = tiny.reduce(buf, Seq(s"u$i", s"v$i")))
+    assert(NGramsTrims.get > 0L, "cap crossed but no trim was counted")
+    NGramsTrims.reset()
+  }
+
   test("context filter counts only matching n-grams (exact under cap)") {
     val agg = new ContextNGramsAgg(Seq(Some("spark"), None), 10)
     val docs = Seq(
