@@ -1,10 +1,19 @@
 #!/usr/bin/env python3
 """Compare a BENCH_DETAIL.json run against the frozen baseline JSON
 embedded in BASELINE.md. Prints per-query ratios sorted worst-first and
-summary stats. Usage: bench_compare.py [BENCH_DETAIL.json]"""
+summary stats. Usage: bench_compare.py [BENCH_DETAIL.json] [--fail]
+
+--fail: exit 1 if the run total exceeds 2x frozen OR any query slower
+than 0.3s frozen exceeds 2x its frozen time (sub-0.3s queries jitter up
+to +-2x run-to-run per the BASELINE.md variance protocol, so they are
+reported but don't gate). This is the CI-style drift wire: run it after
+any plan-touching change so drift is caught on the builder's own run,
+before the driver measures it."""
 import json, re, statistics, sys
 
-detail = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
+args = [a for a in sys.argv[1:] if a != "--fail"]
+fail_mode = "--fail" in sys.argv[1:]
+detail = args[0] if args else "BENCH_DETAIL.json"
 run = json.load(open(detail))
 md = open("BASELINE.md").read()
 m = re.search(r"## Frozen bench JSON.*?```json\n(.*?)\n```", md, re.S)
@@ -23,3 +32,20 @@ missing = set(bq) - set(rq)
 extra = set(rq) - set(bq)
 if missing: print("missing from run:", sorted(missing))
 if extra: print("not in baseline:", sorted(extra))
+
+if fail_mode:
+    total_ratio = run["value"] / base["value"]
+    gating = {q: r for q, r in over2.items() if bq[q] >= 0.3}
+    bad = []
+    if total_ratio > 2.0:
+        bad.append(f"total {total_ratio:.2f}x frozen")
+    if gating:
+        bad.append("gating >2x queries (frozen >=0.3s): " +
+                   ", ".join(f"{q}={r:.2f}x" for q, r in sorted(gating.items())))
+    if missing:
+        bad.append(f"{len(missing)} baseline queries missing from the run")
+    if bad:
+        print("DRIFT GATE FAILED: " + "; ".join(bad))
+        sys.exit(1)
+    print(f"DRIFT GATE OK: total {total_ratio:.2f}x, "
+          f"{len(over2)} jitter-band >2x (all frozen <0.3s)")

@@ -203,11 +203,26 @@ object AcidTable {
     w
   }
 
-  /** Major compaction: fold the current snapshot into base_<w+1>, drop
-    * every older dir (compactor + cleaner in one step — pre-compaction
-    * snapshots are no longer readable, as in Hive).
+  /** Major compaction with a snapshot-retention window (Hive's
+    * compactor + cleaner-with-retention: the cleaner only removes files
+    * no still-valid reader can need). `retainWrites = K` keeps time
+    * travel alive for the last K pre-compaction write ids — snapshots
+    * with id >= w-K stay readable after compacting at id w; K = 0 (the
+    * default) is the eager cleaner (all pre-compaction history gone).
+    *
+    * What retention must keep is determined by how `read` reconstructs
+    * a snapshot v: the newest base <= v plus every delta in (base, v].
+    * So for the window [w-K, w-1] the cleaner keeps the newest base
+    * <= w-K (the anchor) and EVERY dir after it — deltas between the
+    * anchor and the oldest retained snapshot are themselves required.
+    * Everything strictly older than the anchor is subsumed by it for
+    * all retained snapshots and is deleted. Reads of expired ids fail
+    * loud in `read` (no base <= v remains). If no base is old enough
+    * to anchor the full window (the table was compacted recently), the
+    * oldest surviving base anchors it — the window clamps rather than
+    * over-deletes.
     */
-  def compact(s: SparkSession, root: String): Long = {
+  def compact(s: SparkSession, root: String, retainWrites: Int = 0): Long = {
     val w = currentWriteId(s, root) + 1
     // Keep existing row__ids (stable identity across compaction). The
     // snapshot must be materialized BEFORE the commit rename: the plan
@@ -215,7 +230,16 @@ object AcidTable {
     val snap = read(s, root)
     commit(s, root, w, s"base_$w")(tmp => snap.write.parquet(tmp))
     val f = fs(s, root)
-    writes(s, root).filter(_._2 < w).foreach {
+    val pre = writes(s, root).filter(_._2 < w)
+    val anchor: Option[Long] =
+      if (retainWrites <= 0) None
+      else {
+        val baseIds = pre.filter(_._1 == "base").map(_._2)
+        val minRetained = w - retainWrites
+        Some(baseIds.filter(_ <= minRetained).maxOption
+          .getOrElse(baseIds.min))
+      }
+    pre.filterNot(d => anchor.exists(a => d._2 >= a)).foreach {
       case ("base", i) => f.delete(new Path(s"$root/base_$i"), true)
       case ("insert", i) => f.delete(new Path(s"$root/delta_${i}_insert"), true)
       case ("delete", i) => f.delete(new Path(s"$root/delta_${i}_delete"), true)

@@ -74,6 +74,50 @@ class AcidSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction retention window keeps time travel alive up to K") {
+    // Cleaner-with-retention (Hive's cleaner only removes history no
+    // still-valid reader needs): compact(retainWrites = K) keeps
+    // snapshots with id >= w-K readable; older ids fail loud.
+    val root = freshRoot()
+    val n = T.t(spark, sfDir, "nation")
+    AcidTable.create(spark, root, n)                          // w1: 25
+    AcidTable.insert(spark, root,
+      n.limit(3).withColumn("n_nationkey", col("n_nationkey") + 200)) // w2: 28
+    AcidTable.insert(spark, root,
+      n.limit(2).withColumn("n_nationkey", col("n_nationkey") + 300)) // w3: 30
+    AcidTable.delete(spark, root, col("n_nationkey") >= 300)  // w4: 28
+
+    val w5 = AcidTable.compact(spark, root, retainWrites = 2) // retain 3,4
+    assert(w5 === 5L)
+    // Retained pre-compaction snapshots reconstruct exactly.
+    assert(AcidTable.read(spark, root, Some(4L)).count() === 28)
+    assert(AcidTable.read(spark, root, Some(3L)).count() === 30)
+    assert(AcidTable.read(spark, root).count() === 28)
+    // The anchor base (base_1) plus every later delta survived — so
+    // snapshot 2, between the anchor and the window, also reconstructs
+    // (kept because snapshot 3 needs delta_2; retention never keeps a
+    // delta chain with holes).
+    assert(AcidTable.read(spark, root, Some(2L)).count() === 28)
+
+    // A later compaction with a narrower window expires the old chain:
+    AcidTable.insert(spark, root,
+      n.limit(1).withColumn("n_nationkey", col("n_nationkey") + 400)) // w6: 29
+    val w7 = AcidTable.compact(spark, root, retainWrites = 1) // retain 6
+    assert(w7 === 7L)
+    assert(AcidTable.read(spark, root, Some(6L)).count() === 29)
+    // base_5 anchors the new window; everything before it is deleted —
+    // expired time travel fails loud, not wrong.
+    intercept[IllegalArgumentException] {
+      AcidTable.read(spark, root, Some(4L)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      AcidTable.read(spark, root, Some(1L)).collect()
+    }
+    val dirs = new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    assert(dirs === Seq("base_5", "base_7", "delta_6_insert"),
+      s"cleaner kept the wrong set: $dirs")
+  }
+
   test("streaming micro-batch ingest lands as ACID write ids") {
     // HiveStreamingConnection parity (SURVEY §2.9 #1): clients append
     // micro-batches into ACID tables, one transaction per batch. Spark

@@ -181,6 +181,55 @@ class PlanLintSpec extends AnyFunSuite {
       s"fact-derived broadcast hints (AQE should decide these):\n  ${offenders.mkString("\n  ")}")
   }
 
+  /** Queries allowed a hash call inside a higher-order-function lambda:
+    * each hashes a BOUNDED model-side frame (a fixed number of rows by
+    * construction, independent of corpus size), where the interpreted-
+    * lambda cost is a constant few thousand calls — noise. Corpus-side
+    * lambdas are never excusable here (the 12× trap).
+    */
+  private val boundedLambdaHashes = Set(
+    // Hyperplane generation: range(tables*bits) = 60-120 rows × 64
+    // md5 calls building the literal random-projection frame — O(1)
+    // in the corpus (the corpus-side projections below it are codegen'd
+    // dot products, no lambda hashing).
+    "q_ann_lsh_bucketed"
+  )
+
+  /** The ~12 µs/call interpreted-HOF hash trap, machine-checked: Spark
+    * evaluates `transform`/`filter`/`aggregate` lambdas INTERPRETED (no
+    * codegen), so md5/sha/xxhash inside a lambda over a corpus-derived
+    * array costs ~12× the same hash as a scalar expression after an
+    * explode. Found twice by hand (ngrams r7, containment dedup r8 —
+    * measured 12× there); this lint makes a third occurrence impossible
+    * to land silently. Fix shape when it fires: explode positions, hash
+    * as a post-explode scalar (Dedup.scala:303 pattern).
+    */
+  test("no hash function inside a higher-order-function lambda") {
+    import org.apache.spark.sql.catalyst.expressions.{Crc32, Expression, LambdaFunction, Md5, Murmur3Hash, Sha1, Sha2, XxHash64}
+    def hashes(e: Expression): Seq[String] = e.collect {
+      case _: Md5 => "md5"
+      case _: Sha1 => "sha1"
+      case _: Sha2 => "sha2"
+      case _: Crc32 => "crc32"
+      case _: XxHash64 => "xxhash64"
+      case _: Murmur3Hash => "hash"
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val plan =
+          try build(spark, sfDir).queryExecution.optimizedPlan
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val hits = plan.flatMap(_.expressions).flatMap(expr =>
+          expr.collect { case lf: LambdaFunction => lf }
+            .flatMap(lf => hashes(lf.function)))
+        if (hits.nonEmpty && !boundedLambdaHashes.contains(name))
+          Some(s"$name: ${hits.distinct.mkString(",")} inside a lambda")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"interpreted-lambda hashing (explode + scalar-hash instead):\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
