@@ -114,13 +114,37 @@ object Graphs extends QueryPack {
     // with a pair checksum proving WHICH pairs linked. The distance is
     // computed once (projected before the threshold filter) via the
     // THRESHOLDED levenshtein built-in, whose banded DP costs O(k*n)
-    // per pair and early-exits (returns -1) past the threshold —
-    // at 100 TB candidate volume that bound, not the full 30x30 DP,
-    // is what keeps the in-block quadratic work affordable.
+    // per pair and early-exits (returns -1) past the threshold.
+    //
+    // SCALE SHAPE (caught by the r9 sf10 hunt — 300.9 s at 100×, 47× per
+    // 10×): (lang, source) is a FIXED ~100-block key, so block size grows
+    // linearly with the corpus and in-block pairs quadratically — the
+    // "blocking key frozen while data grew" bug. No SOUND sub-blocking
+    // exists at τ=8 over 30-char prefixes (the q-gram count filter bound
+    // L-q+1-τ·q = 27-32 is vacuous; PassJoin's τ+1=9 segments are 3
+    // chars on a ~12-word vocabulary — selectivity ≈ 1), so the honest
+    // production bound — what Splink/Dedupe document for oversized
+    // blocks — is a deterministic per-block candidate cap: a HASH SAMPLE
+    // of ~1000 docs per oversized block (kept iff h60(doc_id) % n_blk <
+    // 1000 — exact integer math the oracle replays; unbiased, unlike a
+    // first-K-by-id cut). Never binds at the oracle-checked SFs (max
+    // block 112 at sf0.1). Implementation note: a row_number window cap
+    // was tried first and measured 5× SLOWER than no cap at sf1 — the
+    // window's 100-key hash exchange re-partitioned the JOIN PROBE side
+    // into 32 straggler-prone tasks, while this filter form keeps the
+    // probe scan-shaped (file-split parallelism) and folds the tiny
+    // per-block count in as a broadcast. Full-coverage linkage at scale
+    // = refine the blocking key (the knob this operator exposes), not
+    // an unbounded quadratic.
     q("q_link_fuzzy_blocked",
       """WITH d AS (
-        |  SELECT lang, source, doc_id, substr(text, 1, 30) AS p
-        |  FROM documents),
+        |  SELECT lang, source, doc_id, p FROM (
+        |    SELECT lang, source, doc_id, substr(text, 1, 30) AS p,
+        |      COUNT(*) OVER (PARTITION BY lang, source) AS n_blk
+        |    FROM documents)
+        |  WHERE n_blk <= 1000
+        |     OR ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |          % n_blk < 1000),
         |pairs AS (
         |  SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id,
         |         levenshtein(a.p, b.p) AS dist
@@ -132,9 +156,18 @@ object Graphs extends QueryPack {
         |  CAST(MIN(dist) AS BIGINT) AS min_dist,
         |  CAST(SUM(a_id * 100000 + b_id) AS BIGINT) AS pair_checksum
         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
+      // ~100-row per-block counts (lang × source is a fixed categorical
+      // domain), broadcast back so the corpus side stays a filtered scan.
+      val counts = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_blk"))
+      val d = docs
         .select(col("lang"), col("source"), col("doc_id"),
           substring(col("text"), 1, 30).as("p"))
+        .join(broadcast(counts), Seq("lang", "source"))
+        .filter(col("n_blk") <= 1000 ||
+          h60(col("doc_id").cast("string")) % col("n_blk") < 1000)
+        .drop("n_blk")
       val a = d.toDF("lang", "source", "a_id", "pa")
       val b = d.toDF("lang", "source", "b_id", "pb")
       a.join(b, Seq("lang", "source"))

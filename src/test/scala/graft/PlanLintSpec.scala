@@ -109,6 +109,7 @@ class PlanLintSpec extends AnyFunSuite {
     // at most |domain| rows no matter the corpus size:
     "q_agg_median_mad", // per-l_returnflag medians (3 flags)
     "q_agg_outliers_iqr", // per-event_type quartiles (fixed type vocab)
+    "q_link_fuzzy_blocked", // per-(lang,source) block counts (~100 rows)
     // Token-vocabulary model tables: grow with DISTINCT tokens, which
     // is Heaps-law sublinear on natural text — a deliberate, documented
     // scale judgment (SCALE.md), unlike a per-fact-key aggregate whose
