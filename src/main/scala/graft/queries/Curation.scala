@@ -262,6 +262,169 @@ object Curation extends QueryPack {
         .orderBy("source")
     },
 
+    // DoReMi-style DOMAIN REWEIGHTING (Xie et al., "DoReMi: Optimizing
+    // Data Mixtures Speeds Up Language Model Pretraining", NeurIPS
+    // 2023): one exponentiated-gradient update of the source-mixture
+    // weights from per-domain EXCESS LOSS, then the DoReMi smoothing
+    // (1-c)·w + c·uniform with c = 1/100. The loss proxy here is
+    // bytes-per-token (an engine-computable compressibility stand-in;
+    // a real run plugs proxy/reference model loss columns into the
+    // same aggregate) and the reference is the corpus-wide rate, so
+    // domains harder than average get upweighted. All post-aggregation
+    // math is micro-unit INTEGER (quantize once at 1e-6, integer div
+    // after) so both engines agree bit-for-bit; the one libm call
+    // (exp) takes a 6-dp-quantized input and is immediately
+    // re-quantized — a last-ulp engine divergence would have to land
+    // within 1e-10 of a rounding boundary, and the hash gate fails
+    // loudly if it ever does.
+    //
+    // Scale shape (100 TB): ONE corpus scan into a k-row partial/final
+    // aggregate (k = |sources|, a fixed categorical domain — bounded by
+    // construction); the EG update runs on the COLLECTED k-row model
+    // (the DSIR/BM25 pinned-local rule: deriving the corpus total and
+    // the exp-normalizer as DataFrame branches would re-execute the
+    // corpus subplan once per branch).
+    q("q_sample_doremi",
+      """WITH dom AS MATERIALIZED (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(text)) AS BIGINT) AS slen,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS stok
+        |  FROM documents GROUP BY source),
+        |ref AS MATERIALIZED (
+        |  SELECT CAST(SUM(slen) AS BIGINT) AS tlen,
+        |    CAST(SUM(stok) AS BIGINT) AS ttok, COUNT(*) AS k FROM dom),
+        |ex AS MATERIALIZED (
+        |  SELECT source, n_docs, k,
+        |    CAST(ROUND(1e6 * (slen / CAST(stok AS DOUBLE))) AS BIGINT)
+        |      AS bpt_e6,
+        |    GREATEST(0, CAST(ROUND(1e6 * (slen / CAST(stok AS DOUBLE)
+        |      - tlen / CAST(ttok AS DOUBLE))) AS BIGINT)) AS excess_e6
+        |  FROM dom CROSS JOIN ref),
+        |e AS MATERIALIZED (
+        |  SELECT source, n_docs, k, bpt_e6, excess_e6,
+        |    CAST(ROUND(1e6 * exp(excess_e6 / 1000000.0)) AS BIGINT)
+        |      AS e_e6
+        |  FROM ex),
+        |tot AS (SELECT CAST(SUM(e_e6) AS BIGINT) AS se FROM e)
+        |SELECT source, n_docs, bpt_e6, excess_e6, e_e6,
+        |  (1000000 * e_e6) // se AS w_ppm,
+        |  (99 * ((1000000 * e_e6) // se) + 1000000 // k) // 100
+        |    AS w_final_ppm
+        |FROM e CROSS JOIN tot ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dom = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("slen"),
+          sum(size(split(col("text"), " ")).cast("long")).as("stok"))
+        .collect() // k = |sources| rows, fixed categorical domain
+      val tlen = dom.map(_.getLong(2)).sum
+      val ttok = dom.map(_.getLong(3)).sum
+      val k = dom.length.toLong
+      val bptRef = tlen.toDouble / ttok
+      val ex = dom.map { r =>
+        val bpt = r.getLong(2).toDouble / r.getLong(3)
+        val excessE6 = Math.max(0L, Math.round(1e6 * (bpt - bptRef)))
+        (r.getString(0), r.getLong(1), Math.round(1e6 * bpt), excessE6,
+          Math.round(1e6 * Math.exp(excessE6 / 1000000.0)))
+      }
+      val se = ex.map(_._5).sum
+      ex.toSeq.sortBy(_._1).map { case (src, n, bptE6, excessE6, eE6) =>
+        val wPpm = 1000000L * eE6 / se
+        (src, n, bptE6, excessE6, eE6, wPpm,
+          (99L * wPpm + 1000000L / k) / 100L)
+      }.toDF("source", "n_docs", "bpt_e6", "excess_e6", "e_e6",
+        "w_ppm", "w_final_ppm")
+    },
+
+    // DATA-CONSTRAINED EPOCH EXPANSION (Muennighoff et al., "Scaling
+    // Data-Constrained Language Models", NeurIPS 2023: repeating data
+    // up to ~4 epochs is nearly as good as fresh data): given a token
+    // budget B = 3× the corpus and a UNIFORM per-source target mixture
+    // (each source owes B/k tokens), each source's repeat factor is
+    // r = (B/k)/tokens_s, capped at 3 epochs (the data-constrained
+    // ceiling — the cap BINDS for the smaller half of the sources at
+    // every SF, so the capped branch is oracle-exercised). The
+    // expansion is MATERIALIZED: every doc emits floor(r) copies plus
+    // one more iff h60(doc_id) mod 1e6 < frac(r)·1e6 — the same
+    // deterministic hash-fraction rule as the stratified sampler, so
+    // the realized per-source token count converges to the target
+    // without rand() (reproducible across runs, retries, engines).
+    //
+    // Scale shape (100 TB): the mixture model is a k-row fixed
+    // categorical domain (the DSIR/DoReMi pinned-local rule — one
+    // corpus pass to k rows, collected, re-broadcast as a literal
+    // relation so no corpus subplan re-executes); the expansion itself
+    // is a broadcast equi-join + per-row sequence explode — join-free
+    // fan-out of the big side, no window, no second corpus shuffle;
+    // the accounting agg is map-side combined on the k-key domain.
+    // All math is integer ppm (micro-epochs), bit-identical in both
+    // engines.
+    q("q_sample_epochs",
+      """WITH dom AS MATERIALIZED (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS stok
+        |  FROM documents GROUP BY source),
+        |ref AS MATERIALIZED (
+        |  SELECT CAST(SUM(stok) AS BIGINT) AS ttok, COUNT(*) AS k
+        |  FROM dom),
+        |r AS MATERIALIZED (
+        |  SELECT source, n_docs,
+        |    LEAST(3000000, (3 * ttok * 1000000) // (k * stok)) AS r_ppm
+        |  FROM dom CROSS JOIN ref),
+        |docs AS (
+        |  SELECT d.doc_id, d.source, r.r_ppm, r.n_docs,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok,
+        |    r.r_ppm // 1000000 +
+        |      CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+        |                 1, 15))::BIGINT % 1000000 < r.r_ppm % 1000000
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN r ON d.source = r.source),
+        |ex AS (
+        |  SELECT doc_id, source, r_ppm, n_docs, tok,
+        |    unnest(range(1, copies + 1)) AS epoch
+        |  FROM docs WHERE copies >= 1)
+        |SELECT source, MAX(r_ppm) AS r_ppm, MAX(n_docs) AS n_docs,
+        |  COUNT(*) AS n_copies,
+        |  CAST(SUM(tok) AS BIGINT) AS token_copies,
+        |  CAST(SUM((doc_id * 31 + epoch) % 1000003) AS BIGINT)
+        |    AS copies_checksum
+        |FROM ex GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val dom = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("stok"))
+        .collect() // k = |sources| rows, fixed categorical domain
+      val ttok = dom.map(_.getLong(2)).sum
+      val k = dom.length.toLong
+      val model = dom.map { r =>
+        val rppm =
+          Math.min(3000000L, 3L * ttok * 1000000L / (k * r.getLong(2)))
+        (r.getString(0), r.getLong(1), rppm)
+      }.toSeq.toDF("m_source", "m_docs", "r_ppm")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .join(broadcast(model), col("source") === col("m_source"))
+        .withColumn("copies", expr("r_ppm div 1000000") +
+          when(h60(col("doc_id").cast("string")) % 1000000L <
+            col("r_ppm") % 1000000L, 1L).otherwise(0L))
+        .filter(col("copies") >= 1L)
+        .select(col("doc_id"), col("source"), col("r_ppm"),
+          col("m_docs"), col("tok"),
+          explode(sequence(lit(1L), col("copies"))).as("epoch"))
+        .groupBy("source")
+        .agg(max(col("r_ppm")).as("r_ppm"),
+          max(col("m_docs")).as("n_docs"),
+          count(lit(1)).as("n_copies"),
+          sum(col("tok")).cast("long").as("token_copies"),
+          sum((col("doc_id") * 31 + col("epoch")) % 1000003)
+            .cast("long").as("copies_checksum"))
+        .orderBy("source")
+    },
+
     // Deterministic STRATIFIED SAMPLE: keep ~10% per stratum by md5
     // hash-bucket of the id (bucket < 10 of 100) — reproducible across
     // runs/retries (unlike rand()-based sampling) and embarrassingly

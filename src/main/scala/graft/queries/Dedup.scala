@@ -726,5 +726,80 @@ object Dedup extends QueryPack {
           length(concat_ws(" ", expr("transform(ps, x -> x.para)")))
             .cast("long").as("new_len"))
         .orderBy("doc_id")
+    },
+
+    // BOILERPLATE paragraph removal (CCNet-style frequency filter): a
+    // paragraph occurring 2+ times corpus-wide is boilerplate (nav
+    // chrome, license headers, templated text) and EVERY occurrence is
+    // dropped — the frequency-threshold complement of
+    // q_dedup_paragraph's keep-first ownership (which keeps one copy).
+    // Same deterministic 15-token chunking, same single-shuffle shape:
+    // COUNT() OVER (PARTITION BY paragraph-hash) — the paragraph stream
+    // shuffles ONCE on a 60-bit hash, never all-pairs, no corpus-wide
+    // window (suite-linted) — then per-doc reassembly of the surviving
+    // paragraphs exactly as in q_dedup_paragraph (bounded per-doc
+    // array_sort, md5(new_text) out, untouched docs provably hash to
+    // md5(original)). At a real 100 TB run the threshold is per-domain
+    // and calibrated (CCNet drops lines seen in >0.5% of a shard's
+    // docs); the 2+ corpus-wide rule keeps the oracle exact while
+    // exercising the identical plan.
+    q("q_dedup_boilerplate",
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |px AS (
+        |  SELECT doc_id, source, w,
+        |    unnest(range(1, (len(w) + 14) // 15 + 1)) AS p
+        |  FROM d),
+        |para AS (
+        |  SELECT doc_id, source, p,
+        |    array_to_string(w[(p-1)*15+1 : p*15], ' ') AS para
+        |  FROM px),
+        |k AS (
+        |  SELECT doc_id, source, p, para,
+        |    COUNT(*) OVER (
+        |      PARTITION BY ('0x' || substr(md5(para), 1, 15))::BIGINT)
+        |      AS occ
+        |  FROM para)
+        |SELECT doc_id, source,
+        |  COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN occ = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(COALESCE(string_agg(CASE WHEN occ = 1 THEN para END,
+        |    ' ' ORDER BY p), '')) AS new_md5,
+        |  CAST(len(COALESCE(string_agg(CASE WHEN occ = 1 THEN para END,
+        |    ' ' ORDER BY p), '')) AS BIGINT) AS new_len
+        |FROM k GROUP BY doc_id, source ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val paras = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1),
+            expr("(size(w) + 14) div 15").cast("int"))).as("p"),
+          col("w"))
+        .select(col("doc_id"), col("source"), col("p"),
+          concat_ws(" ", expr("slice(w, (p - 1) * 15 + 1, 15)")).as("para"))
+      val wOcc = org.apache.spark.sql.expressions.Window
+        .partitionBy(h60(col("para")))
+      paras
+        .withColumn("occ", count(lit(1)).over(wOcc))
+        .withColumn("kept", col("occ") === 1L)
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("kept"), 0L).otherwise(1L)).cast("long")
+            .as("n_dropped"),
+          array_sort(collect_list(when(col("kept"),
+            struct(col("p"), col("para"))))).as("ps"))
+        .select(col("doc_id"), col("source"), col("n_paras"),
+          col("n_kept"), col("n_dropped"),
+          md5(concat_ws(" ", expr("transform(ps, x -> x.para)")))
+            .as("new_md5"),
+          length(concat_ws(" ", expr("transform(ps, x -> x.para)")))
+            .cast("long").as("new_len"))
+        .orderBy("doc_id")
     })
 }

@@ -1005,6 +1005,76 @@ object Similarity extends QueryPack {
         .orderBy("label")
     },
 
+    // SEMANTIC DECONTAMINATION (embedding-space): flag every corpus
+    // vector whose cosine against ANY eval-benchmark vector reaches
+    // 0.3 — the embedding-side complement of the n-gram
+    // (q_decontam_ngram) and exact-substring (q_decontam_substring)
+    // decontaminations: paraphrased eval leakage that shares no
+    // surface n-grams still lands nearby in embedding space. The eval
+    // set is a literal-id filter (vec_id < 16 — a benchmark is a
+    // fixed, KB-sized artifact however large the corpus grows), so it
+    // broadcasts; the corpus streams through ONE scan, the per-
+    // (vector, eval) cosine tests fold into a per-vector max by a
+    // map-side-combined aggregate (16 rows collapse to 1 before the
+    // shuffle, which carries ~16 bytes/vector), and the output is
+    // |labels| rows. Same exact integer math as q_dedup_semantic:
+    // quantize once to 1e-3 units, compare 100·dt² >= 9·|a|²·|b|²
+    // (cos >= 3/10) in wide-integer space (decimal(38,0) here,
+    // HUGEINT in the oracle) — no float threshold to drift between
+    // engines.
+    q("q_decontam_semantic",
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, q,
+        |        list_sum(list_transform(q, x -> x * x)) AS nn FROM e),
+        |ev AS (SELECT q AS eq, nn AS en FROM n WHERE vec_id < 16),
+        |corp AS (SELECT vec_id, label, q, nn FROM n WHERE vec_id >= 16),
+        |p AS (
+        |  SELECT c.vec_id, c.label, c.nn, e.en,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> c.q[i] * e.eq[i])) AS dt
+        |  FROM corp c CROSS JOIN ev e),
+        |fl AS (
+        |  SELECT vec_id, label,
+        |    MAX(CASE WHEN dt > 0 AND
+        |          100 * CAST(dt AS HUGEINT) * dt >=
+        |            9 * CAST(nn AS HUGEINT) * en
+        |        THEN 1 ELSE 0 END) AS f
+        |  FROM p GROUP BY vec_id, label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(f) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN f = 1 THEN vec_id ELSE 0 END) AS BIGINT)
+        |    AS flagged_checksum
+        |FROM fl GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double)" +
+          " * 1000) as bigint))").as("q"))
+        .withColumn("qd", col("q").cast("array<double>"))
+        // |q_i| <= ~4000 so every dot/norm is integer-exact in a double
+        // (the q_dedup_semantic argument) — safe to cast back to long.
+        .withColumn("nn", dot("qd", "qd").cast("long"))
+      val ev = broadcast(emb.filter(col("vec_id") < 16)
+        .select(col("qd").as("ed"), col("nn").as("en")))
+      emb.filter(col("vec_id") >= 16)
+        .select(col("vec_id"), col("label"), col("qd"), col("nn"))
+        .crossJoin(ev)
+        .withColumn("dt", dot("qd", "ed").cast("long"))
+        .withColumn("hit", col("dt") > 0 &&
+          lit(100) * col("dt").cast("decimal(38,0)") * col("dt") >=
+            lit(9) * col("nn").cast("decimal(38,0)") * col("en"))
+        .groupBy("vec_id", "label")
+        .agg(max(when(col("hit"), 1).otherwise(0)).as("f"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("f")).cast("long").as("n_flagged"),
+          sum(when(col("f") === 1, col("vec_id")).otherwise(0L))
+            .cast("long").as("flagged_checksum"))
+        .orderBy("label")
+    },
+
     // Multimodal frame fan-out: each media item explodes into its
     // sampled frames (sequence 1..n_frames) with deterministic per-frame
     // metadata — the media→frame partitioning pattern of a video

@@ -50,6 +50,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_sample_temperature", // 1-row corpus-threshold scalar
     "q_graph_pagerank", // 1-row rank-mass scalars in the iteration
     "q_decontam_substring", // <=50-row snippet set broadcast vs corpus
+    "q_decontam_semantic", // 16-row eval-embedding set broadcast vs corpus
     "q11_important_stock", // 1-row total-value threshold scalar (TPC-H Q11)
     "q22_sales_opportunity", // 1-row avg-acctbal scalar (TPC-H Q22)
     "q_agg_histogram", // 1-row min/max scalar defining bin width
@@ -123,7 +124,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_ann_quant_rerank", // same bounded query set
     "q_ann_jl_rerank", // same bounded query set + its projection
     "q_decontam_ngram", // doc_id < 50 eval-benchmark gram set
-    "q_decontam_substring" // doc_id < 50 eval snippet set
+    "q_decontam_substring", // doc_id < 50 eval snippet set
+    "q_decontam_semantic" // vec_id < 16 eval-embedding set
   )
 
   /** Round-8 lesson, machine-checked: an explicit broadcast() on a
