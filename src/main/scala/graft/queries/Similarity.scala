@@ -118,6 +118,57 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rn")
     },
 
+    // HARD-NEGATIVE MINING for contrastive training (the DPR/SimCSE
+    // data-prep step): for each anchor vector, the top-3 most-similar
+    // candidates with a DIFFERENT label — near the anchor in embedding
+    // space but semantically wrong, the negatives that actually teach
+    // a contrastive model. Same scale shape as q_ann_cosine_topk: the
+    // anchor set (vec_id < 8, a fixed training batch however large the
+    // corpus) broadcasts, the corpus streams through ONE scan, and the
+    // rn <= 3 filter triggers Spark's WindowGroupLimit pushdown
+    // (verified plan shape in the tier-4 scaling note) so each map
+    // split forwards only its top-3 per anchor — the 8-key exchange
+    // carries ≤24 rows per split, never the corpus. The label
+    // inequality is a join predicate, pushed into the broadcast probe.
+    q("q_mine_hard_negatives",
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+        |    c.vec_id AS cand_id, c.label AS cand_label,
+        |    ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |            i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |          / (a.nrm * c.nrm), 6) AS cos_sim
+        |  FROM e a JOIN e c
+        |    ON a.vec_id < 8 AND c.vec_id >= 8 AND c.label <> a.label)
+        |SELECT anchor_id, anchor_label, rn, cand_id, cand_label, cos_sim
+        |FROM (
+        |  SELECT anchor_id, anchor_label, cand_id, cand_label, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |                       ORDER BY cos_sim DESC, cand_id) AS rn
+        |  FROM p)
+        |WHERE rn <= 3 ORDER BY anchor_id, rn""".stripMargin) { (s, dir) =>
+      val e = withNorm(t(s, dir, "embeddings"))
+      val anchors = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          col("embedding").as("ae"), col("nrm").as("an")))
+      val cands = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+          col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("anchor_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      anchors.join(cands, col("cand_label") =!= col("anchor_label"))
+        .withColumn("cos_sim", round(dot("ae", "ce") / (col("an") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("anchor_id", "anchor_label", "rn", "cand_id", "cand_label",
+          "cos_sim")
+        .orderBy("anchor_id", "rn")
+    },
+
     // Two-stage quantized retrieval — the memory-bandwidth play of a
     // production ANN index (FAISS's SQ8 pattern): stage 1 scans INT8
     // vectors (4× less data than float32) and ranks candidates by the
