@@ -302,22 +302,70 @@ object Aggregates extends QueryPack {
         |  COUNT(*) AS n_rows,
         |  MIN(price) AS lo, MAX(price) AS hi
         |FROM r GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val l = t(s, dir, "lineitem")
-      l.select(col("l_extendedprice").as("price"),
-          row_number().over(Window.orderBy(
-            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
-            .as("rn"),
-          count(lit(1)).over(Window.partitionBy()).as("n"))
-        // BIGINT math before the multiply: row_number() is 32-bit in
-        // Spark while DuckDB computes (rn-1)*8 in BIGINT — above ~268M
-        // rows the INT product would overflow and silently diverge.
-        .withColumn("bin",
-          expr("CAST((CAST(rn AS BIGINT) - 1) * 8 div n AS INT)"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("price")).as("lo"), max(col("price")).as("hi"))
-        .orderBy("bin")
+      // DISTRIBUTED exact equi-depth (round 9; was a single-task global
+      // row_number window — the suite's one allowlisted un-partitioned
+      // Window and its worst scaling entry at 10.45×/decade). The
+      // observation that distributes it: the answer is a pure function
+      // of n and the prices at 16 exact GLOBAL ranks — bin k covers
+      // ranks [ceil(k·n/8)+1, ceil((k+1)·n/8)] (the integer solution of
+      // (rn-1)·8 div n = k), its n_rows is that width, lo/hi are the
+      // prices AT the boundary ranks (prices are rank-sorted). So:
+      // range-partition + sort WITHIN partitions (fully parallel, the
+      // same bytes any exact global sort moves), collect the P
+      // per-partition counts (P = defaultParallelism — a runtime stat
+      // bounded by the cluster, the CC/AQE principle, NOT corpus size),
+      // convert to exclusive offsets, and have each partition emit only
+      // the ≤16 boundary-rank prices it owns. The checkpointed
+      // intermediate is the 8-byte price column only. The oracle is
+      // UNCHANGED — ranks are partitioning-independent because
+      // (price, orderkey, linenumber) is a unique total order. The KLL
+      // sketch twin (q_sketch_quantiles) remains the recommended
+      // approximate path at 100 TB; this removes the single-task
+      // bottleneck from the exact baseline.
+      import org.apache.spark.storage.StorageLevel
+      val sortKey = Seq(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      val p = math.max(1, s.sparkContext.defaultParallelism)
+      val ranged = t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        .repartitionByRange(p, sortKey: _*)
+        .sortWithinPartitions(sortKey: _*)
+        .select(col("l_extendedprice").as("price"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val counts = ranged.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val n = counts.sum
+      val offsets = counts.scanLeft(0L)(_ + _) // exclusive prefix sums
+      // ceil division: first/last global rank of each bin.
+      val bins = (0 until 8)
+        .map(k => (k, (k.toLong * n + 7) / 8 + 1, ((k + 1).toLong * n + 7) / 8))
+        .filter { case (_, lo, hi) => hi >= lo } // empty bins only when n < 8
+      val targets = bins.flatMap { case (_, lo, hi) => Seq(lo, hi) }
+        .distinct.sorted.toArray
+      val rankPrice: Map[Long, Double] = ranged.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          val off = offsets(i)
+          val wanted = targets.filter(r => r > off && r <= off + counts(i))
+          if (wanted.isEmpty) Iterator.empty
+          else {
+            val out = Array.newBuilder[(Long, Double)]
+            var idx = 0L
+            var w = 0
+            while (it.hasNext && w < wanted.length) {
+              val row = it.next(); idx += 1
+              if (off + idx == wanted(w)) {
+                out += ((wanted(w), row.getDouble(0))); w += 1
+              }
+            }
+            out.result().iterator
+          }
+        }.collect().toMap // ≤16 (rank, price) pairs
+      import s.implicits._
+      bins.map { case (k, lo, hi) =>
+        (k, hi - lo + 1, rankPrice(lo), rankPrice(hi))
+      }.toDF("bin", "n_rows", "lo", "hi").orderBy("bin")
     },
 
     // Exact percentile family (UDAFPercentile / GenericUDAFPercentileApprox).
