@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed exact rank/quantile selection over a SMALL fixed group
+  * domain — the scale-safe replacement for Spark's exact
+  * `percentile`/`median` aggregates (and Hive's UDAFPercentile, whose
+  * semantics they match): those are TypedImperativeAggregates that
+  * buffer EVERY value of a group in one aggregation buffer, so a
+  * 3-group exact median over a 100 TB fact holds ~n/3 doubles in a
+  * single task's memory — the same quiet scale killer as an
+  * un-partitioned window, just spelled as an aggregate.
+  *
+  * The distributed shape instead exploits that an exact interpolated
+  * quantile is a pure function of n_g and the values at TWO global
+  * ranks per requested quantile: range-partition on (group, value),
+  * sort within partitions (fully parallel — the same bytes any exact
+  * per-group sort moves), collect the P×G per-partition per-group
+  * count matrix (P = defaultParallelism, a cluster-bounded runtime
+  * stat — the AQE/ConnectedComponents principle; G = |group domain|,
+  * fixed by construction), convert to per-group offsets, and have each
+  * partition emit only the boundary-rank values it owns. Driver-side
+  * state is O(P·G + |qs|·G) — never corpus-sized.
+  *
+  * Interpolation reproduces Spark's Percentile.getPercentile
+  * arithmetic exactly — position = (n-1)·q, then
+  * (higher-position)·v_lo + (position-lower)·v_hi — so results are
+  * bit-identical to the aggregates they replace (and therefore keep
+  * the existing DuckDB-oracle agreement under the queries' round(4)).
+  *
+  * Values at a rank are partitioning-independent even with duplicate
+  * values: the value at rank r of a sorted multiset does not depend on
+  * how ties are ordered among themselves.
+  */
+object RankSelect {
+
+  /** Below this estimated input size the buffering percentile
+    * aggregate is used instead of rank selection — SIZE-ADAPTIVE like
+    * ConnectedComponents' union-find cutover. The estimate is the
+    * optimizer's free sizeInBytes statistic (no extra job); a wrong-
+    * side decision only changes the PLAN, never the result, because
+    * both paths compute the identical interpolation arithmetic — so an
+    * estimation error costs speed, not correctness (the AQE principle:
+    * pick physical strategy from runtime stats). 1 GiB of estimated
+    * (column-pruned, compressed) input ≈ hundreds of millions of
+    * values of per-group count-map state — past what one task's
+    * aggregation buffer should hold. Local SFs land on the aggregate
+    * path (sf10's pruned 2-column estimate is ~160 MB); a 100 TB fact
+    * is orders of magnitude above the line. The distributed path is
+    * held correct by Round9OpsSpec's forced bit-equivalence test, so
+    * the cutover engaging at cluster scale is a plan change only.
+    */
+  val aggregateSafeBytes: Long = 1L << 30
+
+  /** Per-group exact linear-interpolated quantiles.
+    *
+    * @param df       input frame
+    * @param groupCol string-typed grouping column over a fixed domain
+    * @param valueCol numeric column (cast to double)
+    * @param qs       quantile fractions in [0, 1]
+    * @param safeBytes cutover threshold (overridable so tests can force
+    *                  the distributed path on small fixtures)
+    * @return group -> (n_g, interpolated values aligned with qs)
+    */
+  def groupedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      safeBytes: Long = aggregateSafeBytes): Map[String, (Long, Array[Double])] = {
+    val s = df.sparkSession
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= safeBytes) {
+      // Small path: Spark's exact percentile aggregates (bounded
+      // memory at these sizes) — one separate aggregate per quantile,
+      // the formulation the codegen/agg machinery handles best, in a
+      // single groupBy pass with no extra jobs and no checkpoint.
+      val proj = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      val aggCols = qs.zipWithIndex.map { case (q, i) =>
+        percentile(col("v"), lit(q)).as(s"q$i")
+      } :+ count(lit(1)).as("n")
+      return proj.groupBy("g")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+        .map { r =>
+          r.getString(0) -> ((r.getLong(qs.length + 1),
+            qs.indices.map(i => r.getDouble(i + 1)).toArray))
+        }.toMap
+    }
+    val p = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .repartitionByRange(p, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // Pass 1: P×G count matrix (bounded by cluster × domain).
+      val counts: Array[(Int, String, Long)] = ranged.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L
+          }
+          m.iterator.map { case (g, c) => (i, g, c) }
+        }.collect()
+      val nByG: Map[String, Long] =
+        counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+      // 0-based fractional positions per group (Spark's (n-1)*q).
+      val posByG: Map[String, Array[Double]] = nByG.map { case (g, n) =>
+        g -> qs.map(q => (n - 1).toDouble * q).toArray
+      }
+      val wantedByG: Map[String, Array[Long]] = posByG.map { case (g, ps) =>
+        g -> ps.flatMap(pos =>
+          Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L))
+          .distinct.sorted
+      }
+      // Exclusive per-group offsets per partition, in partition order.
+      val offByPidG = scala.collection.mutable.Map.empty[(Int, String), Long]
+      val running = scala.collection.mutable.Map.empty[String, Long]
+      counts.sortBy(_._1).foreach { case (pid, g, c) =>
+        offByPidG((pid, g)) = running.getOrElse(g, 0L)
+        running(g) = running.getOrElse(g, 0L) + c
+      }
+      val offB = offByPidG.toMap
+      val cntB = counts.map { case (pid, g, c) => (pid, g) -> c }.toMap
+      // Pass 2: each partition emits only the boundary-rank values it
+      // owns (≤ 2·|qs| rows per group suite-wide).
+      val picked: Map[(String, Long), Double] = ranged.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          val out = Array.newBuilder[((String, Long), Double)]
+          var curG: String = null
+          var local = 0L
+          var goff = 0L
+          var targets: Array[Long] = Array.emptyLongArray
+          var ti = 0
+          it.foreach { r =>
+            val g = r.getString(0)
+            if (g != curG) {
+              curG = g; local = 0L
+              goff = offB.getOrElse((i, g), 0L)
+              val cnt = cntB.getOrElse((i, g), 0L)
+              targets = wantedByG.getOrElse(g, Array.emptyLongArray)
+                .filter(t => t > goff && t <= goff + cnt)
+              ti = 0
+            }
+            local += 1L
+            if (ti < targets.length && goff + local == targets(ti)) {
+              out += (((g, targets(ti)), r.getDouble(1))); ti += 1
+            }
+          }
+          out.result().iterator
+        }.collect().toMap
+      nByG.map { case (g, n) =>
+        val vals = posByG(g).map { pos =>
+          val lower = math.floor(pos).toLong
+          val higher = math.ceil(pos).toLong
+          val vLo = picked((g, lower + 1L))
+          if (higher == lower) vLo
+          else {
+            val vHi = picked((g, higher + 1L))
+            // Spark Percentile.getPercentile arithmetic, verbatim.
+            (higher - pos) * vLo + (pos - lower) * vHi
+          }
+        }
+        g -> ((n, vals))
+      }
+    } finally {
+      ranged.unpersist(false)
+      ()
+    }
+  }
+}

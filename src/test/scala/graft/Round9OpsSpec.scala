@@ -104,6 +104,43 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0L)
   }
 
+  test("RankSelect distributed path is bit-identical to the aggregate path") {
+    // The adaptive cutover must be invisible: force the rank-selection
+    // path (safeBytes = -1) and compare bit-for-bit against the
+    // buffering-aggregate path on the same inputs, including an
+    // interpolating quantile (0.95) and both parities of n_g.
+    val l = T.t(spark, sfDir, "lineitem")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val agg = operators.RankSelect.groupedQuantiles(
+      l, "l_returnflag", "l_extendedprice", qs, safeBytes = Long.MaxValue)
+    val dist = operators.RankSelect.groupedQuantiles(
+      l, "l_returnflag", "l_extendedprice", qs, safeBytes = -1L)
+    assert(agg.keySet === dist.keySet)
+    agg.foreach { case (g, (n, vs)) =>
+      assert(dist(g)._1 === n)
+      // Bit-exact double comparison — the formulas must be the SAME
+      // IEEE operations, not merely close.
+      vs.zip(dist(g)._2).zipWithIndex.foreach { case ((a, d), i) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(d), s"group $g q=${qs(i)}")
+      }
+    }
+    // Odd-n coverage: drop one row from one group and recheck medians.
+    val lodd = l.filter(!(col("l_returnflag") === lit("A") &&
+      col("l_orderkey") === l.select(max(when(col("l_returnflag") === "A",
+        col("l_orderkey")))).head.getLong(0)))
+    val a2 = operators.RankSelect.groupedQuantiles(
+      lodd, "l_returnflag", "l_extendedprice", Seq(0.5),
+      safeBytes = Long.MaxValue)
+    val d2 = operators.RankSelect.groupedQuantiles(
+      lodd, "l_returnflag", "l_extendedprice", Seq(0.5), safeBytes = -1L)
+    a2.foreach { case (g, (n, vs)) =>
+      assert(d2(g)._1 === n)
+      assert(java.lang.Double.doubleToLongBits(vs(0)) ===
+        java.lang.Double.doubleToLongBits(d2(g)._2(0)), s"group $g")
+    }
+  }
+
   test("doremi smoothed weights normalize and respect the uniform floor") {
     val rows = SparkEntry.queries("q_sample_doremi")(spark, sfDir).collect()
     val k = rows.length.toLong
