@@ -54,6 +54,16 @@ object RankSelect {
     */
   val aggregateSafeBytes: Long = 1L << 30
 
+  /** Fail-loud ceiling on driver-held count-matrix entries (≤ P·G).
+    * The distributed path's driver state is O(P·G); the contract is a
+    * SMALL fixed group domain, so with P ≈ thousands of cores this cap
+    * (4M tiny tuples, a few hundred MB worst case) is never approached
+    * by a legitimate caller — a future caller grouping by a high-
+    * cardinality key hits a clear error here instead of quietly
+    * OOMing the driver mid-collect.
+    */
+  val maxCountMatrixEntries: Int = 1 << 22
+
   /** Per-group exact linear-interpolated quantiles.
     *
     * @param df       input frame
@@ -69,16 +79,24 @@ object RankSelect {
       groupCol: String,
       valueCol: String,
       qs: Seq[Double],
-      safeBytes: Long = aggregateSafeBytes): Map[String, (Long, Array[Double])] = {
+      safeBytes: Long = aggregateSafeBytes,
+      matrixCap: Int = maxCountMatrixEntries): Map[String, (Long, Array[Double])] = {
     val s = df.sparkSession
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Null discipline: Spark's percentile aggregate silently skips null
+    // values, so the distributed path must see the SAME multiset — and
+    // n must count the same rows on both paths. Filter once, up front,
+    // so a null-bearing input cannot make the size-adaptive cutover
+    // change results (or NPE on a boundary rank landing on a null).
+    val nn = df.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
     if (estBytes <= safeBytes) {
       // Small path: Spark's exact percentile aggregates (bounded
       // memory at these sizes) — one separate aggregate per quantile,
       // the formulation the codegen/agg machinery handles best, in a
       // single groupBy pass with no extra jobs and no checkpoint.
-      val proj = df.select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
+      val proj = nn
       val aggCols = qs.zipWithIndex.map { case (q, i) =>
         percentile(col("v"), lit(q)).as(s"q$i")
       } :+ count(lit(1)).as("n")
@@ -91,9 +109,7 @@ object RankSelect {
         }.toMap
     }
     val p = math.max(1, s.sparkContext.defaultParallelism)
-    val ranged = df
-      .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
+    val ranged = nn
       .repartitionByRange(p, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
@@ -107,6 +123,11 @@ object RankSelect {
           }
           m.iterator.map { case (g, c) => (i, g, c) }
         }.collect()
+      require(counts.length <= matrixCap,
+        s"RankSelect: P×G count matrix has ${counts.length} entries " +
+          s"(cap $matrixCap) — the group domain is not the " +
+          "SMALL fixed domain this operator requires; use a mergeable " +
+          "sketch (KllSketch) for high-cardinality grouping instead")
       val nByG: Map[String, Long] =
         counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
       // 0-based fractional positions per group (Spark's (n-1)*q).
@@ -167,6 +188,101 @@ object RankSelect {
           }
         }
         g -> ((n, vals))
+      }
+    } finally {
+      ranged.unpersist(false)
+      ()
+    }
+  }
+
+  /** Per-group exact KEY TUPLES at caller-chosen ranks — the same
+    * range-partition / count-matrix / boundary-emission engine as
+    * [[groupedQuantiles]], generalized from "value at rank" to "sort
+    * key at rank" over a two-part (k1, k2) lexicographic key. This is
+    * what an exact rank-BUCKETING operator needs (e.g. per-language
+    * percent_rank deciles): fetch only the first row of each bucket,
+    * broadcast those O(groups × buckets) tuples, and classify the
+    * corpus by comparison — no per-group total sort, no un-partitioned
+    * window, no corpus-sized driver state.
+    *
+    * @param df       frame whose FIRST THREE columns are
+    *                 (group: string, k1: long, k2: long); (k1, k2) must
+    *                 be a unique total order within each group (the
+    *                 caller tie-breaks, as percent_rank callers already
+    *                 do) and non-null.
+    * @param ranksOf  1-based ranks wanted for a group of size n
+    *                 (ascending, each in [1, n])
+    * @return group -> (n_g, rank -> (k1, k2))
+    */
+  def groupedKeysAtRanks(
+      df: DataFrame,
+      ranksOf: Long => Array[Long],
+      matrixCap: Int = maxCountMatrixEntries): Map[String, (Long, Map[Long, (Long, Long)])] = {
+    val s = df.sparkSession
+    val Seq(gc, c1, c2) = df.columns.take(3).toSeq
+    val p = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = df
+      .select(col(gc).cast("string").as("g"),
+        col(c1).cast("long").as("k1"), col(c2).cast("long").as("k2"))
+      .repartitionByRange(p, col("g"), col("k1"), col("k2"))
+      .sortWithinPartitions("g", "k1", "k2")
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val counts: Array[(Int, String, Long)] = ranged.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L
+          }
+          m.iterator.map { case (g, c) => (i, g, c) }
+        }.collect()
+      require(counts.length <= matrixCap,
+        s"RankSelect: P×G count matrix has ${counts.length} entries " +
+          s"(cap $matrixCap) — group domain too large")
+      val nByG: Map[String, Long] =
+        counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+      val wantedByG: Map[String, Array[Long]] = nByG.map { case (g, n) =>
+        val rs = ranksOf(n)
+        require(rs.forall(r => r >= 1L && r <= n),
+          s"groupedKeysAtRanks: rank out of [1, $n] for group $g")
+        g -> rs.distinct.sorted
+      }
+      val offByPidG = scala.collection.mutable.Map.empty[(Int, String), Long]
+      val running = scala.collection.mutable.Map.empty[String, Long]
+      counts.sortBy(_._1).foreach { case (pid, g, c) =>
+        offByPidG((pid, g)) = running.getOrElse(g, 0L)
+        running(g) = running.getOrElse(g, 0L) + c
+      }
+      val offB = offByPidG.toMap
+      val cntB = counts.map { case (pid, g, c) => (pid, g) -> c }.toMap
+      val picked: Map[(String, Long), (Long, Long)] = ranged.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          val out = Array.newBuilder[((String, Long), (Long, Long))]
+          var curG: String = null
+          var local = 0L
+          var goff = 0L
+          var targets: Array[Long] = Array.emptyLongArray
+          var ti = 0
+          it.foreach { r =>
+            val g = r.getString(0)
+            if (g != curG) {
+              curG = g; local = 0L
+              goff = offB.getOrElse((i, g), 0L)
+              val cnt = cntB.getOrElse((i, g), 0L)
+              targets = wantedByG.getOrElse(g, Array.emptyLongArray)
+                .filter(t => t > goff && t <= goff + cnt)
+              ti = 0
+            }
+            local += 1L
+            if (ti < targets.length && goff + local == targets(ti)) {
+              out += (((g, targets(ti)), (r.getLong(1), r.getLong(2))))
+              ti += 1
+            }
+          }
+          out.result().iterator
+        }.collect().toMap
+      nByG.map { case (g, n) =>
+        g -> ((n, wantedByG(g).map(r => r -> picked((g, r))).toMap))
       }
     } finally {
       ranged.unpersist(false)

@@ -269,15 +269,31 @@ object Aggregates extends QueryPack {
         |FROM lineitem l JOIN med m USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) {
       (s, dir) =>
+        // Both medians routed through RankSelect.groupedQuantiles
+        // (median ≡ percentile 0.5, the same Percentile arithmetic):
+        // pass 1 yields the per-group median as a collected 3-row
+        // model, re-broadcast as a local relation onto the scan for
+        // the |x - med| pass — so at 100 TB neither pass buffers a
+        // group's values in one task, and below the cutover both
+        // passes are the exact aggregates the oracle checks.
         val l = t(s, dir, "lineitem")
-        val med = l.groupBy("l_returnflag")
-          .agg(median(col("l_extendedprice")).as("med"))
-        l.join(broadcast(med), Seq("l_returnflag"))
-          .groupBy("l_returnflag")
-          .agg(round(min(col("med")), 4).as("median_price"),
-            round(median(abs(col("l_extendedprice") - col("med"))), 4)
-              .as("mad_price"),
-            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val med = operators.RankSelect.groupedQuantiles(
+          l, "l_returnflag", "l_extendedprice", Seq(0.5))
+        import s.implicits._
+        val medDf = med.toSeq.map { case (g, (_, vs)) => (g, vs(0)) }
+          .toDF("l_returnflag", "med")
+        val dev = l.join(broadcast(medDf), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            abs(col("l_extendedprice") - col("med")).as("ad"))
+        val mad = operators.RankSelect.groupedQuantiles(
+          dev, "l_returnflag", "ad", Seq(0.5))
+        med.toSeq.map { case (g, (_, vs)) =>
+          (g, vs(0), mad(g)._2(0), mad(g)._1)
+        }.toDF("l_returnflag", "medr", "madr", "n")
+          .select(col("l_returnflag"),
+            round(col("medr"), 4).as("median_price"),
+            round(col("madr"), 4).as("mad_price"), col("n"))
           .orderBy("l_returnflag")
     },
 
@@ -379,13 +395,24 @@ object Aggregates extends QueryPack {
         |  ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, dir) =>
+        // Routed through RankSelect.groupedQuantiles: below the 1 GiB
+        // size estimate this runs Spark's exact percentile aggregates
+        // (what local SFs and the oracle check); above it the
+        // distributed exact-rank path takes over with bit-identical
+        // interpolation (Round9OpsSpec), removing the one-task
+        // value-buffer hazard at 100 TB. The tiny per-group result is
+        // rebuilt as a local relation and rounded with the SAME Spark
+        // round expression the aggregate formulation used.
         val l = t(s, dir, "lineitem")
-        l.groupBy("l_returnflag")
-          .agg(
-            round(percentile(l("l_extendedprice"), lit(0.25)), 4).as("p25"),
-            round(percentile(l("l_extendedprice"), lit(0.5)), 4).as("p50"),
-            round(percentile(l("l_extendedprice"), lit(0.75)), 4).as("p75"),
-            round(percentile(l("l_extendedprice"), lit(0.95)), 4).as("p95"))
+        val qs = Seq(0.25, 0.5, 0.75, 0.95)
+        val byG = operators.RankSelect.groupedQuantiles(
+          l, "l_returnflag", "l_extendedprice", qs)
+        import s.implicits._
+        byG.toSeq.map { case (g, (_, vs)) => (g, vs(0), vs(1), vs(2), vs(3)) }
+          .toDF("l_returnflag", "r25", "r50", "r75", "r95")
+          .select(col("l_returnflag"),
+            round(col("r25"), 4).as("p25"), round(col("r50"), 4).as("p50"),
+            round(col("r75"), 4).as("p75"), round(col("r95"), 4).as("p95"))
           .orderBy("l_returnflag")
     },
 

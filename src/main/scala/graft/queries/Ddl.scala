@@ -244,9 +244,15 @@ object Ddl extends QueryPack {
         // without the DROP every regeneration abandons the previous
         // saved table + its data files — unbounded warehouse growth
         // across regenerations (advice, round 8).
+        // Anchor the match to the fixed-width 16-hex contentTag suffix
+        // so a dir whose sanitized tag is a proper prefix of another's
+        // (e.g. /data/sf1 vs /data/sf1_old) can never reap the OTHER
+        // dir's live stats table (advice, round 9).
+        val samePrefix = java.util.regex.Pattern.compile(
+          s"g_stats_orders_${java.util.regex.Pattern.quote(tag)}_[0-9a-f]{16}")
         s.catalog.listTables().collect()
           .map(_.name)
-          .filter(n => n.startsWith(s"g_stats_orders_${tag}_") && n != tbl)
+          .filter(n => samePrefix.matcher(n).matches() && n != tbl)
           .foreach(stale => s.sql(s"DROP TABLE IF EXISTS $stale"))
         t(s, dir, "orders").select("o_orderkey", "o_custkey")
           .write.saveAsTable(tbl)

@@ -188,10 +188,12 @@ object TextAnalysis extends QueryPack {
     // same exact rational in both engines and the decile floor cannot
     // drift. Scale note: the exact window is one shuffle PARTITIONED BY
     // LANG — fine until one language dominates the corpus (a single
-    // 60 TB 'en' partition); at 100 TB replace the window with per-lang
-    // KLL cut points (q_sketch_quantiles) and bucket by comparison —
-    // same output, no per-lang total sort. This exact variant is the
-    // correctness baseline for that swap.
+    // 60 TB 'en' partition). Above RankSelect.aggregateSafeBytes this
+    // query therefore switches to TextAnalysis.pctRankDeciles'
+    // distributed branch: exact decile-boundary TUPLES via
+    // RankSelect.groupedKeysAtRanks (no per-lang total sort), broadcast
+    // back, and every row bucketed by comparison — bit-identical output
+    // (Round10OpsSpec forces the branch and diffs against the window).
     q("q_quality_pct_rank",
       """WITH sc AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS score
@@ -205,18 +207,10 @@ object TextAnalysis extends QueryPack {
         |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM r GROUP BY lang, decile
         |ORDER BY lang, decile""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val sc = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).as("score"))
-      sc.withColumn("pr", percent_rank().over(
-          Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))))
-        .withColumn("decile",
-          least(floor(col("pr") * 10), lit(9L)).cast("int"))
-        .groupBy("lang", "decile")
-        .agg(count(lit(1)).as("n"),
-          sum(col("doc_id")).cast("long").as("id_checksum"))
-        .orderBy("lang", "decile")
+      TextAnalysis.pctRankDeciles(sc)
     },
 
     // Token counting per source: whitespace tokens vs regex word-tokens
@@ -795,4 +789,100 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("score_u").desc, col("doc_id"))
         .limit(20)
     })
+
+  /** Exact per-language percent_rank deciles of (score, doc_id), size-
+    * adaptive like RankSelect.groupedQuantiles:
+    *
+    *  - below the cutover: the literal window —
+    *    `percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id)`
+    *    then `least(floor(pr*10), 9)` — which is also what the DuckDB
+    *    oracle computes;
+    *  - above it (or when forced): NO per-lang total sort. The decile of
+    *    a row is a pure function of its exact rank r and n_lang:
+    *    d(r) = min(floor((r-1)/(n-1)·10), 9), monotone in r — so the
+    *    corpus only needs the 9 boundary TUPLES per language (the first
+    *    (score, doc_id) of each decile, found by binary search on d(r)
+    *    evaluated with the SAME IEEE double ops percent_rank uses, then
+    *    fetched at exact ranks by RankSelect.groupedKeysAtRanks).
+    *    Broadcast those ≤9·|langs| tuples back and each row's decile is
+    *    `count of boundaries ≤ (score, doc_id)` — duplicate boundary
+    *    tuples (empty deciles, n < 10) count with multiplicity, which
+    *    makes the count land on the right decile exactly as the rank
+    *    formula does. One shuffle total (the final groupBy), per-split
+    *    parallel sort instead of a per-language one.
+    *
+    * Both branches produce bit-identical rows (Round10OpsSpec forces
+    * the distributed branch and diffs against the window).
+    */
+  private[graft] def pctRankDeciles(
+      sc: org.apache.spark.sql.DataFrame,
+      forceDistributed: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val s = sc.sparkSession
+    val est = sc.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (!forceDistributed && est <= operators.RankSelect.aggregateSafeBytes) {
+      import org.apache.spark.sql.expressions.Window
+      return sc.withColumn("pr", percent_rank().over(
+          Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))))
+        .withColumn("decile",
+          least(floor(col("pr") * 10), lit(9L)).cast("int"))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("lang", "decile")
+    }
+    // Same IEEE ops as Spark's PercentRank ((r-1)/(n-1) in double) and
+    // the query's floor(pr*10): divide, multiply by 10.0, floor.
+    def decileOf(r: Long, n: Long): Long =
+      if (n <= 1L) 0L
+      else math.min(math.floor(
+        (r - 1).toDouble / (n - 1).toDouble * 10.0).toLong, 9L)
+    // Minimal rank whose decile reaches d, for d = 1..9 (present only
+    // if any rank reaches d; for n ≥ 2 rank n always has decile 9).
+    def boundaryRanks(n: Long): Array[(Long, Long)] =
+      (1L to 9L).flatMap { d =>
+        if (decileOf(n, n) < d) None
+        else {
+          var lo = 1L; var hi = n
+          while (lo < hi) {
+            val mid = lo + (hi - lo) / 2
+            if (decileOf(mid, n) >= d) hi = mid else lo = mid + 1
+          }
+          Some(d -> lo)
+        }
+      }.toArray
+    val keyed = sc.select(col("lang"), col("score").cast("long"),
+      col("doc_id").cast("long"))
+    val bounds = operators.RankSelect.groupedKeysAtRanks(
+      keyed, n => boundaryRanks(n).map(_._2))
+    // Boundary tuples per lang WITH multiplicity (an empty decile's
+    // start rank equals the next decile's — both must count).
+    val rows = bounds.toSeq.map { case (lang, (n, atRank)) =>
+      val bs = boundaryRanks(n).map { case (_, r) => atRank(r) }
+      org.apache.spark.sql.Row(lang,
+        bs.map { case (k1, k2) => org.apache.spark.sql.Row(k1, k2) }.toSeq)
+    }
+    val bSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bs",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("s",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("i",
+              org.apache.spark.sql.types.LongType)))))))
+    val bDf = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), bSchema)
+    // ≤ 9 struct comparisons per row (array HOF is interpreted, but the
+    // array is 9 elements — constant work, no codegen hot loop lost).
+    sc.join(broadcast(bDf), Seq("lang"))
+      .withColumn("decile", size(filter(col("bs"),
+        b => (col("score").cast("long") > b.getField("s")) ||
+          (col("score").cast("long") === b.getField("s") &&
+            col("doc_id").cast("long") >= b.getField("i")))).cast("int"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang", "decile")
+  }
 }
