@@ -52,6 +52,32 @@ class MatchPathSpec extends AnyFunSuite {
     assert(run(rows, "ce") === Set((1L, 1L, 2)))
   }
 
+  test("hot key ≥10× the chunk size: chunked scan = unchunked matches") {
+    import spark.implicits._
+    // One 5000-row key (50 chunks at chunkRows=100) with deterministic
+    // pseudo-random symbols, matches straddling chunk boundaries, plus
+    // a second key to prove run/chunk state resets. maxMatchLen=8
+    // bounds task state at ~107 rows while every cx*e span here is ≤ 6.
+    def sym(i: Long): String = (i * 2654435761L % 97) % 7 match {
+      case 0 => "c"
+      case 1 | 2 => "e"
+      case _ => "x"
+    }
+    val rows = (1L to 5000L).map(i => (1L, i, sym(i))) ++
+      (1L to 500L).map(i => (2L, i, sym(i + 13)))
+    val df = rows.toDF("k", "o", "s")
+    def collect(chunk: Int, mml: Int) =
+      MatchPath(df, "k", "o", "s", "cx*e", maxMatchLen = mml,
+        chunkRows = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val unchunked = collect(Int.MaxValue, 1 << 12)
+    val chunked = collect(100, 8)
+    assert(unchunked.nonEmpty)
+    assert(chunked === unchunked)
+    // A chunk size of 1 row (maximal boundary crossing) still agrees.
+    assert(collect(1, 8) === unchunked)
+  }
+
   test("agrees with the lag-window rewrite on real events") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
