@@ -448,5 +448,50 @@ object Sources extends QueryPack {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
+    },
+
+    // Kafka storage handler parity slice (kafka-handler:
+    // KafkaStorageHandler + KafkaScanTrimmer — SURVEY §2.1/§2.9
+    // [Hive3+]; no broker in this sandbox, so the topic is
+    // [[graft.sources.KafkaLog]]'s file-backed log with the handler's
+    // exact data model): events keyed by user_id land in 4 topic
+    // partitions with dense per-partition offsets; the query SEEKS
+    // per-partition offset ranges (starting inclusive / ending
+    // exclusive, the consumer convention) — compiled to partition-dir
+    // pruning + parquet offset pushdown, never a full log scan
+    // (KafkaLogSpec reads the plan) — and aggregates the addressed
+    // slice. The oracle re-derives identical (partition, offset)
+    // addresses from events with the same deterministic arrival order.
+    q("q_src_kafka_offsets",
+      """WITH log AS (
+        |  SELECT CAST(user_id % 4 AS INT) AS part_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id % 4
+        |                       ORDER BY ts, event_id) - 1 AS off,
+        |    CAST(user_id AS VARCHAR) AS k, event_type AS v
+        |  FROM events),
+        |sought AS (
+        |  SELECT * FROM log WHERE
+        |    (part_id = 0 AND off >= 10) OR
+        |    (part_id = 1 AND off >= 25 AND off < 200) OR
+        |    (part_id = 2 AND off < 150) OR
+        |    (part_id = 3 AND off >= 5))
+        |SELECT part_id, COUNT(*) AS n,
+        |  CAST(MIN(off) AS BIGINT) AS first_off,
+        |  CAST(MAX(off) AS BIGINT) AS last_off,
+        |  CAST(SUM(off) AS BIGINT) AS off_sum,
+        |  COUNT(DISTINCT k) AS n_keys, MIN(v) AS first_v
+        |FROM sought GROUP BY part_id ORDER BY part_id""".stripMargin) { (s, dir) =>
+      val topic = graft.sources.KafkaLog.ensureTopic(s, dir, 4)
+      graft.sources.KafkaLog.readBatch(s, topic,
+          startingOffsets = Map(0 -> 10L, 1 -> 25L, 3 -> 5L),
+          endingOffsets = Map(1 -> 200L, 2 -> 150L))
+        .groupBy(col("__partition").as("part_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("__offset")).cast("long").as("first_off"),
+          max(col("__offset")).cast("long").as("last_off"),
+          sum(col("__offset")).cast("long").as("off_sum"),
+          countDistinct(col("__key")).as("n_keys"),
+          min(col("__value")).as("first_v"))
+        .orderBy("part_id")
     })
 }
