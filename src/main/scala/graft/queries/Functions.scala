@@ -364,17 +364,50 @@ object Functions extends QueryPack {
         |FROM (SELECT r_regionkey, r_name,
         |        CAST(r_regionkey % 2 AS TINYINT) AS tag FROM region)
         |ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_union_rt"
-      t(s, dir, "region")
+      // UNIONTYPE lives in Hive's ORC and Avro pipelines as much as in
+      // parquet (serde2/typeinfo/UnionTypeInfo — round-10 widening): the
+      // same union column round-trips through ALL THREE formats and the
+      // result is the strict 3-way intersection (count = 3 per row), so
+      // any format mangling a tag or branch breaks the oracle hash.
+      // Parquet/ORC carry the (tag, field0, field1) struct natively;
+      // the Avro leg stores the exploded view as a flat record (the
+      // UnionObjectInspector encoding) through the RDD-layer AvroIO
+      // bridge and rebuilds the struct on read.
+      val base = t(s, dir, "region")
         .select(col("r_regionkey"),
           HiveCompatFunctions.createUnion(col("r_regionkey") % 2,
             col("r_name"), col("r_regionkey") * 100).as("u"))
-        .write.mode("overwrite").parquet(path)
-      val rt = s.read.parquet(path)
-      rt.select(col("r_regionkey"),
-          HiveCompatFunctions.extractUnion(col("u")).as("u"))
-        .select(col("r_regionkey"), col("u.tag").as("tag"),
-          col("u.field0").as("field0"), col("u.field1").as("field1"))
+      val tmpBase = System.getProperty("java.io.tmpdir") + "/graft_union_rt_"
+      val legs = Seq("parquet", "orc", "avro").map { fmt =>
+        val p = tmpBase + fmt
+        val rt = fmt match {
+          case "parquet" =>
+            base.write.mode("overwrite").parquet(p); s.read.parquet(p)
+          case "orc" =>
+            base.write.mode("overwrite").orc(p); s.read.orc(p)
+          case "avro" =>
+            val flat = base.select(col("r_regionkey"),
+              col("u.tag").cast("int").as("tag"), col("u.field0"),
+              col("u.field1"))
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(p), true)
+            graft.AvroIO.write(flat, p)
+            graft.AvroIO.read(s, p, flat.schema)
+              .select(col("r_regionkey"),
+                struct(col("tag").cast("tinyint").as("tag"),
+                  col("field0"), col("field1")).as("u"))
+        }
+        rt.select(col("r_regionkey"),
+            HiveCompatFunctions.extractUnion(col("u")).as("u"))
+          .select(col("r_regionkey"), col("u.tag").as("tag"),
+            col("u.field0").as("field0"), col("u.field1").as("field1"))
+      }
+      legs.reduce(_.unionAll(_))
+        .groupBy("r_regionkey", "tag", "field0", "field1")
+        .agg(count(lit(1)).as("n_fmt"))
+        .filter(col("n_fmt") === 3)
+        .drop("n_fmt")
         .orderBy("r_regionkey")
     },
 

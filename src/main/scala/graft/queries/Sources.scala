@@ -450,6 +450,50 @@ object Sources extends QueryPack {
         .orderBy("o_orderstatus")
     },
 
+    // Small-file compaction as a GATED query (OrcFileMergeOperator /
+    // ALTER TABLE .. CONCATENATE — SURVEY §2.1; previously spec-only in
+    // OptimizerSpec): scatter orders into 64 small files, then run the
+    // size-targeted compaction rewrite (read → repartition to
+    // ceil(bytes/target) → overwrite, the OPTIMIZE shape that holds at
+    // 100 TB because the target is BYTES, not a file count). The result
+    // row-parity-checks the compacted data against the oracle's direct
+    // scan AND folds the file-count bound in as a boolean column — if
+    // compaction ever stops bounding files, files_bounded flips false
+    // and the hash gate fails.
+    q("q_sink_compact",
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  TRUE AS files_bounded
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val small = tmp(dir, "compact_small")
+      val big = tmp(dir, "compact_out")
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartition(64)
+        .write.mode("overwrite").parquet(small)
+      def parts(p: String) = Option(new java.io.File(p).listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-"))
+      val nSmall = parts(small)
+      val targetBytes = 128L * 1024 * 1024
+      val totalBytes = Option(new java.io.File(small).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).map(_.length()).sum
+      val nOut = math.max(1L,
+        (totalBytes + targetBytes - 1) / targetBytes).toInt
+      s.read.parquet(small).repartition(nOut)
+        .write.mode("overwrite").parquet(big)
+      val bounded = parts(big) <= nOut && parts(big) < nSmall
+      s.read.parquet(big)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+          min(col("o_orderkey")).cast("long").as("min_key"))
+        .withColumn("files_bounded", lit(bounded))
+        .orderBy("o_orderstatus")
+    },
+
     // Kafka storage handler parity slice (kafka-handler:
     // KafkaStorageHandler + KafkaScanTrimmer — SURVEY §2.1/§2.9
     // [Hive3+]; no broker in this sandbox, so the topic is
