@@ -33,6 +33,18 @@ object TextAnalysis extends QueryPack {
     */
   private val trainedMerges =
     new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
+  /** Bounded in principle, not just in practice: each entry is ~8 small
+    * rows, but a long-lived session cycling through many data dirs (or
+    * regenerating one dir repeatedly — each regen mints a new contentTag
+    * key) would otherwise grow the memo without limit. 64 models ≈ a few
+    * KB; evicting ALL on overflow (not LRU) keeps the memo allocation-free
+    * on the hot path and retraining is cheap relative to the encode pass.
+    */
+  private val trainedMergesCap = 64
+  private def memoMerges(key: String, train: => Seq[(String, String)]) = {
+    if (trainedMerges.size >= trainedMergesCap) trainedMerges.clear()
+    trainedMerges.getOrElseUpdate(key, train)
+  }
 
   /** DuckDB replay of k BPE merge rounds (see q_bpe_merges for the
     * sentinel-string greedy-merge argument): emits the words/s0 CTEs
@@ -556,7 +568,7 @@ object TextAnalysis extends QueryPack {
       // The trained merge table is the MODEL — 8 rows to the driver,
       // the same artifact a tokenizer ships; encoding then runs as
       // per-row folds over the distributed vocabulary.
-      val merges = trainedMerges.getOrElseUpdate(
+      val merges = memoMerges(
         dir + "#" + T.contentTag(dir, "documents"),
         graft.operators.BpeTrain.train(vocab, 8)
           .orderBy("rank").collect()
