@@ -87,13 +87,28 @@ object Bench {
       try d.run(spark, sfDir).count() catch { case _: Throwable => () }
       T.releaseScratch(spark)
     }
+    // Honest-materialization mode (SPARK_GRAFT_BENCH_FORCE=1): the
+    // default `.count()` lets ColumnPruning DROP the aggregate
+    // functions of a bare-aggregate result (count of groups needs only
+    // the keys) — buffer-heavy aggregates (percentile, collect_*,
+    // histogram, sketch UDAFs) never execute in that timed path. Force
+    // mode hashes EVERY output cell instead (bit_xor of xxhash64(*),
+    // overflow-proof like the warm-up pass), so nothing above the root
+    // can be pruned. The driver always runs default mode (and the
+    // frozen baseline prices default mode — comparisons stay
+    // apples-to-apples); force mode exists to MEASURE the artifact,
+    // published in BASELINE.md "count-pruning artifact".
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      if (force) df.selectExpr("bit_xor(xxhash64(*)) as h").head()
+      else df.count()
     var failed = List.empty[String]
     val results = ordered
       .flatMap { d =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         val r =
-          try { d.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { exec(d.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
         // Per-ITERATION scratch release (untimed): each run() builds
         // fresh checkpoint blocks, so without this the 3 iterations
@@ -118,8 +133,9 @@ object Bench {
     def jnum(v: Double): String = f"$v%.3f"
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
+    val forceTag = if (force) "\"force\":true," else ""
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$fullQs,"failed":$fs,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec",$forceTag"queries":$fullQs,"failed":$fs,"iters":$iters,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), fullLine + "\n")
     catch { case _: Throwable => () }
@@ -128,7 +144,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$slow,"n":${results.size},"failed":$fs,"iters":$iters,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec",$forceTag"queries":$slow,"n":${results.size},"failed":$fs,"iters":$iters,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     println(line)
     // The driver parses the LAST stdout line as JSON. Stop Spark FIRST
     // (its shutdown may still log), then re-print the line as the final
