@@ -537,5 +537,75 @@ object Sources extends QueryPack {
           countDistinct(col("__key")).as("n_keys"),
           min(col("__value")).as("first_v"))
         .orderBy("part_id")
+    },
+
+    // HBase storage handler parity slice (hbase-handler:
+    // HBaseStorageHandler + HBaseSerDe rowkey pushdown — SURVEY §2.1;
+    // no HBase cluster in this sandbox, so the table is
+    // [[graft.sources.HBaseKv]]'s region-sharded sorted store with the
+    // handler's exact data model): customer keyed by zero-padded
+    // c_custkey across 8 pre-split regions; the query is a rowkey
+    // range SCAN [rowkey(120), rowkey(940)) — stop exclusive, the
+    // HBase convention — compiled to region-directory pruning + a
+    // parquet rowkey seek, never a full-table scan (HBaseKvSpec reads
+    // the plan), then aggregated per market segment. The oracle
+    // re-derives the identical rowkey strings and range from customer.
+    q("q_src_hbase_rowkey_range",
+      """WITH kv AS (
+        |  SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS rk,
+        |    c_mktsegment AS mktsegment, c_acctbal AS acctbal
+        |  FROM customer),
+        |scanned AS (
+        |  SELECT * FROM kv
+        |  WHERE rk >= lpad('120', 12, '0') AND rk < lpad('940', 12, '0'))
+        |SELECT mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_total,
+        |  MIN(rk) AS first_key, MAX(rk) AS last_key
+        |FROM scanned GROUP BY mktsegment ORDER BY mktsegment""".stripMargin) {
+      (s, dir) =>
+      val store = graft.sources.HBaseKv.ensureStore(s, dir, 8)
+      graft.sources.HBaseKv.scanRange(s, store,
+          graft.sources.HBaseKv.rowkey(120L),
+          graft.sources.HBaseKv.rowkey(940L))
+        .groupBy("mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("acctbal")).as("bal_total"),
+          min(col("__row_key")).as("first_key"),
+          max(col("__row_key")).as("last_key"))
+        .orderBy("mktsegment")
+    },
+
+    // Druid storage handler parity slice (druid-handler:
+    // DruidStorageHandler + DruidSerDe — SURVEY §2.1 [Hive3+]; no
+    // Druid cluster in this sandbox, so the datasource is
+    // [[graft.sources.DruidSegments]]'s day-partitioned HOUR-rollup
+    // segment store with the handler's exact data model): a Druid
+    // `timeseries`-query twin — interval [2024-01-08, 2024-01-22)
+    // (end exclusive), dimension filter event_type <> 'error', DAY
+    // result granularity — answered FROM THE ROLLUP (sum of partial
+    // counts/decimal sums, max of partial maxes; never re-scanning raw
+    // events), with the interval compiled to segment-directory pruning
+    // (DruidSegmentsSpec reads the plan). The oracle recomputes from
+    // raw events, so a broken rollup (lost bucket, partial double-
+    // counted, non-associative float sum) hash-mismatches.
+    q("q_src_druid_interval",
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_total,
+        |  MAX(value) AS value_peak
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22'
+        |  AND event_type <> 'error'
+        |GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      val ds = graft.sources.DruidSegments.ensureDatasource(s, dir)
+      graft.sources.DruidSegments
+        .scanInterval(s, ds, "2024-01-08", "2024-01-22")
+        .filter(col("event_type") =!= "error")
+        .groupBy(col("__day").as("day"))
+        .agg(sum(col("cnt")).as("n_events"),
+          sum(col("value_sum")).cast("double").as("value_total"),
+          max(col("value_max")).as("value_peak"))
+        .orderBy("day")
     })
 }
