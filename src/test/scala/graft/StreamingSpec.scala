@@ -434,4 +434,70 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(streamed === batch)
   }
+
+  test("RocksDB state store reproduces the default provider's answers") {
+    // The 100 TB streaming-state story: HDFSBackedStateStoreProvider
+    // keeps every key's state ON-HEAP per executor — a
+    // billion-key dedup/session state OOMs exactly like an
+    // un-partitioned window. RocksDBStateStoreProvider (in-box since
+    // Spark 3.2, rocksdbjni on this classpath) spills state to local
+    // SST files with bounded block-cache memory, so state size is
+    // limited by DISK, not heap — the provider a production pipeline
+    // runs. Providers must be RESULT-INVARIANT: this runs a stateful
+    // aggregation (windowed count+sum) and a watermarked dedup under
+    // RocksDB and asserts both match the same pipelines' batch twins,
+    // proving the swap is a conf change, not a semantics change.
+    HiveCompatFunctions.ensure(spark)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = java.nio.file.Files.createTempDirectory("graft-rocks-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        stageDir.resolve("events.parquet"))
+      val src = spark.readStream.schema(schema).parquet(stageDir.toString)
+        .select(col("user_id"), col("event_type"), col("value"),
+          timestamp_micros(expr(tsUsExpr)).as("ets"))
+      // Stateful path 1: watermarked tumbling window agg.
+      val agg = src.withWatermark("ets", "10 minutes")
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val q1 = agg.writeStream.format("memory").queryName("t_rocks_agg")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination(120000); q1.stop()
+      val streamedAgg = spark.table("t_rocks_agg")
+        .groupBy("event_type").agg(sum("cnt").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val batchAgg = T.t(spark, sfDir, "events")
+        .groupBy("event_type").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamedAgg === batchAgg)
+      // Stateful path 2: watermarked dedup (billion-key state at scale).
+      val dd = src
+        .withColumn("mb", date_trunc("minute", col("ets")))
+        .withWatermark("ets", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "mb")
+      val q2 = dd.writeStream.format("memory").queryName("t_rocks_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000); q2.stop()
+      val streamedDd = spark.table("t_rocks_dedup")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val batchDd = SparkEntry.queries("q_stream_dedup")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamedDd === batchDd)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
