@@ -500,15 +500,17 @@ object Similarity extends QueryPack {
         |      AS nrm
         |  FROM embeddings),
         |params AS (
-        |  SELECT (SELECT MIN(1::BIGINT << CAST(k AS INT)) FROM range(31) t(k)
+        |  SELECT seedmod, GREATEST(5::BIGINT, seedmod // 64) AS trainmod
+        |  FROM (SELECT (SELECT MIN(1::BIGINT << CAST(k AS INT)) FROM range(31) t(k)
         |          WHERE (1::BIGINT << CAST(k AS INT))
         |              * (1::BIGINT << CAST(k AS INT)) >=
-        |            (SELECT COUNT(*) FROM e)) AS seedmod),
+        |            (SELECT COUNT(*) FROM e)) AS seedmod)),
         |c0 AS (
         |  SELECT vec_id AS cent_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS cent, nrm AS cnrm
         |  FROM e WHERE vec_id % (SELECT seedmod FROM params) = 0),
-        |tr AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % 5 = 0),
+        |tr AS (SELECT vec_id, embedding, nrm FROM e
+        |       WHERE vec_id % (SELECT trainmod FROM params) = 0),
         |a1 AS (
         |  SELECT vec_id, cent_id AS cell FROM (
         |    SELECT t.vec_id, c.cent_id,
@@ -599,12 +601,21 @@ object Similarity extends QueryPack {
       var cents = e.filter(col("vec_id") % seedMod === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
           col("nrm").as("cent_nrm"))
-      // Centroids train on a deterministic ~20% sample — the standard
-      // scale move: Lloyd iterations never scan the full corpus (only
-      // the final index build does), and centroid quality barely moves.
+      // Centroids train on a deterministic BOUNDED sample — the FAISS
+      // practice (~30-256 points per centroid, not a corpus fraction):
+      // a frozen "% 5" made Lloyd cost grow linearly with the corpus,
+      // the exact class of parameter-scaling bug the r8 sweeps caught.
+      // trainMod = max(5, seedMod/64) keeps ≤ 64·nlist training points
+      // (seedMod and trainMod both powers of 2, so the modulus math is
+      // the same pure-integer form the oracle replays): identical to
+      // the old 20% sample at every local SF through sf1 (trainMod=5),
+      // engaging at sf10 (trainMod=8) and asymptoting training cost to
+      // O(nlist) per pass. The final full-corpus assignment (n·nlist)
+      // remains the documented dominant term — IVF's textbook bound.
       // Materialized once: every Lloyd round consumes it, and without
       // the checkpoint each round re-runs the scan + norm projection.
-      val trainSet = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val trainMod = math.max(5L, seedMod / 64)
+      val trainSet = e.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))
