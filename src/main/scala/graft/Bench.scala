@@ -45,6 +45,22 @@ object Bench {
     // otherwise absorb the C2-compile/codegen storm and report 8-12×
     // (measured: q8_market_share 9.8 s cold vs 0.8 s steady on an
     // unchanged tree — JVM state, not plan).
+    // Honest-materialization mode (SPARK_GRAFT_BENCH_FORCE=1): the
+    // default `.count()` lets ColumnPruning DROP the aggregate
+    // functions of a bare-aggregate result (count of groups needs only
+    // the keys) — buffer-heavy aggregates (percentile, collect_*,
+    // histogram, sketch UDAFs) never execute in that timed path. Force
+    // mode hashes EVERY output cell instead (bit_xor of xxhash64(*),
+    // overflow-proof like the table warm-up pass), so nothing above the
+    // root can be pruned. Defined BEFORE the warm-up so every untimed
+    // pass warms the SAME plan the timed loop will execute — a
+    // count()-shaped warm-up in force mode left the hashed plan cold
+    // and its first iteration carried the codegen/exchange first-touch
+    // the mode exists to eliminate from the comparison.
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      if (force) df.selectExpr("bit_xor(xxhash64(*)) as h").head()
+      else df.count()
     T.star.foreach { n =>
       try T.t(spark, sfDir, n)
         .selectExpr("bit_xor(xxhash64(*)) as h").head()
@@ -59,7 +75,7 @@ object Bench {
     require(warmQs.subsetOf(regNames),
       s"warmQs names missing from registry: ${(warmQs -- regNames).toSeq.sorted.mkString(",")}")
     SparkEntry.all.filter(d => warmQs.contains(d.name)).foreach { d =>
-      try d.run(spark, sfDir).count() catch { case _: Throwable => () }
+      try exec(d.run(spark, sfDir)) catch { case _: Throwable => () }
       T.releaseScratch(spark)
     }
     // Dev filter (same contract as Verify): SPARK_GRAFT_ONLY=q_a,q_b
@@ -84,24 +100,14 @@ object Bench {
     // absorbs it. Uses the filtered, possibly-reversed list so targeted
     // SPARK_GRAFT_ONLY dev runs warm the query they will actually time.
     ordered.headOption.foreach { d =>
-      try d.run(spark, sfDir).count() catch { case _: Throwable => () }
+      try exec(d.run(spark, sfDir)) catch { case _: Throwable => () }
       T.releaseScratch(spark)
     }
-    // Honest-materialization mode (SPARK_GRAFT_BENCH_FORCE=1): the
-    // default `.count()` lets ColumnPruning DROP the aggregate
-    // functions of a bare-aggregate result (count of groups needs only
-    // the keys) — buffer-heavy aggregates (percentile, collect_*,
-    // histogram, sketch UDAFs) never execute in that timed path. Force
-    // mode hashes EVERY output cell instead (bit_xor of xxhash64(*),
-    // overflow-proof like the warm-up pass), so nothing above the root
-    // can be pruned. The driver always runs default mode (and the
-    // frozen baseline prices default mode — comparisons stay
-    // apples-to-apples); force mode exists to MEASURE the artifact,
-    // published in BASELINE.md "count-pruning artifact".
-    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-    def exec(df: org.apache.spark.sql.DataFrame): Unit =
-      if (force) df.selectExpr("bit_xor(xxhash64(*)) as h").head()
-      else df.count()
+    // The driver always runs default mode; the frozen force-mode JSON
+    // in BASELINE.md is the drift gate (scripts/drift_check.sh runs
+    // force mode by default since round 11), and the default-mode
+    // frozen JSON is kept for driver-run comparisons — see BASELINE.md
+    // "count-pruning artifact".
     var failed = List.empty[String]
     val results = ordered
       .flatMap { d =>

@@ -301,13 +301,12 @@ object Aggregates extends QueryPack {
     // equi-height column stats shape): 8 bins with ~equal row counts,
     // bin id from pure integer math — (rn-1)*8 div N over a tie-broken
     // total order — so Spark and DuckDB agree bit-for-bit with no float
-    // boundary to drift. This exact variant is the correctness baseline:
-    // it needs one global sort (single-task window at the tail), which
-    // is fine for a stats pass but NOT the 100 TB shape — at scale the
-    // same bins come from the mergeable KLL sketch already in this repo
-    // (q_sketch_quantiles) with cut points instead of global ranks; the
-    // two agree up to sketch error. Keeping both gives the oracle-exact
-    // baseline AND the distributed path.
+    // boundary to drift. This exact variant is fully DISTRIBUTED since
+    // round 9 (range-partition + within-partition sort + boundary-rank
+    // emission — see the implementation notes below; the old
+    // single-task global window is gone). The mergeable KLL sketch
+    // (q_sketch_quantiles) remains the approximate alternative when
+    // sketch error is acceptable; the two agree up to that error.
     q("q_agg_equidepth",
       """WITH r AS (
         |  SELECT l_extendedprice AS price,

@@ -42,7 +42,11 @@ object TextAnalysis extends QueryPack {
     */
   private val trainedMergesCap = 64
   private def memoMerges(key: String, train: => Seq[(String, String)]) = {
-    if (trainedMerges.size >= trainedMergesCap) trainedMerges.clear()
+    // Evict only on a MISS at capacity: clearing on a hit would turn a
+    // session holding exactly `cap` live models into a retrain on every
+    // lookup (guaranteed miss after each clear).
+    if (!trainedMerges.contains(key) &&
+      trainedMerges.size >= trainedMergesCap) trainedMerges.clear()
     trainedMerges.getOrElseUpdate(key, train)
   }
 

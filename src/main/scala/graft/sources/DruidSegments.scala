@@ -66,16 +66,30 @@ object DruidSegments {
     path
   }
 
-  /** Interval scan [startDay, endDay) — day-granular bounds, end
-    * exclusive (Druid's interval convention). Compiles to segment
-    * (directory) pruning on `__day`; the residual `__time` bounds are
-    * redundant at day granularity but kept for sub-day callers.
+  /** Interval scan [start, end) — end exclusive (Druid's interval
+    * convention). Compiles to segment (directory) pruning on `__day`;
+    * the `__time` residual does the sub-day trimming. The end-side
+    * partition bound is INCLUSIVE of the end timestamp's date (a
+    * sub-day end like '..-22 06:00' still needs the 22nd's segment for
+    * its [00:00, 06:00) rows — an exclusive `__day <` bound would
+    * silently drop the whole final day); the exclusive `__time < end`
+    * residual removes the remainder of that day. For a midnight /
+    * bare-date end the exclusive day bound is tight (the end day's
+    * segment can contain no qualifying row), so prune it too — decided
+    * driver-side off the bound string, keeping segment pruning exact
+    * in both cases.
     */
   def scanInterval(s: SparkSession, path: String,
-      startDay: String, endDay: String): DataFrame =
+      startDay: String, endDay: String): DataFrame = {
+    val midnightEnd = !endDay.trim.matches(
+      ".*\\d[ T]\\d.*") || endDay.trim.matches(".*[ T]00:00(:00(\\.0+)?)?")
+    val endDayBound =
+      if (midnightEnd) col("__day") < lit(endDay).cast("date")
+      else col("__day") <= lit(endDay).cast("date")
     s.read.parquet(path)
       .filter(col("__day") >= lit(startDay).cast("date") &&
-        col("__day") < lit(endDay).cast("date") &&
+        endDayBound &&
         col("__time") >= lit(startDay).cast("timestamp") &&
         col("__time") < lit(endDay).cast("timestamp"))
+  }
 }

@@ -72,8 +72,12 @@ object HBaseKv {
     val path = System.getProperty("java.io.tmpdir") + "/graft_hbase_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
       graft.T.contentTag(dir, "customer") + "_r" + nRegions
-    val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists()) {
+    // Completion gate = the meta file, which is written LAST (after the
+    // parquet commit): gating on parquet's _SUCCESS alone left a crash
+    // window between the two where the store looked complete but every
+    // readMeta threw until the tmp dir was cleared by hand.
+    val done = java.nio.file.Files.exists(metaPath(path))
+    if (!done) {
       val c = graft.T.t(s, dir, "customer")
       val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0)
       c.select(

@@ -63,4 +63,30 @@ class DruidSegmentsSpec extends AnyFunSuite {
       .count()
     assert(nSeg === nRaw)
   }
+
+  test("sub-day end bound keeps the final day's early hours") {
+    // Regression (ADVICE r10): `__day < cast(end AS date)` dropped the
+    // entire end day for a sub-day bound like 06:00 — the partition
+    // bound must be inclusive of the end timestamp's date, with the
+    // exclusive `__time < end` residual doing the trimming.
+    val end = "2024-01-09 06:00:00"
+    val seg = sources.DruidSegments.scanInterval(spark, ds, "2024-01-08", end)
+    val nSeg = seg.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val nRaw = T.t(spark, sfDir, "events")
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+        col("ts") < lit(end).cast("timestamp"))
+      .count()
+    assert(nSeg === nRaw)
+    // And the rows must include 2024-01-09 hours [00:00, 06:00) when
+    // any exist in the raw data (at sf0.001 the day may be sparse, so
+    // compare against raw rather than asserting non-zero).
+    val endDayRaw = T.t(spark, sfDir, "events")
+      .filter(col("ts") >= lit("2024-01-09").cast("timestamp") &&
+        col("ts") < lit(end).cast("timestamp"))
+      .count()
+    val endDaySeg = seg
+      .filter(col("__day") === lit("2024-01-09").cast("date"))
+      .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    assert(endDaySeg === endDayRaw)
+  }
 }
