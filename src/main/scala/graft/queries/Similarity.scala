@@ -1160,31 +1160,89 @@ object Similarity extends QueryPack {
         .orderBy("doc_id", "frame")
     },
 
-    // Multimodal slice: documents' text re-encoded as an opaque BINARY
-    // payload column with typed metadata, then "decoded" by a
-    // deterministic STUB (the real decoder — image/audio libs — is not in
-    // this container; the Spark-side plumbing below — binary column,
-    // per-partition batch iteration, typed output schema — is the real
-    // pattern, equivalent to a mapInPandas batch decode).
-    q("q_multimodal_stub",
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  64 + doc_id % 1024 AS width,
-        |  64 + (doc_id * 7) % 768 AS height,
-        |  1 + n_chars % 10 AS n_frames
-        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val bin = t(s, dir, "documents").filter(col("doc_id") < 20)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
-          col("n_chars"))
-        .as[(Long, Array[Byte], Long)]
-      // Per-partition batch "decode": iterate the binary payloads the way
-      // a real decoder would (one library context per partition).
-      bin.mapPartitions { it =>
-        it.map { case (id, payload, nChars) =>
-          (id, payload.length.toLong,
-            64 + id % 1024, 64 + (id * 7) % 768, 1 + nChars % 10)
-        }
-      }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
+    // REAL multimodal header decode (round 11; replaces the round-4
+    // q_multimodal_stub that synthesized dims from doc_id arithmetic).
+    // sources.MediaBlobs writes a deterministic blob table of REAL BMP
+    // and PNG files derived from `documents` (valid headers, zlib
+    // IDAT, chunk CRCs — see the generator contract in
+    // sources/MediaBlobs.scala); this query then extracts format /
+    // width / height / bit-depth / channels FROM THE PAYLOAD BYTES
+    // with codegen'd built-ins (hex + substring + conv), handling
+    // BMP's little-endian fields and PNG's big-endian IHDR, plus the
+    // exact BMP byte accounting (54-byte header + 4-byte-padded BGR
+    // rows). The oracle replays the generator's dimension formulas —
+    // the check closes the loop decode(generate(dims)) == dims, so a
+    // wrong offset, endianness or padding rule on EITHER side fails
+    // the hash. MediaBlobsSpec additionally proves this expression
+    // path bit-identical to the per-partition ByteBuffer decoder
+    // (decodeDims — the one-codec-context-per-partition shape a real
+    // library decode uses) which also verifies IHDR CRCs.
+    // 100 TB: a scan-local per-row projection over the binary column —
+    // no shuffle, no UDF, stays inside whole-stage codegen.
+    q("q_multimodal_decode",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE doc_id < 64),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN g % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |    200 + (g * 13) % 800 AS w, 2 + g % 5 AS h,
+        |    CASE WHEN g % 2 = 1 AND g % 4 = 1 THEN 1 ELSE 3 END AS ch
+        |  FROM d)
+        |SELECT doc_id, fmt, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, 8 AS bit_depth,
+        |  CAST(ch AS INT) AS channels,
+        |  CASE WHEN fmt = 'bmp'
+        |       THEN CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT)
+        |  END AS bmp_bytes
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureStore(s, dir)
+      val blobs = s.read.parquet(store).filter(col("doc_id") < 64)
+      graft.sources.MediaBlobs.withDecoded(blobs)
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("bit_depth").cast("int").as("bit_depth"), col("channels"),
+          when(col("fmt") === "bmp", length(col("payload")).cast("long"))
+            .as("bmp_bytes"))
         .orderBy("doc_id")
+    },
+
+    // Media-hash exact dedup over the blob table: the binary twin of
+    // q_dedup_exact — group the FULL corpus by md5(payload) (one hash
+    // shuffle; payloads never compare pairwise), keep min doc_id as
+    // canonical, count copies, and carry the decoded dims of the
+    // canonical blob. The generator makes payloads byte-identical iff
+    // the content seed g = doc_id % 41 matches, so the oracle replays
+    // the grouping by seed — if md5-grouping split or merged ANY group
+    // differently than byte-equality (wrong hash input, a dims/pixel
+    // formula drift between generator and contract), counts and
+    // canonicals would diverge. min/max dims double as an
+    // all-members-agree check (equal payloads must decode equally).
+    q("q_media_dedup",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents),
+        |grp AS (
+        |  SELECT g, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+        |  FROM d GROUP BY g)
+        |SELECT canonical_doc, CAST(n_copies AS BIGINT) AS n_copies,
+        |  CASE WHEN g % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |  CAST(200 + (g * 13) % 800 AS BIGINT) AS width,
+        |  CAST(2 + g % 5 AS BIGINT) AS height
+        |FROM grp ORDER BY canonical_doc""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureStore(s, dir)
+      val blobs = graft.sources.MediaBlobs.withDecoded(
+        s.read.parquet(store))
+      blobs
+        .groupBy(md5(col("payload")).as("media_hash"))
+        .agg(min(col("doc_id")).as("canonical_doc"),
+          count(lit(1)).as("n_copies"),
+          min(col("fmt")).as("fmt_min"), max(col("fmt")).as("fmt_max"),
+          min(col("width")).as("w_min"), max(col("width")).as("w_max"),
+          min(col("height")).as("h_min"), max(col("height")).as("h_max"))
+        // identical payloads must decode identically — surface the
+        // min (== max) of each decoded field; a disagreement would
+        // produce w_min != w_max and hash-mismatch the oracle.
+        .select(col("canonical_doc"), col("n_copies"),
+          when(col("fmt_min") === col("fmt_max"), col("fmt_min")).as("fmt"),
+          when(col("w_min") === col("w_max"), col("w_min")).as("width"),
+          when(col("h_min") === col("h_max"), col("h_min")).as("height"))
+        .orderBy("canonical_doc")
     })
 }

@@ -1,0 +1,280 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary columns, made REAL (round 11 — replaces the
+  * round-4 `q_multimodal_stub` whose "decode" synthesized dimensions
+  * from doc_id arithmetic without touching the payload bytes).
+  *
+  * A training-data pipeline treats images/audio/video as opaque
+  * `binary` columns plus typed metadata, and the first processing step
+  * is always a header decode: magic-byte sniff, dimension extraction,
+  * channel/bit-depth typing, payload hashing for exact dedup. The
+  * image LIBS are not in this container, but header parsing needs no
+  * library — it is byte arithmetic — so this module does it for real:
+  *
+  *   - `ensureStore` writes a deterministic blob table derived from
+  *     `documents`: REAL BMP files (BITMAPFILEHEADER + BITMAPINFOHEADER
+  *     + bottom-up padded 24bpp pixel rows) and REAL PNG files
+  *     (signature + IHDR + zlib-deflated filtered scanlines in IDAT +
+  *     IEND, each chunk with its correct CRC32) — any external viewer
+  *     or decoder would accept these bytes.
+  *   - `dims*` extract format/width/height/bit-depth/channels FROM THE
+  *     PAYLOAD BYTES with codegen'd built-ins (hex + substring + conv —
+  *     whole-stage-codegen friendly, no UDF), handling BMP's
+  *     little-endian u32 fields and PNG's big-endian IHDR.
+  *   - `decodeDims` is the same parse as a per-partition ByteBuffer
+  *     decoder — the mapPartitions shape a REAL library decode (one
+  *     codec context per partition, batched frames) uses; it also
+  *     verifies the IHDR CRC32 the way a strict parser must.
+  *     MediaBlobsSpec proves the two paths bit-identical.
+  *
+  * GENERATOR CONTRACT (the oracle replays exactly these formulas; keep
+  * in lockstep with the SQL in queries/Similarity.scala):
+  *   g        = doc_id % 41            — the content seed; payloads are
+  *                                       byte-identical iff g is equal
+  *                                       (exact-dup dedup groups)
+  *   format   = g even -> BMP (24bpp); g odd -> PNG
+  *   width    = 200 + (g * 13) % 800   — 200..999, forces multi-byte
+  *                                       width fields in BOTH endiannesses
+  *   height   = 2 + g % 5
+  *   channels = BMP -> 3; PNG colorType 0 (grayscale, g % 4 == 1) -> 1;
+  *              PNG colorType 2 (RGB, g % 4 == 3) -> 3
+  *   pixel byte (x, y, channel c) = (x + 7*y + 11*c + g) % 251
+  *   BMP file size = 54 + ((3*w + 3) div 4) * 4 * h  (oracle-checked;
+  *              PNG size depends on deflate output and is not replayed)
+  *
+  * Reference: Hive has no multimodal surface — this is a north-star
+  * LLM-pipeline component (builder brief). The closest reference shape
+  * is the binary-serde path ([jar]
+  * org/apache/hadoop/hive/serde2/lazy/LazyBinary.class — opaque bytes
+  * as a first-class column type).
+  *
+  * 100 TB shape: generation is an embarrassingly parallel map (no
+  * shuffle); decode is a per-row projection over a binary column
+  * (scan-local, codegen'd); exact dedup is one hash shuffle on
+  * md5(payload) — identical to the text exact-dedup plan. Blobs stay
+  * IN the rows (parquet binary) — no driver collection anywhere.
+  */
+object MediaBlobs {
+
+  private[sources] val seedMod = 41L
+
+  /** Pure generator: the exact bytes for one seed g. */
+  private[sources] def blobFor(g: Long): Array[Byte] = {
+    val w = (200 + (g * 13) % 800).toInt
+    val h = (2 + g % 5).toInt
+    def px(x: Int, y: Int, c: Int): Byte = ((x + 7 * y + 11 * c + g) % 251).toByte
+    if (g % 2 == 0) bmp24(w, h, px) else {
+      val colorType = if (g % 4 == 1) 0 else 2
+      png(w, h, colorType, px)
+    }
+  }
+
+  /** Real 24bpp BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+    * bottom-up rows padded to 4 bytes. All multi-byte fields LE.
+    */
+  private def bmp24(w: Int, h: Int, px: (Int, Int, Int) => Byte): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(fileSize).putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h)
+    b.putShort(1) // planes
+    b.putShort(24) // bpp
+    b.putInt(0) // BI_RGB
+    b.putInt(dataSize)
+    b.putInt(2835).putInt(2835) // 72 dpi
+    b.putInt(0).putInt(0)
+    var y = h - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        // BMP stores BGR
+        b.put(px(x, y, 2)).put(px(x, y, 1)).put(px(x, y, 0))
+        x += 1
+      }
+      var pad = rowSize - 3 * w
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Real PNG: signature, IHDR, one IDAT holding the zlib-deflated
+    * filter-0 scanlines, IEND — correct chunk CRCs throughout.
+    * colorType 0 = grayscale (1 channel), 2 = truecolor (3 channels).
+    */
+  private def png(w: Int, h: Int, colorType: Int,
+      px: (Int, Int, Int) => Byte): Array[Byte] = {
+    val channels = if (colorType == 0) 1 else 3
+    val raw = new Array[Byte](h * (1 + w * channels))
+    var i = 0
+    var y = 0
+    while (y < h) {
+      raw(i) = 0 // filter type None
+      i += 1
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < channels) { raw(i) = px(x, y, c); i += 1; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val outBuf = new Array[Byte](raw.length + 64)
+    var n = 0
+    while (!defl.finished()) n += defl.deflate(outBuf, n, outBuf.length - n)
+    defl.end()
+    val idat = java.util.Arrays.copyOf(outBuf, n)
+
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(colorType.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len, 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic blob table from `documents`: (doc_id, payload).
+    * Memoized per documents-content fingerprint (stale-memo
+    * discipline); the completion gate is parquet's own `_SUCCESS`
+    * (nothing is written after the commit — the HBase-slice lesson).
+    */
+  def ensureStore(s: SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_media_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      graft.T.contentTag(dir, "documents")
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      import s.implicits._
+      graft.T.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, blobFor(id % seedMod)))
+        .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  // ---- expression-based header decode (codegen'd built-ins only) ----
+
+  /** Hex of the first 30 payload bytes — every header field both
+    * formats need lives there (BMP: magic 1-2, width LE 19-22, height
+    * LE 23-26, biBitCount LE 29-30; PNG: signature 1-8, IHDR width BE
+    * 17-20, height BE 21-24, bit depth 25, color type 26; 1-based
+    * byte positions).
+    */
+  def headerHex(payload: Column): Column =
+    upper(hex(substring(payload, 1, 30)))
+
+  private def byteAt(hx: Column, pos: Int): Column =
+    conv(substring(hx, 2 * pos - 1, 2), 16, 10).cast("int")
+
+  /** Little-endian u32 at 1-based byte position `pos` (BMP fields). */
+  private def leU32(hx: Column, pos: Int): Column =
+    conv(concat(
+      substring(hx, 2 * (pos + 3) - 1, 2), substring(hx, 2 * (pos + 2) - 1, 2),
+      substring(hx, 2 * (pos + 1) - 1, 2), substring(hx, 2 * pos - 1, 2)),
+      16, 10).cast("long")
+
+  /** Big-endian u32 at 1-based byte position `pos` (PNG fields). */
+  private def beU32(hx: Column, pos: Int): Column =
+    conv(substring(hx, 2 * pos - 1, 8), 16, 10).cast("long")
+
+  /** Format sniff from magic bytes: 'BM' / PNG signature / null. */
+  def fmtCol(hx: Column): Column =
+    when(substring(hx, 1, 4) === "424D", "bmp")
+      .when(substring(hx, 1, 16) === "89504E470D0A1A0A", "png")
+
+  def widthCol(hx: Column, fmt: Column): Column =
+    when(fmt === "bmp", leU32(hx, 19)).when(fmt === "png", beU32(hx, 17))
+
+  def heightCol(hx: Column, fmt: Column): Column =
+    when(fmt === "bmp", leU32(hx, 23)).when(fmt === "png", beU32(hx, 21))
+
+  /** Bit depth PER CHANNEL: PNG stores it directly; BMP's biBitCount
+    * is per PIXEL (24) over its fixed 3 BGR channels.
+    */
+  def bitDepthCol(hx: Column, fmt: Column): Column =
+    when(fmt === "bmp",
+      (conv(concat(substring(hx, 2 * 30 - 1, 2), substring(hx, 2 * 29 - 1, 2)),
+        16, 10).cast("int") / 3).cast("int"))
+      .when(fmt === "png", byteAt(hx, 25))
+
+  def channelsCol(hx: Column, fmt: Column): Column =
+    when(fmt === "bmp", 3)
+      .when(fmt === "png",
+        when(byteAt(hx, 26) === 0, 1).when(byteAt(hx, 26) === 2, 3))
+
+  /** All decoded header fields as one projection over (…, payload). */
+  def withDecoded(df: DataFrame): DataFrame = {
+    val hx = headerHex(col("payload"))
+    val fmt = fmtCol(hx)
+    df.withColumn("fmt", fmt)
+      .withColumn("width", widthCol(headerHex(col("payload")), col("fmt")))
+      .withColumn("height", heightCol(headerHex(col("payload")), col("fmt")))
+      .withColumn("bit_depth", bitDepthCol(headerHex(col("payload")), col("fmt")))
+      .withColumn("channels", channelsCol(headerHex(col("payload")), col("fmt")))
+  }
+
+  // ---- per-partition decoder (the library-decode batch shape) ----
+
+  /** The same header parse as a mapPartitions decoder: one ByteBuffer
+    * "codec context" pattern per partition, strict PNG IHDR CRC
+    * verification (a real parser rejects a corrupt header; the
+    * expression path trusts the magic). Returns
+    * (doc_id, fmt, width, height, bit_depth, channels).
+    */
+  def decodeDims(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val crc = new java.util.zip.CRC32() // per-partition context
+        it.map { case (id, p) =>
+          val bb = java.nio.ByteBuffer.wrap(p)
+          if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) {
+            val le = bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val bpp = le.getShort(28).toInt
+            (id, "bmp", le.getInt(18).toLong, le.getInt(22).toLong,
+              bpp / 3, 3)
+          } else if (p.length >= 33 && (p(0) & 0xFF) == 0x89 &&
+              p(1) == 'P'.toByte && p(2) == 'N'.toByte && p(3) == 'G'.toByte) {
+            // IHDR spans bytes [12, 29): type (4) + data (13); its CRC
+            // sits at [29, 33).
+            crc.reset(); crc.update(p, 12, 17)
+            require(crc.getValue.toInt == bb.getInt(29),
+              s"PNG IHDR CRC mismatch for doc $id")
+            val colorType = p(25) & 0xFF
+            (id, "png", bb.getInt(16).toLong, bb.getInt(20).toLong,
+              p(24) & 0xFF, if (colorType == 0) 1 else 3)
+          } else (id, null.asInstanceOf[String], -1L, -1L, -1, -1)
+        }
+      }
+      .toDF("doc_id", "fmt", "width", "height", "bit_depth", "channels")
+  }
+}
