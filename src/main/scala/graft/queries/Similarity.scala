@@ -710,6 +710,189 @@ object Similarity extends QueryPack {
         .orderBy("q_id")
     },
 
+    // HIERARCHICAL (two-level) IVF — the bounded-assignment fix for
+    // flat IVF's one remaining asymptote (round 11; VERDICT r10 #2).
+    // Flat IVF with nlist ~ sqrt(n) pays O(n·sqrt(n)) in the final
+    // full-corpus assignment (measured 17.6× on the second data decade
+    // at sf10 — the suite's worst honest scaler). The FAISS-style fix
+    // is a coarse quantizer OVER THE CENTROIDS: ncoarse ~ sqrt(nlist)
+    // coarse cells, each fine centroid assigned to its nearest coarse
+    // cell (nlist×ncoarse — model-sized), and a vector's assignment
+    // then probes wc coarse cells and compares only against the
+    // ~nlist/ncoarse fine centroids inside them:
+    //   O(n·(ncoarse + wc·nlist/ncoarse)) = O(n·sqrt(nlist)) = O(n·n^(1/4))
+    // per vector instead of O(n·sqrt(n)) — the IMI/IVF-HNSW shape.
+    // The pruned fine search is the standard approximation (a vector
+    // may miss its true nearest fine cell if that cell's coarse parent
+    // ranks below wc); index, probe and exact-rescore semantics are
+    // IDENTICAL to q_ann_ivf_cells. Centroids here are the same
+    // deterministic power-of-two id-modulus seeds both engines derive
+    // from COUNT(*) (p² ≥ n for fine, q² ≥ p for coarse — so the
+    // corpus, fine and coarse tiers are each ~√ of the previous);
+    // Lloyd refinement is deliberately omitted — q_ann_ivf_cells
+    // already proves relational training, this query proves the
+    // hierarchical ASSIGNMENT asymptotics, and the two compose.
+    // Every cross-engine comparison (both argmaxes, cell ranking)
+    // happens on the 6-decimal ROUNDED cosine with id tie-breaks, so
+    // cells match bit-for-bit. 100 TB: coarse + fine centroid tables
+    // are model-sized broadcasts; the corpus is scanned map-side and
+    // shuffles only skinny (vec_id, cent_id, cos) rank rows through
+    // WindowGroupLimit-capped windows; cellCap bounds hot cells.
+    q("q_ann_ivf_hier",
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS nrm
+        |  FROM embeddings),
+        |params AS (
+        |  SELECT p, (SELECT MIN(1::BIGINT << CAST(j AS INT)) FROM range(16) t(j)
+        |        WHERE (1::BIGINT << CAST(j AS INT))
+        |            * (1::BIGINT << CAST(j AS INT)) >= p) AS q
+        |  FROM (SELECT (SELECT MIN(1::BIGINT << CAST(k AS INT)) FROM range(31) t(k)
+        |          WHERE (1::BIGINT << CAST(k AS INT))
+        |              * (1::BIGINT << CAST(k AS INT)) >=
+        |            (SELECT COUNT(*) FROM e)) AS p)),
+        |cf0 AS (
+        |  SELECT vec_id AS cent_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS cent, nrm AS cnrm
+        |  FROM e WHERE vec_id % (SELECT p FROM params) = 0),
+        |cc AS (
+        |  SELECT vec_id AS co_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS co, nrm AS conrm
+        |  FROM e WHERE vec_id %
+        |    ((SELECT p FROM params) * (SELECT q FROM params)) = 0),
+        |cf AS (
+        |  SELECT cent_id, cent, cnrm, co_id FROM (
+        |    SELECT f.cent_id, f.cent, f.cnrm, c.co_id,
+        |      ROW_NUMBER() OVER (PARTITION BY f.cent_id ORDER BY
+        |        ROUND(list_sum(list_transform(range(1, 65),
+        |            i -> f.cent[i] * c.co[i])) / (f.cnrm * c.conrm), 6)
+        |          DESC, c.co_id) AS rn
+        |    FROM cf0 f CROSS JOIN cc c) WHERE rn = 1),
+        |vc AS (
+        |  SELECT vec_id, co_id FROM (
+        |    SELECT v.vec_id, c.co_id,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        ROUND(list_sum(list_transform(range(1, 65),
+        |            i -> v.embedding[i]::DOUBLE * c.co[i]))
+        |          / (v.nrm * c.conrm), 6) DESC, c.co_id) AS rn
+        |    FROM e v CROSS JOIN cc c) WHERE rn <= 2),
+        |rk AS (
+        |  SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY fcos DESC, cent_id) AS arn FROM (
+        |    SELECT v.vec_id, f.cent_id,
+        |      ROUND(list_sum(list_transform(range(1, 65),
+        |          i -> ve.embedding[i]::DOUBLE * f.cent[i]))
+        |        / (ve.nrm * f.cnrm), 6) AS fcos
+        |    FROM vc v JOIN cf f ON f.co_id = v.co_id
+        |    JOIN e ve ON ve.vec_id = v.vec_id)),
+        |icap AS (
+        |  SELECT cand_id, cell FROM (
+        |    SELECT vec_id AS cand_id, cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY vec_id)
+        |        AS crnk
+        |    FROM rk WHERE arn = 1) WHERE crnk <= 2000),
+        |pr AS (SELECT vec_id AS q_id, cent_id AS ccell FROM rk
+        |       WHERE arn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, i.cand_id,
+        |    ROUND(list_sum(list_transform(range(1, 65),
+        |        i2 -> qa.embedding[i2]::DOUBLE * ca.embedding[i2]::DOUBLE))
+        |      / (qa.nrm * ca.nrm), 6) AS cos_sim
+        |  FROM pr p
+        |  JOIN icap i ON i.cell = p.ccell AND i.cand_id <> p.q_id
+        |  JOIN e qa ON qa.vec_id = p.q_id
+        |  JOIN e ca ON ca.vec_id = i.cand_id)
+        |SELECT q_id, cand_id, cos_sim FROM (
+        |  SELECT q_id, cand_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_sim DESC, cand_id) AS rn
+        |  FROM scored) WHERE rn = 1 ORDER BY q_id""".stripMargin) {
+      (s, dir) =>
+      val wc = 2 // coarse cells probed during assignment/search
+      val nprobe = 2 // fine cells probed per query
+      val cellCap = 2000
+      val e = withNorm(t(s, dir, "embeddings"))
+      val nVecs = e.sparkSession.read
+        .parquet(s"$dir/embeddings.parquet").count()
+      // Tier sizing by pure integer shifts both engines replay: fine
+      // nlist ≈ sqrt(n) (p² ≥ n, the flat-IVF seeding), coarse
+      // ncoarse ≈ sqrt(nlist) (q² ≥ p).
+      val fineMod = (0 until 31).map(1L << _)
+        .find(p => p * p >= nVecs).getOrElse(1L << 31)
+      val coarseMult = (0 until 16).map(1L << _)
+        .find(q => q * q >= fineMod).getOrElse(1L << 16)
+      val fine0 = e.filter(col("vec_id") % fineMod === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+          col("nrm").as("cent_nrm"))
+      val coarse = e.filter(col("vec_id") % (fineMod * coarseMult) === 0)
+        .select(col("vec_id").as("co_id"), col("embedding").as("co"),
+          col("nrm").as("co_nrm"))
+      // Fine centroid -> nearest coarse cell: model × model (both
+      // broadcastable); argmax via map-side max_by on the rounded
+      // cosine, ties to the lower co_id — the oracle's ROW_NUMBER twin.
+      val fine = fine0.crossJoin(broadcast(coarse))
+        .withColumn("ccos",
+          round(dot("cent", "co") / (col("cent_nrm") * col("co_nrm")), 6))
+        .groupBy("cent_id")
+        .agg(max_by(col("co_id"),
+          struct(col("ccos"), (lit(0L) - col("co_id")).as("inv")))
+          .as("co_id"),
+          first(col("cent")).as("cent"), first(col("cent_nrm")).as("cent_nrm"))
+      // Per-vector top-wc coarse cells on a SKINNY rank relation (the
+      // flat-IVF lesson: embeddings feed the dot map-side but never
+      // ride through the window shuffle); rank<=wc compiles to
+      // WindowGroupLimit.
+      val wCoarse = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("vcos").desc, col("co_id"))
+      val vc = e.crossJoin(broadcast(coarse))
+        .select(col("vec_id"), col("co_id"),
+          round(dot("embedding", "co") / (col("nrm") * col("co_nrm")), 6)
+            .as("vcos"))
+        .withColumn("crn", row_number().over(wCoarse))
+        .filter(col("crn") <= wc)
+        .select("vec_id", "co_id")
+      // Fine comparisons restricted to the probed coarse cells: join
+      // back the embedding by vec_id, broadcast-join the fine table on
+      // its coarse parent — each vector meets ~wc·nlist/ncoarse fine
+      // centroids instead of all nlist. Again skinny into the window.
+      val wFine = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("fcos").desc, col("cent_id"))
+      val ranked = vc.join(e, "vec_id")
+        .join(broadcast(fine), "co_id")
+        .select(col("vec_id"), col("cent_id"),
+          round(dot("embedding", "cent") / (col("nrm") * col("cent_nrm")), 6)
+            .as("fcos"))
+        .withColumn("arn", row_number().over(wFine))
+        .filter(col("arn") <= nprobe)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        .join(e, "vec_id") // re-attach embedding+nrm to the survivors
+      // Inverted file + probes + exact rescore: identical tail to
+      // q_ann_ivf_cells (one cell per vector, deterministic cellCap,
+      // map-side max_by top-1).
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy("cand_id")
+      val index = ranked.filter(col("arn") === 1)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cent_id").as("cell"))
+        .withColumn("crnk", row_number().over(wCell))
+        .filter(col("crnk") <= cellCap).drop("crnk")
+      val probes = ranked
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cent_id").as("ccell"))
+      probes.join(index, col("ccell") === col("cell") &&
+          col("q_id") =!= col("cand_id"))
+        .withColumn("cos_sim",
+          round(dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .groupBy("q_id")
+        .agg(max_by(struct(col("cand_id"), col("cos_sim")),
+          struct(col("cos_sim"), (lit(0L) - col("cand_id")).as("inv")))
+          .as("best"))
+        .select(col("q_id"), col("best.cand_id").as("cand_id"),
+          col("best.cos_sim").as("cos_sim"))
+        .orderBy("q_id")
+    },
+
     // Embedding column statistics per label: count + decimal-stabilized
     // mean of the (rounded) L2 norm. Rounding the per-row norm to 6
     // decimals absorbs any last-ulp association difference; the mean is

@@ -76,6 +76,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF top-1 recall $recall below floor 0.4")
   }
 
+  test("hierarchical IVF neighbors are valid (never beat brute force)") {
+    val e = T.t(spark, sfDir, "embeddings")
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")))
+    val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
+    val cs = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    val brute = qs.join(cs, col("cand_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)")
+        / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        r.getAs[Double]("cos_sim")).toMap
+    val hier = SparkEntry.queries("q_ann_ivf_hier")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(hier.nonEmpty, "hierarchical IVF produced no neighbors")
+    var exactTop1 = 0
+    for ((q, c) <- hier) {
+      assert(c <= brute(q) + 1e-9,
+        s"query $q: hier-IVF cos $c > brute ${brute(q)}")
+      if (c >= brute(q) - 1e-9) exactTop1 += 1
+    }
+    // Untrained seeds + two-level-pruned fine search trade recall for
+    // the O(n·n^(1/4)) assignment — floor set with margin below the
+    // measured sf0.001 figure (see info line; flat untrained was 0.34).
+    val recall = exactTop1.toDouble / hier.length
+    info(s"hier-IVF wc=2 nprobe=2 top-1 recall = $recall (${hier.length} queries)")
+    assert(recall >= 0.2, s"hier-IVF top-1 recall $recall below floor 0.2")
+  }
+
   test("SimHash candidate pairs are real near-duplicates") {
     // Ground truth: exact 3-gram Jaccard >= 0.8 pairs (same definition
     // as q_dedup_minhash, which IS oracle-verified).
