@@ -607,5 +607,68 @@ object Sources extends QueryPack {
           sum(col("value_sum")).cast("double").as("value_total"),
           max(col("value_max")).as("value_peak"))
         .orderBy("day")
+    },
+
+    // Accumulo storage handler parity slice (`[src]` accumulo-handler/
+    // AccumuloStorageHandler + AccumuloPredicateHandler — SURVEY §2.1,
+    // the last open row; no Accumulo instance in this sandbox, so the
+    // table is [[graft.sources.AccumuloKv]]'s tablet-sharded sorted
+    // CELL store with the handler's exact data model): supplier cells
+    // keyed by zero-padded s_suppkey, one cell row per mapped column
+    // with per-CELL visibility labels (name/nationkey `public`,
+    // acctbal `finance`, contact `pii&ops`). The query is a range SCAN
+    // [rowkey(2), rowkey(80)) — stop exclusive — under auths
+    // {public, finance}: tablet-directory pruning + a parquet __row
+    // seek (AccumuloKvSpec reads the plan), the visibility filter
+    // applied per cell IN the scan (contact cells need `pii` AND `ops`,
+    // so they never surface), then rows reassembled from their cell
+    // runs (groupBy on the sort-prefix row) and aggregated per nation.
+    // The oracle re-derives the rowkey range, the per-cell visibility
+    // outcome (3 visible + 1 hidden cell per supplier) and the
+    // acctbal values from supplier directly — a cell that leaked
+    // through the label filter, a lost tablet, or a string round-trip
+    // error on the numeric cells all hash-mismatch.
+    q("q_src_accumulo_range",
+      """WITH rows_in AS (
+        |  SELECT lpad(CAST(s_suppkey AS VARCHAR), 12, '0') AS rk,
+        |    s_nationkey, s_acctbal
+        |  FROM supplier
+        |  WHERE lpad(CAST(s_suppkey AS VARCHAR), 12, '0')
+        |          >= lpad('2', 12, '0')
+        |    AND lpad(CAST(s_suppkey AS VARCHAR), 12, '0')
+        |          < lpad('80', 12, '0'))
+        |SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS bal_total,
+        |  CAST(COUNT(*) * 3 AS BIGINT) AS n_cells_visible,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells_hidden,
+        |  MIN(rk) AS first_key, MAX(rk) AS last_key
+        |FROM rows_in GROUP BY s_nationkey ORDER BY nationkey""".stripMargin) {
+      (s, dir) =>
+      val store = graft.sources.AccumuloKv.ensureStore(s, dir, 6)
+      val cells = graft.sources.AccumuloKv.scanRange(s, store,
+        graft.sources.AccumuloKv.rowkey(2L),
+        graft.sources.AccumuloKv.rowkey(80L),
+        Set("public", "finance"))
+      // WholeRowIterator shape: reassemble each logical row from its
+      // visible cell run (the row is the sort prefix, so at 100 TB
+      // this groupBy combines map-side within tablet-sorted splits).
+      val rows = cells.groupBy(col("__row"))
+        .agg(
+          max(when(col("__cq") === "nationkey", col("__value")))
+            .cast("long").as("nationkey"),
+          max(when(col("__cq") === "acctbal", col("__value")))
+            .cast("double").as("acctbal"),
+          count(lit(1)).as("n_visible"))
+      // Hidden-cell accounting: every supplier wrote 4 cells, the scan
+      // surfaced n_visible — the difference is the pii&ops contact cell.
+      rows.groupBy("nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum(col("acctbal")).as("bal_total"),
+          sum(col("n_visible")).cast("long").as("n_cells_visible"),
+          sum(lit(4) - col("n_visible")).cast("long").as("n_cells_hidden"),
+          min(col("__row")).as("first_key"),
+          max(col("__row")).as("last_key"))
+        .orderBy("nationkey")
     })
 }
