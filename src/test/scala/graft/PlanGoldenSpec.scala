@@ -21,26 +21,20 @@ class PlanGoldenSpec extends AnyFunSuite {
     java.nio.file.Paths.get("src", "test", "resources", "plan_golden")
   private val regen = sys.env.get("GRAFT_REGEN_PLAN_GOLDEN").contains("1")
 
-  /** The ~30 most expensive queries by frozen sf0.1 cost whose plans
-    * are end-to-end declarative (write/DDL-heavy queries sign their
-    * read-back plan, which is not the interesting shape, so sinks and
-    * iterative-collect queries are left out), plus the join-strategy
-    * staples the PlanSpec asserts piecemeal.
+  /** The FULL registry (round 11; was the 36 most expensive) — one
+    * frozen signature per registered query, the reference's ~99-query
+    * TPC-DS perf-golden corpus scaled to this registry: any silent
+    * broadcast→shuffle, lost pushdown or new Exchange ANYWHERE now
+    * fails the build instead of surfacing as bench drift. Sink/DDL
+    * queries sign their read-back plan (the write side is asserted by
+    * their own specs); that is a weaker but still real gate — a
+    * read-back that stops pruning partitions changes its signature.
+    * NOTE for regeneration: signatures may embed data-derived scan
+    * bounds (partition filters), so a driver-side testdata regeneration
+    * that changes row COUNTS (not just values) requires a golden
+    * re-freeze — that is the intended behavior of a plan gate.
     */
-  private val corpus = Seq(
-    "q_dedup_containment", "q_sample_dsir", "q_ann_ivf_cells",
-    "q_ann_lsh_bucketed", "q_dedup_embed", "q_scd2_pointintime",
-    "q_cluster_kmeans", "q16_supplier_part_count", "q_audit_drift",
-    "q18_large_volume", "q2_min_cost_supplier", "q20_part_promotion",
-    "q_text_bigram_lm", "q7_volume_shipping", "q_ann_jl_rerank",
-    "q_graph_triangles", "q8_market_share", "q4_order_priority",
-    "q_intersect_all", "q_dedup_simhash", "q_except_all",
-    "q21_waiting_supplier", "q_text_bm25", "q10_returned_items",
-    "q_quality_train", "q5_local_supplier_volume", "q3_shipping_priority",
-    "q9_product_type_profit", "q_link_fuzzy_blocked",
-    "q_join_merge_bigbig", "q_dedup_spans", "q_graph_pagerank",
-    "q_join_star", "q1_pricing_summary", "q_join_broadcast",
-    "q_join_bucketed_smb")
+  private val corpus = SparkEntry.all.map(_.name)
 
   private def goldenPath(name: String) = goldenDir.resolve(s"$name.txt")
 
