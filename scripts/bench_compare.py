@@ -11,13 +11,29 @@ any plan-touching change so drift is caught on the builder's own run,
 before the driver measures it."""
 import json, re, statistics, sys
 
-args = [a for a in sys.argv[1:] if a != "--fail"]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
 fail_mode = "--fail" in sys.argv[1:]
 detail = args[0] if args else "BENCH_DETAIL.json"
 run = json.load(open(detail))
 md = open("BASELINE.md").read()
-m = re.search(r"## Frozen bench JSON.*?```json\n(.*?)\n```", md, re.S)
+# Two frozen baselines live in BASELINE.md: the force-mode JSON
+# ("Frozen force-mode bench JSON", the primary drift gate since round
+# 11 — it prices materialized plans, free of the ~25% count-pruning
+# artifact) and the default-mode JSON ("Frozen bench JSON", kept for
+# driver-run comparisons). Auto-select by the run's own mode (the
+# "force":true tag Bench emits); --force/--default override.
+want_force = run.get("force", False)
+if "--force" in sys.argv[1:]:
+    want_force = True
+if "--default" in sys.argv[1:]:
+    want_force = False
+section = ("## Frozen force-mode bench JSON" if want_force
+           else "## Frozen bench JSON")
+m = re.search(re.escape(section) + r".*?```json\n(.*?)\n```", md, re.S)
+if m is None:
+    sys.exit(f"no baseline section {section!r} in BASELINE.md")
 base = json.loads(m.group(1))
+print(f"baseline: {section[3:]}")
 
 rq, bq = run["queries"], base["queries"]
 common = sorted(set(rq) & set(bq))

@@ -11,8 +11,14 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 REPORT="${1:-DRIFT_REPORT.md}"
 
+# Force mode is the default since round 11: it times materialized
+# plans (bit_xor(xxhash64(*)) over every output cell) so aggregate
+# kernels can't hide behind count()-pruning; bench_compare auto-selects
+# the matching frozen baseline. SPARK_GRAFT_BENCH_FORCE=0 reverts to
+# default-mode timing against the default-mode baseline.
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+SPARK_GRAFT_BENCH_FORCE="${SPARK_GRAFT_BENCH_FORCE:-1}" \
   sbt -batch "runMain graft.Bench" >/tmp/drift_bench.log 2>&1 || {
     echo "bench run failed; tail of log:"; tail -20 /tmp/drift_bench.log
     exit 1
