@@ -1427,5 +1427,40 @@ object Similarity extends QueryPack {
           when(col("w_min") === col("w_max"), col("w_min")).as("width"),
           when(col("h_min") === col("h_max"), col("h_min")).as("height"))
         .orderBy("canonical_doc")
+    },
+
+    // AUDIO modality (round 11, alongside the image decode): a blob
+    // table of REAL PCM WAV files (RIFF/fmt/data, LE fields —
+    // javax.sound's AudioSystem accepts the bytes, MediaBlobsSpec) is
+    // header-decoded with the same codegen'd hex/substring/conv
+    // machinery: channels, sample rate, bit depth, data size → exact
+    // frame count and integer-microsecond duration (integer `div` end
+    // to end; the oracle replays the generator contract in
+    // sources/MediaBlobs.wavFor). byte accounting (44 + frames ×
+    // block-align) is oracle-checked against the actual payload
+    // length. 100 TB: scan-local per-row projection, no shuffle.
+    q("q_multimodal_audio",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE doc_id < 64),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE g % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |               WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    1 + g % 2 AS ch, 50 + (g * 7) % 200 AS nf
+        |  FROM d)
+        |SELECT doc_id, 'wav' AS fmt, CAST(ch AS INT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate, 16 AS bits,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((nf * 1000000) // rate AS BIGINT) AS duration_us,
+        |  CAST(44 + nf * ch * 2 AS BIGINT) AS wav_bytes
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureAudioStore(s, dir)
+      val blobs = s.read.parquet(store).filter(col("doc_id") < 64)
+      graft.sources.MediaBlobs.withAudioDecoded(blobs)
+        .select(col("doc_id"), col("fmt"), col("channels"),
+          col("sample_rate"), col("bits"), col("n_frames"),
+          col("duration_us"),
+          length(col("payload")).cast("long").as("wav_bytes"))
+        .orderBy("doc_id")
     })
 }

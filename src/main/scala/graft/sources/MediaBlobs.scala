@@ -159,6 +159,46 @@ object MediaBlobs {
     out.toByteArray
   }
 
+  /** Real PCM WAV bytes for one seed g (the AUDIO modality; generator
+    * contract, replayed by q_multimodal_audio's oracle):
+    *   sample_rate = [8000, 16000, 22050, 44100][g % 4]
+    *   channels    = 1 + g % 2
+    *   bits        = 16 (PCM s16le)
+    *   n_frames    = 50 + (g * 7) % 200
+    *   sample (frame i, channel c) = ((i*13 + c*7 + g*31) % 65536) - 32768
+    * RIFF/WAVE container: "fmt " chunk (PCM, LE fields) + "data" chunk
+    * — javax.sound AudioSystem accepts these bytes (MediaBlobsSpec).
+    */
+  private[sources] def wavFor(g: Long): Array[Byte] = {
+    val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
+    val channels = (1 + g % 2).toInt
+    val nFrames = (50 + (g * 7) % 200).toInt
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(channels.toShort)
+    b.putInt(rate)
+    b.putInt(rate * blockAlign) // byte rate
+    b.putShort(blockAlign.toShort)
+    b.putShort(16) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        b.putShort((((i * 13 + c * 7 + g * 31) % 65536) - 32768).toShort)
+        c += 1
+      }
+      i += 1
+    }
+    b.array()
+  }
+
   /** Deterministic blob table from `documents`: (doc_id, payload).
     * Memoized per documents-content fingerprint (stale-memo
     * discipline); the completion gate is parquet's own `_SUCCESS`
@@ -173,6 +213,24 @@ object MediaBlobs {
       import s.implicits._
       graft.T.t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => (id, blobFor(id % seedMod)))
+        .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Audio blob table twin of ensureStore: (doc_id, payload) of real
+    * WAV files, same seed/memoization discipline.
+    */
+  def ensureAudioStore(s: SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_audio_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      graft.T.contentTag(dir, "documents")
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      import s.implicits._
+      graft.T.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, wavFor(id % seedMod)))
         .toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(path)
     }
@@ -203,6 +261,34 @@ object MediaBlobs {
   /** Big-endian u32 at 1-based byte position `pos` (PNG fields). */
   private def beU32(hx: Column, pos: Int): Column =
     conv(substring(hx, 2 * pos - 1, 8), 16, 10).cast("long")
+
+  /** Little-endian u16 at 1-based byte position `pos` (WAV fields). */
+  private def leU16(hx: Column, pos: Int): Column =
+    conv(concat(substring(hx, 2 * (pos + 1) - 1, 2),
+      substring(hx, 2 * pos - 1, 2)), 16, 10).cast("int")
+
+  /** WAV header decode over the canonical 44-byte RIFF/fmt/data
+    * layout this store writes: format sniff ("RIFF"+"WAVE" magic),
+    * channels (LE u16 @23), sample rate (LE u32 @25), bits per sample
+    * (LE u16 @35), data size (LE u32 @41) → frame count and exact
+    * integer duration in microseconds. Codegen'd built-ins only.
+    */
+  def withAudioDecoded(df: DataFrame): DataFrame = {
+    val hx = upper(hex(substring(col("payload"), 1, 44)))
+    df.withColumn("fmt",
+        when(substring(hx, 1, 8) === "52494646" &&
+          substring(hx, 17, 8) === "57415645", "wav"))
+      .withColumn("channels", when(col("fmt") === "wav", leU16(hx, 23)))
+      .withColumn("sample_rate", when(col("fmt") === "wav", leU32(hx, 25)))
+      .withColumn("bits", when(col("fmt") === "wav", leU16(hx, 35)))
+      .withColumn("data_bytes", when(col("fmt") === "wav", leU32(hx, 41)))
+      // integer `div` end to end — the oracle replays with `//`, and a
+      // double division could truncate differently at the last ulp
+      .withColumn("n_frames",
+        expr("data_bytes div (channels * (bits div 8))"))
+      .withColumn("duration_us",
+        expr("(n_frames * 1000000L) div sample_rate"))
+  }
 
   /** Format sniff from magic bytes: 'BM' / PNG signature / null. */
   def fmtCol(hx: Column): Column =
