@@ -59,10 +59,13 @@ import org.apache.spark.sql.functions._
   */
 object MediaBlobs {
 
-  private[sources] val seedMod = 41L
+  private[graft] val seedMod = 41L
 
-  /** Pure generator: the exact bytes for one seed g. */
-  private[sources] def blobFor(g: Long): Array[Byte] = {
+  /** Pure generator: the exact bytes for one seed g. Total for ANY
+    * g >= 0 (the store uses g = doc_id % seedMod; the property spec
+    * exercises the full formula domain).
+    */
+  private[graft] def blobFor(g: Long): Array[Byte] = {
     val w = (200 + (g * 13) % 800).toInt
     val h = (2 + g % 5).toInt
     def px(x: Int, y: Int, c: Int): Byte = ((x + 7 * y + 11 * c + g) % 251).toByte
@@ -169,7 +172,7 @@ object MediaBlobs {
     * RIFF/WAVE container: "fmt " chunk (PCM, LE fields) + "data" chunk
     * — javax.sound AudioSystem accepts these bytes (MediaBlobsSpec).
     */
-  private[sources] def wavFor(g: Long): Array[Byte] = {
+  private[graft] def wavFor(g: Long): Array[Byte] = {
     val rate = Array(8000, 16000, 22050, 44100)((g % 4).toInt)
     val channels = (1 + g % 2).toInt
     val nFrames = (50 + (g * 7) % 200).toInt

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-level proof that the media generators are correct over the
+  * FULL formula domain, not just the 41 seeds the store materializes:
+  * for arbitrary g, the emitted bytes must be accepted by the JDK's
+  * independent parsers (ImageIO for BMP/PNG, AudioSystem for WAV) with
+  * exactly the dims/format the generator contract prescribes — the
+  * same contract the DuckDB oracles replay. No Spark session needed;
+  * this is a pure byte-level law.
+  */
+object MediaBlobsPropertySpec extends Properties("MediaBlobsLaws") {
+  import sources.MediaBlobs
+
+  private val seeds = Gen.chooseNum(0L, 9999L)
+
+  property("image blobs parse identically for arbitrary seeds") =
+    Prop.forAllNoShrink(seeds) { (g: Long) =>
+      val bytes = MediaBlobs.blobFor(g)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val w = (200 + (g * 13) % 800).toInt
+      val h = (2 + g % 5).toInt
+      val sizeOk = g % 2 != 0 || {
+        val rowSize = ((3 * w + 3) / 4) * 4 // BMP exact size formula
+        bytes.length == 54 + rowSize * h
+      }
+      img != null && img.getWidth == w && img.getHeight == h && sizeOk &&
+        // corner pixel round-trips through the independent decoder
+        img.getRaster.getSample(0, 0, 0) == (g % 251).toInt
+    }
+
+  property("wav blobs parse identically for arbitrary seeds") =
+    Prop.forAllNoShrink(seeds) { (g: Long) =>
+      val bytes = MediaBlobs.wavFor(g)
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      val nf = (50 + (g * 7) % 200).toInt
+      val ch = (1 + g % 2).toInt
+      f.getChannels == ch &&
+        f.getSampleRate.toInt ==
+          Array(8000, 16000, 22050, 44100)((g % 4).toInt) &&
+        aff.getFrameLength == nf &&
+        bytes.length == 44 + nf * ch * 2
+    }
+
+  property("distinct store seeds yield distinct payloads (dedup law)") = {
+    def b64(a: Array[Byte]) =
+      java.util.Base64.getEncoder.encodeToString(a)
+    val imgs = (0L until MediaBlobs.seedMod).map(g => b64(MediaBlobs.blobFor(g)))
+    val wavs = (0L until MediaBlobs.seedMod).map(g => b64(MediaBlobs.wavFor(g)))
+    Prop.propBoolean(
+      imgs.distinct.length == imgs.length && wavs.distinct.length == wavs.length)
+  }
+}
