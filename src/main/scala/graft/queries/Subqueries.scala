@@ -129,5 +129,44 @@ object Subqueries extends QueryPack {
           coalesce(col("b_cnt"), lit(0L)).as("b_cnt"),
           coalesce(col("c_cnt"), lit(0L)).as("c_cnt"))
         .orderBy("k")
+    },
+
+    // RECURSIVE CTE (beyond reference — Hive has no WITH RECURSIVE;
+    // Spark 4 executes it natively as an iterative UnionLoop, DuckDB
+    // replays it verbatim): transitive-closure walk of a deterministic
+    // supplier hierarchy (parent(k) = k div 3, a forest rooted at key
+    // 0 — every key reaches the root by repeated division, so the walk
+    // enumerates each supplier exactly once at depth =
+    // ceil(log3(key))). Each level is one join of the frontier against
+    // the child relation — at 100 TB the frontier join shuffles
+    // per-level like any iterative graph step (the same shape as
+    // ConnectedComponents' relational rounds), with depth log3(n)
+    // bounded. Output: per-depth node counts, exact-decimal balance
+    // rollup, key checksum.
+    q("q_recursive_chain",
+      """WITH RECURSIVE chain AS (
+        |  SELECT s_suppkey AS node, 0 AS depth, s_acctbal AS bal
+        |  FROM supplier WHERE s_suppkey = 0
+        |  UNION ALL
+        |  SELECT s.s_suppkey, c.depth + 1, s.s_acctbal
+        |  FROM supplier s JOIN chain c ON s.s_suppkey // 3 = c.node
+        |  WHERE s.s_suppkey <> c.node)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS bal_total,
+        |  CAST(SUM(node) AS BIGINT) AS key_checksum
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier").createOrReplaceTempView("rec_supplier")
+      s.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT s_suppkey AS node, 0 AS depth, s_acctbal AS bal
+          |  FROM rec_supplier WHERE s_suppkey = 0
+          |  UNION ALL
+          |  SELECT s.s_suppkey, c.depth + 1, s.s_acctbal
+          |  FROM rec_supplier s JOIN chain c ON s.s_suppkey DIV 3 = c.node
+          |  WHERE s.s_suppkey <> c.node)
+          |SELECT depth, COUNT(*) AS n_nodes,
+          |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS bal_total,
+          |  CAST(SUM(node) AS BIGINT) AS key_checksum
+          |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
     })
 }
