@@ -108,6 +108,43 @@ object Lateral extends QueryPack {
           .orderBy("event_type")
     },
 
+    // VARIANT semi-structured type (beyond reference — Spark 4's
+    // binary-encoded JSON; Hive's closest surface is string
+    // get_json_object, ~10× slower at scale because every access
+    // re-parses text while VARIANT parses ONCE into a typed binary a
+    // codegen'd variant_get then navigates): events re-encoded as JSON,
+    // parsed with parse_json, and scalar/array paths extracted with
+    // typed variant_get ('$.t' string, '$.v' double, '$.u' bigint,
+    // '$.vals[1]' array index). The oracle computes the same aggregates
+    // straight from the source columns, so the check proves the FULL
+    // round trip — to_json → parse_json → typed path extraction — is
+    // lossless (doubles survive via shortest-repr printing; the ×2
+    // array element is exponent-exact). 100 TB: parse once per row,
+    // scan-local, no shuffle before the final groupBy.
+    q("q_variant_json",
+      """SELECT event_type AS etype, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_total,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum,
+        |  CAST(SUM(CAST(value * 2 AS DECIMAL(18,4))) AS DOUBLE) AS v2_total
+        |FROM events WHERE event_id < 5000
+        |GROUP BY etype ORDER BY etype""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("event_id") < 5000)
+        .select(to_json(struct(
+          col("event_type").as("t"), col("value").as("v"),
+          col("user_id").as("u"),
+          array(col("value"), col("value") * 2).as("vals"))).as("j"))
+        .select(parse_json(col("j")).as("var"))
+        .select(
+          expr("variant_get(var, '$.t', 'string')").as("etype"),
+          expr("variant_get(var, '$.v', 'double')").as("v"),
+          expr("variant_get(var, '$.u', 'bigint')").as("u"),
+          expr("variant_get(var, '$.vals[1]', 'double')").as("v2"))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("cnt"), dsum(col("v")).as("v_total"),
+          sum(col("u")).as("u_sum"), dsum(col("v2")).as("v2_total"))
+        .orderBy("etype")
+    },
+
     // map / str_to_map / element_at / map_keys (GenericUDFMap family).
     // Complex outputs are serialized to strings (concat_ws over map_keys)
     // because the driver's comparator can't sort array cells.

@@ -168,5 +168,33 @@ object Subqueries extends QueryPack {
           |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS bal_total,
           |  CAST(SUM(node) AS BIGINT) AS key_checksum
           |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
+    // SQL PIPE syntax (beyond reference — Spark 4's |> operator
+    // chain; Hive has nothing comparable): the same logical plan a
+    // nested SELECT produces, written as a linear FROM |> WHERE |>
+    // EXTEND |> AGGREGATE ... GROUP BY |> ORDER BY flow. EXTEND
+    // demonstrates computed-column injection mid-pipe with pure
+    // integer math (no float-repr risk); the oracle is the standard
+    // ANSI equivalent, so the check proves the pipe chain compiles to
+    // the identical relational semantics.
+    q("q_pipe_syntax",
+      """SELECT o_orderstatus, o_orderkey % 7 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS price_total
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderstatus, bucket
+        |ORDER BY o_orderstatus, bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("ps_orders")
+      s.sql(
+        """FROM ps_orders
+          ||> WHERE o_totalprice > 100000
+          ||> EXTEND o_orderkey % 7 AS bucket
+          ||> AGGREGATE COUNT(*) AS n,
+          |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |       AS price_total
+          |   GROUP BY o_orderstatus, bucket
+          ||> ORDER BY o_orderstatus, bucket""".stripMargin)
+        .select("o_orderstatus", "bucket", "n", "price_total")
     })
 }
