@@ -789,5 +789,46 @@ object Aggregates extends QueryPack {
           col("best.cnt").cast("long").as("mode_cnt"),
           col("n_distinct"))
         .orderBy("l_returnflag")
+    },
+
+    // ORDERED-SET aggregates (ANSI WITHIN GROUP — Spark 4 surface;
+    // Hive's closest forms are collect_list+concat_ws and the
+    // percentile UDAFs): listagg with DISTINCT + explicit ordering,
+    // and percentile_cont / percentile_disc. Quantile fractions are
+    // reciprocals of integers (0.25, 0.5) ON PURPOSE: for q = 1/k the
+    // two engines' disc conventions (Spark: smallest value with
+    // cume_dist ≥ q = ceil(nq); DuckDB: value at floor((n-1)q)+1)
+    // provably pick the SAME element (an integer strictly between
+    // (n-1)/k and n/k cannot exist), and cont interpolates on the
+    // shared (n-1)q convention — rounded to 4 to absorb the last-ulp
+    // interpolation order. 100 TB: listagg groups here are bounded
+    // (≤5 distinct priorities); unbounded listagg at scale is the
+    // same discipline as collect_list — bound the group first.
+    q("q_agg_ordered_set",
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ','
+        |             ORDER BY o_orderpriority) AS prios,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_cont,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25_cont,
+        |  quantile_disc(o_totalprice, 0.5) AS p50_disc,
+        |  COUNT(*) AS n
+        |FROM orders WHERE o_orderkey < 2000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .createOrReplaceTempView("os_orders")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  listagg(DISTINCT o_orderpriority, ',')
+          |    WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+          |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice),
+          |        4) AS p50_cont,
+          |  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice),
+          |        4) AS p25_cont,
+          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+          |    AS p50_disc,
+          |  COUNT(*) AS n
+          |FROM os_orders
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
 }
