@@ -500,4 +500,94 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState (arbitrary-state v2 API) matches the batch aggregate") {
+    // Spark 4's StatefulProcessor replaces mapGroupsWithState as the
+    // arbitrary-state surface: typed per-key state handles
+    // (ValueState/ListState/MapState) with optional TTL and timers,
+    // running only on the RocksDB provider (disk-backed state — the
+    // 100 TB story of the previous test made mandatory). Here a
+    // per-user processor keeps (count, exact-decimal micro-value sum)
+    // in one ValueState and must reproduce the batch groupBy exactly.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    HiveCompatFunctions.ensure(spark)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stageDir = java.nio.file.Files.createTempDirectory("graft-tws-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        stageDir.resolve("events.parquet"))
+      val q = spark.readStream.schema(schema).parquet(stageDir.toString)
+        // exact integer micro-units: decimal(18,4) scaled by 10^4 —
+        // state accumulation stays bit-deterministic in any order
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long")
+            .as("micro"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TwsCountSum(), TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "cnt", "micro_sum")
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("t_tws")
+        .groupBy("user_id")
+        .agg(max("cnt").as("cnt"), max("micro_sum").as("ms"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      val batch = T.t(spark, sfDir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("value").cast("decimal(18,4)") * 10000).cast("long"))
+            .cast("long").as("ms"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(streamed === batch)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
+
+/** StatefulProcessor for the transformWithState test: per-user
+  * (count, exact micro-unit sum) in a single typed ValueState —
+  * the v2 arbitrary-state handle shape (named states, explicit
+  * TTLConfig, RocksDB-backed).
+  */
+class TwsCountSum extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("cntsum",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val (c0, s0) = if (st.exists()) st.get() else (0L, 0L)
+    var c = c0
+    var s = s0
+    rows.foreach { case (_, micro) => c += 1; s += micro }
+    st.update((c, s))
+    Iterator.single((key, c, s))
+  }
 }
