@@ -1462,5 +1462,42 @@ object Similarity extends QueryPack {
           col("duration_us"),
           length(col("payload")).cast("long").as("wav_bytes"))
         .orderBy("doc_id")
+    },
+
+    // PCM frame-sample / feature extraction (the media pipeline's
+    // decode-to-features step, with the samples REALLY decoded from
+    // the payload bytes): each WAV splits into non-overlapping
+    // 25-frame windows and each window reports its integer energy —
+    // the sum of |s16 sample| over frames × channels, read from the
+    // data chunk by the per-partition ByteBuffer decoder
+    // (sources/MediaBlobs.audioFrameEnergy — the
+    // one-codec-context-per-partition shape of a real librosa/ffmpeg
+    // batch decode). Exact integer energies let the DuckDB oracle
+    // replay every sample from the generator contract (nested
+    // range/list_transform over frame × channel indices) — a single
+    // wrong byte offset, endianness flip or channel interleave error
+    // changes some window's energy and hash-mismatches. 100 TB: blobs
+    // stay in the scan; only (doc_id, win, energy) rows shuffle.
+    q("q_audio_frames",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE doc_id < 12),
+        |m AS (SELECT doc_id, g, 1 + g % 2 AS ch, 50 + (g * 7) % 200 AS nf
+        |      FROM d),
+        |w AS (SELECT doc_id, g, ch,
+        |        unnest(range(0, nf // 25)) AS win
+        |      FROM m)
+        |SELECT doc_id, CAST(win AS INT) AS win,
+        |  CAST(25 * ch AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(win * 25, win * 25 + 25),
+        |    i -> list_sum(list_transform(range(0, ch),
+        |      c -> abs((i * 13 + c * 7 + g * 31) % 65536 - 32768)))))
+        |    AS BIGINT) AS energy
+        |FROM w ORDER BY doc_id, win""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureAudioStore(s, dir)
+      graft.sources.MediaBlobs.audioFrameEnergy(
+          s.read.parquet(store).filter(col("doc_id") < 12), 25)
+        .select(col("doc_id"), col("win").cast("int").as("win"),
+          col("n_samples"), col("energy"))
+        .orderBy("doc_id", "win")
     })
 }

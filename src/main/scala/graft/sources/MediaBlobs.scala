@@ -329,6 +329,49 @@ object MediaBlobs {
       .withColumn("channels", channelsCol(headerHex(col("payload")), col("fmt")))
   }
 
+  /** Per-window PCM feature extraction — the frame-sample /
+    * feature-extract step of a media pipeline, decoding REAL samples
+    * from the payload bytes: the WAV header yields channels and frame
+    * count, then each non-overlapping `windowFrames`-frame window
+    * emits its sample count and total absolute amplitude (integer
+    * energy — exact, so the oracle can replay it from the generator
+    * contract). mapPartitions with a per-partition ByteBuffer is the
+    * one-codec-context-per-partition shape a real decoder (librosa /
+    * ffmpeg batch) uses; output rows (doc_id, win, n_samples, energy)
+    * are what shuffles — never the blobs. Partial tail windows are
+    * dropped (floor(nFrames / windowFrames) windows per doc).
+    */
+  def audioFrameEnergy(df: DataFrame, windowFrames: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val bb = java.nio.ByteBuffer.wrap(p)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ch = bb.getShort(22).toInt
+          val dataSize = bb.getInt(40)
+          val nFrames = dataSize / (ch * 2)
+          (0 until nFrames / windowFrames).iterator.map { win =>
+            var energy = 0L
+            var f = win * windowFrames
+            val end = f + windowFrames
+            while (f < end) {
+              var c = 0
+              while (c < ch) {
+                energy += math.abs(bb.getShort(44 + (f * ch + c) * 2).toLong)
+                c += 1
+              }
+              f += 1
+            }
+            (id, win, windowFrames.toLong * ch, energy)
+          }
+        }
+      }
+      .toDF("doc_id", "win", "n_samples", "energy")
+  }
+
   // ---- per-partition decoder (the library-decode batch shape) ----
 
   /** The same header parse as a mapPartitions decoder: one ByteBuffer
