@@ -145,6 +145,34 @@ object Lateral extends QueryPack {
         .orderBy("etype")
     },
 
+    // XML ROUND TRIP with typed from_xml (Spark 4 — Hive's xpath_*
+    // UDFs return strings the caller re-casts; from_xml parses the
+    // document ONCE into a typed struct, the XML twin of the VARIANT
+    // query above): events rendered as XML rows, parsed back with an
+    // explicit schema, fields extracted typed. The oracle aggregates
+    // the source columns directly — the check proves render → parse →
+    // extract lossless (doubles survive via shortest-repr printing).
+    // xpath-style string extraction stays covered by q_fn_url_xml.
+    q("q_xml_roundtrip",
+      """SELECT event_type AS etype, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_total,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum
+        |FROM events WHERE event_id < 5000
+        |GROUP BY etype ORDER BY etype""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("event_id") < 5000)
+        .select(concat(
+          lit("<ev><t>"), col("event_type"), lit("</t><v>"),
+          col("value").cast("string"), lit("</v><u>"),
+          col("user_id").cast("string"), lit("</u></ev>")).as("x"))
+        .select(from_xml(col("x"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "t STRING, v DOUBLE, u BIGINT")).as("r"))
+        .groupBy(col("r.t").as("etype"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("r.v")).as("v_total"),
+          sum(col("r.u")).as("u_sum"))
+        .orderBy("etype")
+    },
+
     // map / str_to_map / element_at / map_keys (GenericUDFMap family).
     // Complex outputs are serialized to strings (concat_ws over map_keys)
     // because the driver's comparator can't sort array cells.
