@@ -1499,5 +1499,268 @@ object Similarity extends QueryPack {
         .select(col("doc_id"), col("win").cast("int").as("win"),
           col("n_samples"), col("energy"))
         .orderBy("doc_id", "win")
+    },
+
+    // PRODUCT-QUANTIZATION ANN with an ADC scan (round 12 — completes
+    // the FAISS family next to the hierarchical IVF / LSH / JL
+    // variants; Jégou et al. 2011 "Product Quantization for Nearest
+    // Neighbor Search"): 64-dim vectors split into m=8 subspaces of 8
+    // dims; each subspace has a k=4 codebook (the seed vectors
+    // vec_id < 4, sliced — deterministic, the external-codebook
+    // IndexPQ shape); every corpus vector is ENCODED to 8 one-byte
+    // codes (argmin subspace L2, ties to the lowest centroid id).
+    // Queries (vec_id 4..8) precompute a 32-entry LUT of
+    // query-subvector→centroid distances, and the scan computes each
+    // candidate's asymmetric distance as Σ_s LUT[s, code_s] — a pure
+    // table lookup per subspace, never touching the original floats.
+    // Top-5 per query by (adc, id) is then reranked with the exact
+    // 64-dim distance (both columns surfaced; all math integer-exact
+    // in quantized millesimals, so DuckDB replays encode, LUT, ADC and
+    // rerank bit-for-bit).
+    // 100 TB shape: THE memory-compression scale move — 8 bytes/vector
+    // instead of 256 (32×), so a 100 TB float corpus scans as ~3 TB of
+    // codes; the codebook (32 rows) and per-query LUTs (5×32 longs)
+    // ride a broadcast, the corpus is scanned once (zip_with/aggregate
+    // over a plan-literal-sized LUT array, no shuffle for the scan),
+    // and only top-k candidate ids hit the exact-rerank join.
+    q("q_ann_pq_adc",
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cb AS (
+        |  SELECT vec_id AS cid, s,
+        |    list_transform(range(1, 9), i -> q[s*8 + i]) AS c
+        |  FROM emb, range(0, 8) t(s) WHERE vec_id < 4),
+        |qs AS (SELECT vec_id AS q_id, q AS qq FROM emb
+        |       WHERE vec_id >= 4 AND vec_id < 9),
+        |corp AS (SELECT vec_id, q FROM emb WHERE vec_id >= 9),
+        |sub AS (
+        |  SELECT vec_id, s,
+        |    list_transform(range(1, 9), i -> q[s*8 + i]) AS v
+        |  FROM corp, range(0, 8) t(s)),
+        |enc AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT sub.vec_id, sub.s, cb.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY list_sum(list_transform(range(1, 9),
+        |          i -> (sub.v[i] - cb.c[i]) * (sub.v[i] - cb.c[i]))),
+        |          cb.cid) AS rn
+        |    FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.q_id, cb.s, cb.cid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (q.qq[cb.s*8 + i] - cb.c[i])
+        |         * (q.qq[cb.s*8 + i] - cb.c[i]))) AS ld
+        |  FROM qs q CROSS JOIN cb),
+        |adc AS (
+        |  SELECT l.q_id, e.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+        |  FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+        |  GROUP BY l.q_id, e.vec_id),
+        |top AS (
+        |  SELECT q_id, vec_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rn
+        |  FROM adc)
+        |SELECT t.q_id, CAST(t.rn AS INT) AS rn, t.vec_id AS cand_id,
+        |  t.adc_dist,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (qs.qq[i] - corp.q[i]) * (qs.qq[i] - corp.q[i])))
+        |    AS BIGINT) AS exact_dist
+        |FROM top t
+        |JOIN qs ON qs.q_id = t.q_id
+        |JOIN corp ON corp.vec_id = t.vec_id
+        |WHERE t.rn <= 5
+        |ORDER BY t.q_id, t.rn""".stripMargin) { (s, dir) =>
+      // Quantized millesimal components are ≤ ~4000, so every product
+      // (≤1.6e7), subspace sum (≤5e8) and 64-dim sum (≤4e9) is
+      // integer-exact in a double — the dot_f expansions below are
+      // bit-equal to the oracle's Σ(x−y)² folds (q_cluster_kmeans note).
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000)" +
+          " as bigint))").as("q"))
+        .withColumn("qd", col("q").cast("array<double>"))
+      // subspace slices: (vec_id, s, v double[8], vn = |v|²)
+      def subspaces(df: DataFrame, idCol: String) = df
+        .select(col(idCol), posexplode(
+          expr("transform(sequence(0, 7), s -> slice(qd, s*8 + 1, 8))")))
+        .select(col(idCol), col("pos").as("s"), col("col").as("v"))
+        .withColumn("vn", dot("v", "v"))
+      val cb = broadcast(subspaces(emb.filter(col("vec_id") < 4), "vec_id")
+        .select(col("vec_id").cast("int").as("cid"), col("s"),
+          col("v").as("c"), col("vn").as("cn")))
+      val corp = emb.filter(col("vec_id") >= 9)
+      // ENCODE: argmin over the 4 centroids per (vector, subspace) —
+      // broadcast codebook join + min(struct) map-side combine, then
+      // the 8 codes fold to one array<int> per vector.
+      val codes = subspaces(corp, "vec_id")
+        .join(cb, "s")
+        .withColumn("d",
+          (col("vn") + col("cn") - lit(2) * dot("v", "c")).cast("long"))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("s"), col("best.cid").as("code"))
+        .groupBy("vec_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(s, code))), x -> x.code)")
+          .as("codes"))
+      // Per-query LUT: 32 longs ordered by s*4+cid, one row per query.
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 9)
+      val lut = broadcast(subspaces(qs, "vec_id")
+        .select(col("vec_id").as("q_id"), col("s"), col("v").as("qv"),
+          col("vn").as("qn_s"))
+        .join(cb, "s")
+        .withColumn("ld",
+          (col("qn_s") + col("cn") - lit(2) * dot("qv", "c")).cast("long"))
+        .withColumn("k", col("s") * 4 + col("cid"))
+        .groupBy("q_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(k, ld))), x -> x.ld)")
+          .as("lut")))
+      // ADC scan: one pass over the code table, LUT lookups only.
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+      val top = codes.crossJoin(lut)
+        .withColumn("adc_dist", expr(
+          "aggregate(zip_with(codes, sequence(0, 7)," +
+            " (c, s) -> element_at(lut, cast(s*4 + c + 1 as int)))," +
+            " cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("int").as("rn"),
+          col("vec_id").as("cand_id"), col("adc_dist"))
+      // Exact rerank of the 25 winners: join the original vectors back
+      // in by id (top side broadcasts; the corpus never re-shuffles).
+      val corpV = corp.select(col("vec_id").as("cand_id"),
+        col("qd").as("cv"))
+        .withColumn("cvn", dot("cv", "cv"))
+      val qV = broadcast(qs.select(col("vec_id").as("q_id"),
+        col("qd").as("qv")).withColumn("qvn", dot("qv", "qv")))
+      top.join(corpV, "cand_id").join(qV, "q_id")
+        .withColumn("exact_dist",
+          (col("qvn") + col("cvn") - lit(2) * dot("qv", "cv")).cast("long"))
+        .select("q_id", "rn", "cand_id", "adc_dist", "exact_dist")
+        .orderBy("q_id", "rn")
+    },
+
+    // Image RESIZE over the real BMP pixel bytes (round 12 — the brief's
+    // decode / feature-extract / RESIZE / frame-sample quartet had
+    // everything but this step): nearest-neighbor 8×2 thumbnails are
+    // materialized from the bottom-up 4-byte-padded BGR rows
+    // (sources/MediaBlobs.resizeBmpThumb), then summarized as exact
+    // per-channel sums plus a position-weighted checksum that any
+    // BGR/RGB swap, row-order or padding slip would change. The oracle
+    // replays the NN source-index mapping (sx = xd*w div 8,
+    // sy = yd*h div 2) against the generator pixel contract — so the
+    // check closes the loop resize(decode(generate)) == formula.
+    // 100 TB: per-row map over the blob column, no shuffle; only the
+    // 48-byte thumbnails are new bytes.
+    q("q_image_resize",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE doc_id < 64 AND (doc_id % 41) % 2 = 0),
+        |m AS (SELECT doc_id, g, 200 + (g * 13) % 800 AS w, 2 + g % 5 AS h
+        |      FROM d),
+        |px AS (SELECT doc_id, g, w, h, unnest(range(0, 16)) AS idx FROM m),
+        |v AS (SELECT doc_id, idx, g,
+        |        ((idx % 8) * w) // 8 AS sx, ((idx // 8) * h) // 2 AS sy
+        |      FROM px)
+        |SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+        |  CAST(SUM((sx + 7*sy + g) % 251) AS BIGINT) AS sum_r,
+        |  CAST(SUM((sx + 7*sy + 11 + g) % 251) AS BIGINT) AS sum_g,
+        |  CAST(SUM((sx + 7*sy + 22 + g) % 251) AS BIGINT) AS sum_b,
+        |  CAST(SUM(
+        |    ((sx + 7*sy + g) % 251) * (idx*3 + 1) +
+        |    ((sx + 7*sy + 11 + g) % 251) * (idx*3 + 2) +
+        |    ((sx + 7*sy + 22 + g) % 251) * (idx*3 + 3)) AS BIGINT)
+        |    AS checksum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureStore(s, dir)
+      graft.sources.MediaBlobs.resizeBmpThumb(
+          s.read.parquet(store).filter(col("doc_id") < 64), 8, 2)
+        .orderBy("doc_id")
+    },
+
+    // VIDEO modality (round 12 — completes the image/audio/video triple
+    // of the north-star brief): a blob table of REAL YUV4MPEG2 streams
+    // (the mjpegtools Y4M container: ASCII stream header, "FRAME\n"
+    // markers, raw Cmono luma planes — ffmpeg/mpv accept the bytes) is
+    // header-decoded with codegen'd built-ins. Y4M's header is TEXT, so
+    // the parse is the third decode family after BMP/PNG's binary
+    // endian fields and WAV's RIFF chunks: US-ASCII-decode a bounded
+    // prefix, cut at the first newline, regexp the W/H/F/C tagged
+    // fields out. Frame count is recovered from container byte
+    // accounting ((total − header) / (6 + w*h)), duration from exact
+    // integer division, and the oracle replays the generator contract
+    // in sources/MediaBlobs.y4mFor INCLUDING the variable header length
+    // (32 + the decimal digit counts of w/h/fps) — a wrong field
+    // regexp, marker size, or plane-size formula on either side breaks
+    // the hash. 100 TB: scan-local per-row projection, no shuffle.
+    q("q_multimodal_video",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE doc_id < 64),
+        |m AS (
+        |  SELECT doc_id, 16 + (g * 5) % 48 AS w, 8 + g % 8 AS h,
+        |    CASE g % 4 WHEN 0 THEN 24 WHEN 1 THEN 25
+        |               WHEN 2 THEN 30 ELSE 60 END AS fps,
+        |    4 + (g * 3) % 12 AS nf
+        |  FROM d)
+        |SELECT doc_id, 'y4m' AS fmt, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(fps AS INT) AS fps,
+        |  'mono' AS colorspace, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((nf * 1000) // fps AS BIGINT) AS duration_ms,
+        |  CAST(32 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |       + length(CAST(fps AS VARCHAR)) + nf * (6 + w * h)
+        |    AS BIGINT) AS y4m_bytes
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureVideoStore(s, dir)
+      val blobs = s.read.parquet(store).filter(col("doc_id") < 64)
+      graft.sources.MediaBlobs.withVideoDecoded(blobs)
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("fps"), col("colorspace"), col("n_frames"),
+          col("duration_ms"),
+          length(col("payload")).cast("long").as("y4m_bytes"))
+        .orderBy("doc_id")
+    },
+
+    // Video frame-sample + per-frame feature extraction, with the luma
+    // planes REALLY decoded from the payload bytes: every 2nd frame of
+    // each Y4M stream emits its integer luma sum, plus the total
+    // absolute luma delta vs the previous SAMPLED frame — the
+    // frame-differencing signal a scene-cut detector thresholds (null
+    // for the first sample, exactly like the oracle's CASE). The
+    // per-partition ByteBuffer decoder (sources/MediaBlobs
+    // .videoFrameFeatures) addresses frame t at header_len +
+    // t*(6 + w*h) + 6, so a single wrong marker size, row-major
+    // ordering or stride slip changes some frame's sum and
+    // hash-mismatches the oracle's per-pixel replay (nested
+    // range/list_transform over x × y from the generator contract).
+    // 100 TB: blobs stay in the scan; only (doc_id, frame, luma_sum,
+    // delta_prev) rows shuffle — the media→frame fan-out pattern of a
+    // real video pipeline with the decode step genuine.
+    q("q_video_frames",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE doc_id < 12),
+        |m AS (SELECT doc_id, g, 16 + (g * 5) % 48 AS w, 8 + g % 8 AS h,
+        |        4 + (g * 3) % 12 AS nf
+        |      FROM d),
+        |f AS (SELECT doc_id, g, w, h, unnest(range(0, nf, 2)) AS t
+        |      FROM m)
+        |SELECT doc_id, CAST(t AS INT) AS frame,
+        |  CAST(list_sum(list_transform(range(0, h), y ->
+        |    list_sum(list_transform(range(0, w), x ->
+        |      (x + 3*y + 5*t + g) % 251)))) AS BIGINT) AS luma_sum,
+        |  CASE WHEN t >= 2 THEN
+        |    CAST(list_sum(list_transform(range(0, h), y ->
+        |      list_sum(list_transform(range(0, w), x ->
+        |        abs((x + 3*y + 5*t + g) % 251
+        |          - (x + 3*y + 5*(t-2) + g) % 251))))) AS BIGINT)
+        |  END AS delta_prev
+        |FROM f ORDER BY doc_id, frame""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureVideoStore(s, dir)
+      graft.sources.MediaBlobs.videoFrameFeatures(
+          s.read.parquet(store).filter(col("doc_id") < 12), 2)
+        .select(col("doc_id"), col("frame"), col("luma_sum"),
+          col("delta_prev"))
+        .orderBy("doc_id", "frame")
     })
 }

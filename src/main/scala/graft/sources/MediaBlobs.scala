@@ -372,6 +372,225 @@ object MediaBlobs {
       .toDF("doc_id", "win", "n_samples", "energy")
   }
 
+  /** Nearest-neighbor thumbnail resize over the REAL BMP pixel bytes —
+    * the `resize` step of a media pipeline (the brief's decode /
+    * feature-extract / resize / frame-sample quartet), done from the
+    * container layout rather than a stub: for each destination pixel
+    * (xd, yd) the source pixel is (xd*w div outW, yd*h div outH), read
+    * from the bottom-up, 4-byte-padded BGR rows at offset
+    * 54 + (h-1-sy)*rowSize + sx*3. The resized outW×outH×RGB buffer is
+    * MATERIALIZED (exactly what a thumbnail sink would write), then
+    * summarized as per-channel sums plus a position-weighted checksum
+    * (Σ value·(pixelIndex·3 + channel + 1)) so any permutation, BGR/RGB
+    * swap, row-order or padding slip changes the result — all exact
+    * integers the oracle replays from the generator pixel contract.
+    * Non-BMP blobs are passed over (a real pipeline routes by sniffed
+    * format). 100 TB: per-row map, no shuffle; thumbnails (48 B here)
+    * are the only new bytes.
+    */
+  def resizeBmpThumb(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+          else {
+            val le = java.nio.ByteBuffer.wrap(p)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val w = le.getInt(18)
+            val h = le.getInt(22)
+            val rowSize = ((3 * w + 3) / 4) * 4
+            val thumb = new Array[Byte](outW * outH * 3) // RGB order
+            var yd = 0
+            while (yd < outH) {
+              var xd = 0
+              while (xd < outW) {
+                val sx = xd * w / outW
+                val sy = yd * h / outH
+                val off = 54 + (h - 1 - sy) * rowSize + sx * 3
+                val i = (yd * outW + xd) * 3
+                thumb(i) = p(off + 2)     // R (BMP rows store BGR)
+                thumb(i + 1) = p(off + 1) // G
+                thumb(i + 2) = p(off)     // B
+                xd += 1
+              }
+              yd += 1
+            }
+            var sumR = 0L; var sumG = 0L; var sumB = 0L; var checksum = 0L
+            var i = 0
+            while (i < thumb.length) {
+              val v = thumb(i) & 0xFF
+              (i % 3) match {
+                case 0 => sumR += v
+                case 1 => sumG += v
+                case _ => sumB += v
+              }
+              checksum += v.toLong * (i + 1)
+              i += 1
+            }
+            Some((id, outW, outH, sumR, sumG, sumB, checksum))
+          }
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b",
+        "checksum")
+  }
+
+  // ---- VIDEO modality: YUV4MPEG2 (Y4M) containers ----
+
+  /** Real YUV4MPEG2 bytes for one seed g (the VIDEO modality; the
+    * mjpegtools Y4M format — plain-ASCII stream header, then per frame
+    * a "FRAME\n" marker followed by the raw plane bytes; `Cmono` means
+    * a single full-resolution luma plane per frame, so frame payload =
+    * w*h bytes). ffmpeg/mpv accept exactly these bytes.
+    *
+    * GENERATOR CONTRACT (replayed by q_multimodal_video /
+    * q_video_frames oracles; keep in lockstep):
+    *   width    = 16 + (g * 5) % 48      — 16..63
+    *   height   = 8 + g % 8              — 8..15
+    *   fps      = [24, 25, 30, 60][g % 4]  (F<fps>:1)
+    *   n_frames = 4 + (g * 3) % 12       — 4..15
+    *   luma byte (x, y, frame t) = (x + 3*y + 5*t + g) % 251
+    *   header   = "YUV4MPEG2 W<w> H<h> F<fps>:1 Ip A1:1 Cmono\n"
+    *     → header_len = 32 + digits(w) + digits(h) + digits(fps)
+    *   total bytes = header_len + n_frames * (6 + w*h)
+    */
+  private[graft] def y4mFor(g: Long): Array[Byte] = {
+    val w = (16 + (g * 5) % 48).toInt
+    val h = (8 + g % 8).toInt
+    val fps = Array(24, 25, 30, 60)((g % 4).toInt)
+    val nFrames = (4 + (g * 3) % 12).toInt
+    val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII")
+    val frameMark = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (frameMark.length + w * h))
+    out.put(header)
+    var t = 0
+    while (t < nFrames) {
+      out.put(frameMark)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.put(((x + 3 * y + 5 * t + g) % 251).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      t += 1
+    }
+    out.array()
+  }
+
+  /** Video blob table twin of ensureStore: (doc_id, payload) of real
+    * Y4M streams, same seed/memoization discipline.
+    */
+  def ensureVideoStore(s: SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_video_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      graft.T.contentTag(dir, "documents")
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      import s.implicits._
+      graft.T.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, y4mFor(id % seedMod)))
+        .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Y4M header decode with codegen'd built-ins only. Unlike BMP/PNG/
+    * WAV the Y4M header is ASCII text, so the parse is: US-ASCII-decode
+    * a fixed 48-byte prefix (longest possible header here is 38 bytes;
+    * bytes past the first '\n' are frame luma — every value < 0x80
+    * round-trips through the ASCII decoder one-char-per-byte, and
+    * substring_index cuts at the FIRST newline before any of them can
+    * matter), take the first line, and regexp the W/H/F/C tagged
+    * fields out — the exact tokenization a real y4m_read_stream_header
+    * does. Frame count comes from byte accounting over the container
+    * layout (total − header, divided by the 6-byte FRAME marker + the
+    * Cmono plane size), duration from exact integer math.
+    */
+  def withVideoDecoded(df: DataFrame): DataFrame = {
+    val hdr = substring_index(
+      expr("decode(substring(payload, 1, 48), 'US-ASCII')"), "\n", 1)
+    df.withColumn("hdr", hdr)
+      .withColumn("fmt",
+        when(substring(col("hdr"), 1, 10) === "YUV4MPEG2 ", "y4m"))
+      .withColumn("width",
+        regexp_extract(col("hdr"), " W(\\d+)", 1).cast("long"))
+      .withColumn("height",
+        regexp_extract(col("hdr"), " H(\\d+)", 1).cast("long"))
+      .withColumn("fps",
+        regexp_extract(col("hdr"), " F(\\d+):1", 1).cast("int"))
+      .withColumn("colorspace",
+        regexp_extract(col("hdr"), " C(\\w+)", 1))
+      .withColumn("header_len", length(col("hdr")) + 1)
+      .withColumn("n_frames",
+        expr("(length(payload) - header_len) div (6 + width * height)"))
+      .withColumn("duration_ms", expr("(n_frames * 1000L) div fps"))
+      .drop("hdr")
+  }
+
+  /** Frame-sample + per-frame feature extraction over the Y4M bytes:
+    * every `stride`-th frame (t = 0, stride, 2*stride, …) emits its
+    * integer luma sum and — for sampled frames with a predecessor — the
+    * total absolute luma delta vs the PREVIOUS SAMPLED frame (the
+    * frame-differencing signal a scene-cut detector thresholds). The
+    * header is parsed from the ASCII bytes, frames are addressed at
+    * header_len + t*(6 + w*h) + 6, and all sums are exact integers so
+    * the oracle can replay every pixel from the generator contract.
+    * mapPartitions = the one-codec-context-per-partition batch shape of
+    * a real ffmpeg/PyAV decode; only (doc_id, frame, luma_sum,
+    * delta_prev) rows ever shuffle — the blobs stay in the scan.
+    */
+  def videoFrameFeatures(df: DataFrame, stride: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          var hl = 0
+          while (p(hl) != '\n'.toByte) hl += 1
+          hl += 1
+          val hdr = new String(p, 0, hl - 1, "US-ASCII")
+          def tag(t: Char): Int = {
+            val f = hdr.split(' ').find(_.head == t).get.tail
+            f.takeWhile(_.isDigit).toInt
+          }
+          val w = tag('W')
+          val h = tag('H')
+          val frameBytes = 6 + w * h
+          val nFrames = (p.length - hl) / frameBytes
+          var prev: Array[Byte] = null
+          (0 until nFrames by stride).iterator.map { t =>
+            val off = hl + t * frameBytes + 6
+            var luma = 0L
+            var i = 0
+            while (i < w * h) { luma += (p(off + i) & 0xFF); i += 1 }
+            val delta: java.lang.Long = if (prev == null) null else {
+              val pOff = hl + (t - stride) * frameBytes + 6
+              var d = 0L
+              var j = 0
+              while (j < w * h) {
+                d += math.abs((p(off + j) & 0xFF) - (p(pOff + j) & 0xFF))
+                j += 1
+              }
+              java.lang.Long.valueOf(d)
+            }
+            prev = p // marker only; offsets recomputed from t - stride
+            (id, t, luma, delta)
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "luma_sum", "delta_prev")
+  }
+
   // ---- per-partition decoder (the library-decode batch shape) ----
 
   /** The same header parse as a mapPartitions decoder: one ByteBuffer

@@ -46,12 +46,50 @@ object MediaBlobsPropertySpec extends Properties("MediaBlobsLaws") {
         bytes.length == 44 + nf * ch * 2
     }
 
+  /** Independent structural walk of a Y4M stream, written from the
+    * mjpegtools spec rather than from the generator: parse the ASCII
+    * header line, then require a "FRAME\n" marker at every computed
+    * frame offset, the exact total length, and the contract's pixel
+    * value at each frame's corners. No JDK Y4M parser exists, so this
+    * walk IS the third-party check (it shares no code with y4mFor).
+    */
+  property("y4m blobs walk cleanly for arbitrary seeds") =
+    Prop.forAllNoShrink(seeds) { (g: Long) =>
+      val p = MediaBlobs.y4mFor(g)
+      val nl = p.indexOf('\n'.toByte)
+      val hdr = new String(p, 0, nl, "US-ASCII")
+      val re = "^YUV4MPEG2 W(\\d+) H(\\d+) F(\\d+):(\\d+) Ip A1:1 C(\\w+)$".r
+      hdr match {
+        case re(ws, hs, fn, fd, cs) =>
+          val (w, h) = (ws.toInt, hs.toInt)
+          val frameBytes = 6 + w * h
+          val nf = (p.length - nl - 1) / frameBytes
+          val expectW = (16 + (g * 5) % 48).toInt
+          val expectNf = (4 + (g * 3) % 12).toInt
+          val markersOk = (0 until nf).forall { t =>
+            val off = nl + 1 + t * frameBytes
+            new String(p, off, 6, "US-ASCII") == "FRAME\n" && {
+              val corner = p(off + 6) & 0xFF // pixel (0, 0, t)
+              corner == ((5 * t + g) % 251).toInt
+            }
+          }
+          w == expectW && h == (8 + g % 8).toInt &&
+            fn.toInt == Array(24, 25, 30, 60)((g % 4).toInt) &&
+            fd == "1" && cs == "mono" && nf == expectNf &&
+            p.length == nl + 1 + nf * frameBytes && markersOk
+        case _ => false
+      }
+    }
+
   property("distinct store seeds yield distinct payloads (dedup law)") = {
     def b64(a: Array[Byte]) =
       java.util.Base64.getEncoder.encodeToString(a)
     val imgs = (0L until MediaBlobs.seedMod).map(g => b64(MediaBlobs.blobFor(g)))
     val wavs = (0L until MediaBlobs.seedMod).map(g => b64(MediaBlobs.wavFor(g)))
+    val vids = (0L until MediaBlobs.seedMod).map(g => b64(MediaBlobs.y4mFor(g)))
     Prop.propBoolean(
-      imgs.distinct.length == imgs.length && wavs.distinct.length == wavs.length)
+      imgs.distinct.length == imgs.length &&
+        wavs.distinct.length == wavs.length &&
+        vids.distinct.length == vids.length)
   }
 }

@@ -60,7 +60,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_filter_adaptive", // 1-row P25-threshold scalar
     "q_graph_triangles", // three 1-row count scalars zipped into one row
     "q_text_bm25", // 1-row corpus N/avgdl scalar joined to query-term tf
-    "q_audit_drift" // sources(≤~20 rows) × 1024-bucket literal frame
+    "q_audit_drift", // sources(≤~20 rows) × 1024-bucket literal frame
+    "q_ann_pq_adc" // 5-row query-LUT frame broadcast vs the code table
   )
 
   /** Queries allowed an un-partitioned Window: documented single-task
@@ -129,7 +130,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_ann_jl_rerank", // same bounded query set + its projection
     "q_decontam_ngram", // doc_id < 50 eval-benchmark gram set
     "q_decontam_substring", // doc_id < 50 eval snippet set
-    "q_decontam_semantic" // vec_id < 16 eval-embedding set
+    "q_decontam_semantic", // vec_id < 16 eval-embedding set
+    "q_ann_pq_adc" // vec_id < 4 codebook + vec_id in [4,9) query LUTs
   )
 
   /** Round-8 lesson, machine-checked: an explicit broadcast() on a
