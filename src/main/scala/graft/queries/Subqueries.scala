@@ -196,5 +196,78 @@ object Subqueries extends QueryPack {
           |   GROUP BY o_orderstatus, bucket
           ||> ORDER BY o_orderstatus, bucket""".stripMargin)
         .select("o_orderstatus", "bucket", "n", "price_total")
+    },
+
+    // SQL session variables + EXECUTE IMMEDIATE (Spark 4 surfaces —
+    // the engine twins of Hive's hivevar/hiveconf substitution
+    // ([jar] org/apache/hadoop/hive/ql/parse/VariableSubstitution
+    // .class), upgraded from lexical splice to typed session state):
+    // DECLARE/SET VARIABLE holds typed values, and the query itself
+    // runs through EXECUTE IMMEDIATE with a named parameter marker
+    // bound via USING — parameterized SQL, not string concatenation.
+    // The oracle replays with the values inlined, so the whole
+    // variable/binding layer must be semantically transparent.
+    q("q_sql_variables",
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  CAST(SUM(CASE WHEN n_name >= 'E' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ge_cut
+        |FROM nation WHERE n_nationkey >= 3
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("sv_nation")
+      s.sql("DECLARE OR REPLACE VARIABLE min_key INT DEFAULT 3")
+      s.sql("DECLARE OR REPLACE VARIABLE name_cut STRING DEFAULT 'zz'")
+      s.sql("SET VAR name_cut = 'E'")
+      s.sql(
+        """EXECUTE IMMEDIATE
+          |  'SELECT n_regionkey, COUNT(*) AS n_nations,
+          |     CAST(SUM(CASE WHEN n_name >= :cut THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS ge_cut
+          |   FROM sv_nation WHERE n_nationkey >= :mk
+          |   GROUP BY n_regionkey ORDER BY n_regionkey'
+          |  USING min_key AS mk, name_cut AS cut""".stripMargin)
+    },
+
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 ≡ DuckDB — the SAME text
+    // runs on both engines, the strongest possible dialect-parity
+    // check): every non-aggregate select item becomes a grouping key,
+    // and ORDER BY ALL sorts by the full select list left-to-right.
+    // Beyond the reference: Hive requires explicit GROUP BY lists.
+    q("q_group_by_all", {
+      val sql =
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |  ${T.oSum("l_quantity")} AS sum_qty
+           |FROM lineitem WHERE l_quantity < 30
+           |GROUP BY ALL ORDER BY ALL""".stripMargin
+      sql
+    }) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("gba_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM gba_lineitem WHERE l_quantity < 30
+          |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    },
+
+    // Lateral column aliases (Spark 3.4+ ≡ DuckDB): a select item can
+    // reference an alias defined earlier in the SAME select list —
+    // the incremental-derivation idiom Hive forces into nested
+    // subqueries. Per-row double products evaluate in the identical
+    // IEEE order on both engines, so no decimal staging is needed.
+    q("q_lateral_alias",
+      """SELECT o_orderkey,
+        |  o_totalprice * 0.9 AS discounted,
+        |  discounted * 0.07 AS tax,
+        |  discounted + tax AS billed
+        |FROM orders WHERE o_orderkey % 1000 = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("lca_orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  o_totalprice * 0.9 AS discounted,
+          |  discounted * 0.07 AS tax,
+          |  discounted + tax AS billed
+          |FROM lca_orders WHERE o_orderkey % 1000 = 1
+          |ORDER BY o_orderkey""".stripMargin)
     })
 }
