@@ -1643,6 +1643,191 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rn")
     },
 
+    // IVF-PQ (round 12 — the FAISS workhorse index, composing the
+    // coarse-cell IVF idea with the PQ codes above; Jégou et al. 2011
+    // §IV): corpus vectors are assigned to their nearest coarse cell
+    // (4 cells = the seed vectors), the RESIDUAL vector (v − cell
+    // centroid) is what gets PQ-encoded (residuals are smaller than
+    // raw vectors, so the same code budget quantizes finer — the whole
+    // point of the combination), against a codebook shared across
+    // cells (the residuals of vectors 9..12 — the external-codebook
+    // stance of q_ann_pq_adc). A query probes its nprobe=2 nearest
+    // cells and builds ONE LUT PER PROBED CELL over its per-cell
+    // residual (q − cell centroid), so the ADC lookup inside a cell is
+    // exactly the PQ scan; candidates outside probed cells are never
+    // touched. Top-5 by (adc, id) + exact rerank, all integer-exact
+    // and bit-replayed by the oracle.
+    // 100 TB shape: the index IS the scale story — 8 bytes/vector of
+    // codes partitioned BY CELL, so a query reads nprobe/nlist of the
+    // corpus (cell-partition pruning) and scans codes with broadcast
+    // LUTs (an equi-join on cell_id, no BNLJ on the corpus side);
+    // cells, codebook and LUTs are all model-sized broadcasts.
+    q("q_ann_ivfpq",
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id AS cell_id, q AS c FROM emb
+        |          WHERE vec_id < 4),
+        |qs AS (SELECT vec_id AS q_id, q AS qq FROM emb
+        |       WHERE vec_id >= 4 AND vec_id < 9),
+        |corp AS (SELECT vec_id, q FROM emb WHERE vec_id >= 9),
+        |asg AS (
+        |  SELECT vec_id, q, cell_id, c FROM (
+        |    SELECT corp.vec_id, corp.q, cells.cell_id, cells.c,
+        |      row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (corp.q[i] - cells.c[i]) * (corp.q[i] - cells.c[i]))),
+        |        cells.cell_id) AS rn
+        |    FROM corp CROSS JOIN cells) WHERE rn = 1),
+        |res AS (SELECT vec_id, cell_id,
+        |          list_transform(range(1, 65), i -> q[i] - c[i]) AS r
+        |        FROM asg),
+        |cb AS (
+        |  SELECT vec_id - 9 AS cid, s,
+        |    list_transform(range(1, 9), i -> r[s*8 + i]) AS cv
+        |  FROM res, range(0, 8) t(s) WHERE vec_id >= 9 AND vec_id < 13),
+        |enc AS (
+        |  SELECT vec_id, cell_id, s, cid AS code FROM (
+        |    SELECT sub.vec_id, sub.cell_id, sub.s, cb.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (sub.v[i] - cb.cv[i]) * (sub.v[i] - cb.cv[i]))),
+        |        cb.cid) AS rn
+        |    FROM (SELECT vec_id, cell_id, s,
+        |            list_transform(range(1, 9), i -> r[s*8 + i]) AS v
+        |          FROM res, range(0, 8) t(s)) sub
+        |    JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+        |probe AS (
+        |  SELECT q_id, cell_id, c FROM (
+        |    SELECT q.q_id, cells.cell_id, cells.c,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (q.qq[i] - cells.c[i]) * (q.qq[i] - cells.c[i]))),
+        |        cells.cell_id) AS rn
+        |    FROM qs q CROSS JOIN cells) WHERE rn <= 2),
+        |lut AS (
+        |  SELECT p.q_id, p.cell_id, cb.s, cb.cid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (q.qq[cb.s*8 + i] - p.c[cb.s*8 + i] - cb.cv[i])
+        |         * (q.qq[cb.s*8 + i] - p.c[cb.s*8 + i] - cb.cv[i]))) AS ld
+        |  FROM probe p JOIN qs q ON q.q_id = p.q_id CROSS JOIN cb),
+        |adc AS (
+        |  SELECT l.q_id, e.vec_id, e.cell_id,
+        |    CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+        |  FROM enc e JOIN lut l ON l.cell_id = e.cell_id AND l.s = e.s
+        |    AND l.cid = e.code
+        |  GROUP BY l.q_id, e.vec_id, e.cell_id),
+        |top AS (
+        |  SELECT q_id, vec_id, cell_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rn
+        |  FROM adc)
+        |SELECT t.q_id, CAST(t.rn AS INT) AS rn, t.vec_id AS cand_id,
+        |  t.cell_id, t.adc_dist,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (qs.qq[i] - corp.q[i]) * (qs.qq[i] - corp.q[i])))
+        |    AS BIGINT) AS exact_dist
+        |FROM top t
+        |JOIN qs ON qs.q_id = t.q_id
+        |JOIN corp ON corp.vec_id = t.vec_id
+        |WHERE t.rn <= 5
+        |ORDER BY t.q_id, t.rn""".stripMargin) { (s, dir) =>
+      // Integer bounds: quantized |q_i| ≤ ~4000 → residuals ≤ 8000,
+      // LUT terms (q − c − cv) ≤ 16000 → squares ≤ 2.6e8, subspace
+      // sums ≤ 2.1e9, 64-dim sums ≤ 1.7e10 — all << 2^53, so every
+      // dot_f expansion below is bit-equal to the oracle's Σ(x−y)².
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000)" +
+          " as bigint))").as("q"))
+        .withColumn("qd", col("q").cast("array<double>"))
+        .withColumn("en", dot("qd", "qd"))
+      val cellsB = broadcast(emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cell_id"), col("qd").as("cd"),
+          col("en").as("cn")))
+      val corp = emb.filter(col("vec_id") >= 9)
+      // Coarse assignment + residual in one pass: min(struct) carries
+      // the winning centroid array so the residual needs no re-join
+      // (cell_id is unique per distance tie-break, so the trailing cd
+      // never participates in the ordering).
+      val res = corp.crossJoin(cellsB)
+        .withColumn("d",
+          (col("en") + col("cn") - lit(2) * dot("qd", "cd")).cast("long"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cell_id"), col("cd"))).as("best"),
+          first(col("qd")).as("qd"))
+        .select(col("vec_id"), col("best.cell_id").as("cell_id"),
+          expr("zip_with(qd, best.cd, (a, b) -> a - b)").as("rd"))
+      // (id-ish, s, v, vn) subspace slices of an array column.
+      def slices(df: DataFrame, vcol: String, carry: String*) = df
+        .select(carry.map(col) :+ posexplode(expr(
+          s"transform(sequence(0, 7), s -> slice($vcol, s*8 + 1, 8))")): _*)
+        .select(carry.map(col) :+ col("pos").as("s") :+ col("col").as("v"): _*)
+        .withColumn("vn", dot("v", "v"))
+      // Shared residual codebook: residuals of vectors 9..12, sliced.
+      val cb = broadcast(
+        slices(res.filter(col("vec_id") >= 9 && col("vec_id") < 13),
+          "rd", "vec_id")
+          .select((col("vec_id") - 9).cast("int").as("cid"), col("s"),
+            col("v").as("cv"), col("vn").as("cvn")))
+      val codes = slices(res, "rd", "vec_id", "cell_id")
+        .join(cb, "s")
+        .withColumn("d",
+          (col("vn") + col("cvn") - lit(2) * dot("v", "cv")).cast("long"))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("cid"))).as("best"),
+          first(col("cell_id")).as("cell_id"))
+        .groupBy("vec_id")
+        .agg(first(col("cell_id")).as("cell_id"), expr(
+          "transform(sort_array(collect_list(struct(s, best.cid as code)))," +
+            " x -> x.code)").as("codes"))
+      // nprobe=2 cells per query, then one LUT per (query, cell) over
+      // the query's per-cell residual.
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 9)
+        .select(col("vec_id").as("q_id"), col("qd").as("qv"),
+          col("en").as("qn"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("d"), col("cell_id"))
+      val probe = qs.crossJoin(cellsB)
+        .withColumn("d",
+          (col("qn") + col("cn") - lit(2) * dot("qv", "cd")).cast("long"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("cell_id"),
+          expr("zip_with(qv, cd, (a, b) -> a - b)").as("qr"))
+      val lut = broadcast(slices(probe, "qr", "q_id", "cell_id")
+        .join(cb, "s")
+        .withColumn("ld",
+          (col("vn") + col("cvn") - lit(2) * dot("v", "cv")).cast("long"))
+        .withColumn("k", col("s") * 4 + col("cid"))
+        .groupBy("q_id", "cell_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(k, ld))), x -> x.ld)")
+          .as("lut")))
+      // ADC scan: equi-join the code table to the probed-cell LUTs on
+      // cell_id — the cell-partition pruning shape — then pure lookups.
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+      val top = codes.join(lut, "cell_id")
+        .withColumn("adc_dist", expr(
+          "aggregate(zip_with(codes, sequence(0, 7)," +
+            " (c, s) -> element_at(lut, cast(s*4 + c + 1 as int)))," +
+            " cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("int").as("rn"),
+          col("vec_id").as("cand_id"), col("cell_id"), col("adc_dist"))
+      val corpV = corp.select(col("vec_id").as("cand_id"),
+        col("qd").as("cv2"), col("en").as("cvn2"))
+      val qV = broadcast(qs.select(col("q_id"), col("qv"), col("qn")))
+      top.join(corpV, "cand_id").join(qV, "q_id")
+        .withColumn("exact_dist",
+          (col("qn") + col("cvn2") - lit(2) * dot("qv", "cv2")).cast("long"))
+        .select("q_id", "rn", "cand_id", "cell_id", "adc_dist",
+          "exact_dist")
+        .orderBy("q_id", "rn")
+    },
+
     // Image RESIZE over the real BMP pixel bytes (round 12 — the brief's
     // decode / feature-extract / RESIZE / frame-sample quartet had
     // everything but this step): nearest-neighbor 8×2 thumbnails are

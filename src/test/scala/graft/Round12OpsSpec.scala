@@ -91,6 +91,49 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_ivfpq matches an independent scalar recompute") {
+    val rows = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
+    assert(rows.length === 25, "5 queries x top-5")
+    val corpus = qemb.keys.filter(_ >= 9).toSeq.sorted
+    // coarse assignment + residuals
+    def assignCell(v: Array[Long]): Int =
+      (0 until 4).minBy(cid => (subL2(v, 0, qemb(cid.toLong), 0, 64), cid))
+    def residual(v: Array[Long], cid: Int): Array[Long] =
+      Array.tabulate(64)(i => v(i) - qemb(cid.toLong)(i))
+    val cellOf = corpus.map(id => id -> assignCell(qemb(id))).toMap
+    val resOf = corpus.map(id =>
+      id -> residual(qemb(id), cellOf(id))).toMap
+    // shared residual codebook = residuals of vectors 9..12
+    val cb = (0 until 4).map(j => resOf(9L + j)).toArray
+    def encodeRes(r: Array[Long]): Array[Int] =
+      Array.tabulate(M) { s =>
+        (0 until K).minBy(j => (subL2(r, s * DSUB, cb(j), s * DSUB, DSUB), j))
+      }
+    val codesOf = corpus.map(id => id -> encodeRes(resOf(id))).toMap
+    val expected = (4L until 9L).flatMap { qId =>
+      val qq = qemb(qId)
+      val probed = (0 until 4)
+        .sortBy(cid => (subL2(qq, 0, qemb(cid.toLong), 0, 64), cid))
+        .take(2).toSet
+      corpus.filter(id => probed.contains(cellOf(id)))
+        .map { id =>
+          val qr = residual(qq, cellOf(id))
+          val adcD = (0 until M).map(s =>
+            subL2(qr, s * DSUB, cb(codesOf(id)(s)), s * DSUB, DSUB)).sum
+          (id, adcD)
+        }
+        .sortBy { case (id, d) => (d, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, d), i) =>
+          (qId, i + 1, id, cellOf(id).toLong, d,
+            subL2(qq, 0, qemb(id), 0, 64))
+        }
+    }
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "IVF-PQ pipeline diverges from scalar recompute")
+  }
+
   test("encoded codes stay in the codebook domain") {
     val corpus = qemb.keys.filter(_ >= 9)
     corpus.foreach { id =>
