@@ -79,6 +79,82 @@ object Similarity extends QueryPack {
         s"AS BIGINT) AS p$j"
     }.mkString(",\n        ")
 
+  /** Shared by q_ann_ivfpq and q_ann_ivfpq_index: identical
+    * semantics, so one oracle replays both (from-scratch vs
+    * from-persisted-index answers must agree exactly).
+    */
+  private val ivfpqOracleSql =
+    """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id AS cell_id, q AS c FROM emb
+        |          WHERE vec_id < 4),
+        |qs AS (SELECT vec_id AS q_id, q AS qq FROM emb
+        |       WHERE vec_id >= 4 AND vec_id < 9),
+        |corp AS (SELECT vec_id, q FROM emb WHERE vec_id >= 9),
+        |asg AS (
+        |  SELECT vec_id, q, cell_id, c FROM (
+        |    SELECT corp.vec_id, corp.q, cells.cell_id, cells.c,
+        |      row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (corp.q[i] - cells.c[i]) * (corp.q[i] - cells.c[i]))),
+        |        cells.cell_id) AS rn
+        |    FROM corp CROSS JOIN cells) WHERE rn = 1),
+        |res AS (SELECT vec_id, cell_id,
+        |          list_transform(range(1, 65), i -> q[i] - c[i]) AS r
+        |        FROM asg),
+        |cb AS (
+        |  SELECT vec_id - 9 AS cid, s,
+        |    list_transform(range(1, 9), i -> r[s*8 + i]) AS cv
+        |  FROM res, range(0, 8) t(s) WHERE vec_id >= 9 AND vec_id < 13),
+        |enc AS (
+        |  SELECT vec_id, cell_id, s, cid AS code FROM (
+        |    SELECT sub.vec_id, sub.cell_id, sub.s, cb.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (sub.v[i] - cb.cv[i]) * (sub.v[i] - cb.cv[i]))),
+        |        cb.cid) AS rn
+        |    FROM (SELECT vec_id, cell_id, s,
+        |            list_transform(range(1, 9), i -> r[s*8 + i]) AS v
+        |          FROM res, range(0, 8) t(s)) sub
+        |    JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+        |probe AS (
+        |  SELECT q_id, cell_id, c FROM (
+        |    SELECT q.q_id, cells.cell_id, cells.c,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (q.qq[i] - cells.c[i]) * (q.qq[i] - cells.c[i]))),
+        |        cells.cell_id) AS rn
+        |    FROM qs q CROSS JOIN cells) WHERE rn <= 2),
+        |lut AS (
+        |  SELECT p.q_id, p.cell_id, cb.s, cb.cid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (q.qq[cb.s*8 + i] - p.c[cb.s*8 + i] - cb.cv[i])
+        |         * (q.qq[cb.s*8 + i] - p.c[cb.s*8 + i] - cb.cv[i]))) AS ld
+        |  FROM probe p JOIN qs q ON q.q_id = p.q_id CROSS JOIN cb),
+        |adc AS (
+        |  SELECT l.q_id, e.vec_id, e.cell_id,
+        |    CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+        |  FROM enc e JOIN lut l ON l.cell_id = e.cell_id AND l.s = e.s
+        |    AND l.cid = e.code
+        |  GROUP BY l.q_id, e.vec_id, e.cell_id),
+        |top AS (
+        |  SELECT q_id, vec_id, cell_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS rn
+        |  FROM adc)
+        |SELECT t.q_id, CAST(t.rn AS INT) AS rn, t.vec_id AS cand_id,
+        |  t.cell_id, t.adc_dist,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (qs.qq[i] - corp.q[i]) * (qs.qq[i] - corp.q[i])))
+        |    AS BIGINT) AS exact_dist
+        |FROM top t
+        |JOIN qs ON qs.q_id = t.q_id
+        |JOIN corp ON corp.vec_id = t.vec_id
+        |WHERE t.rn <= 5
+        |ORDER BY t.q_id, t.rn""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-3 per query vector (queries = vec_id < 5).
@@ -1662,77 +1738,7 @@ object Similarity extends QueryPack {
     // corpus (cell-partition pruning) and scans codes with broadcast
     // LUTs (an equi-join on cell_id, no BNLJ on the corpus side);
     // cells, codebook and LUTs are all model-sized broadcasts.
-    q("q_ann_ivfpq",
-      """WITH emb AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |cells AS (SELECT vec_id AS cell_id, q AS c FROM emb
-        |          WHERE vec_id < 4),
-        |qs AS (SELECT vec_id AS q_id, q AS qq FROM emb
-        |       WHERE vec_id >= 4 AND vec_id < 9),
-        |corp AS (SELECT vec_id, q FROM emb WHERE vec_id >= 9),
-        |asg AS (
-        |  SELECT vec_id, q, cell_id, c FROM (
-        |    SELECT corp.vec_id, corp.q, cells.cell_id, cells.c,
-        |      row_number() OVER (PARTITION BY corp.vec_id ORDER BY
-        |        list_sum(list_transform(range(1, 65),
-        |          i -> (corp.q[i] - cells.c[i]) * (corp.q[i] - cells.c[i]))),
-        |        cells.cell_id) AS rn
-        |    FROM corp CROSS JOIN cells) WHERE rn = 1),
-        |res AS (SELECT vec_id, cell_id,
-        |          list_transform(range(1, 65), i -> q[i] - c[i]) AS r
-        |        FROM asg),
-        |cb AS (
-        |  SELECT vec_id - 9 AS cid, s,
-        |    list_transform(range(1, 9), i -> r[s*8 + i]) AS cv
-        |  FROM res, range(0, 8) t(s) WHERE vec_id >= 9 AND vec_id < 13),
-        |enc AS (
-        |  SELECT vec_id, cell_id, s, cid AS code FROM (
-        |    SELECT sub.vec_id, sub.cell_id, sub.s, cb.cid,
-        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
-        |        list_sum(list_transform(range(1, 9),
-        |          i -> (sub.v[i] - cb.cv[i]) * (sub.v[i] - cb.cv[i]))),
-        |        cb.cid) AS rn
-        |    FROM (SELECT vec_id, cell_id, s,
-        |            list_transform(range(1, 9), i -> r[s*8 + i]) AS v
-        |          FROM res, range(0, 8) t(s)) sub
-        |    JOIN cb ON cb.s = sub.s) WHERE rn = 1),
-        |probe AS (
-        |  SELECT q_id, cell_id, c FROM (
-        |    SELECT q.q_id, cells.cell_id, cells.c,
-        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |        list_sum(list_transform(range(1, 65),
-        |          i -> (q.qq[i] - cells.c[i]) * (q.qq[i] - cells.c[i]))),
-        |        cells.cell_id) AS rn
-        |    FROM qs q CROSS JOIN cells) WHERE rn <= 2),
-        |lut AS (
-        |  SELECT p.q_id, p.cell_id, cb.s, cb.cid,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (q.qq[cb.s*8 + i] - p.c[cb.s*8 + i] - cb.cv[i])
-        |         * (q.qq[cb.s*8 + i] - p.c[cb.s*8 + i] - cb.cv[i]))) AS ld
-        |  FROM probe p JOIN qs q ON q.q_id = p.q_id CROSS JOIN cb),
-        |adc AS (
-        |  SELECT l.q_id, e.vec_id, e.cell_id,
-        |    CAST(SUM(l.ld) AS BIGINT) AS adc_dist
-        |  FROM enc e JOIN lut l ON l.cell_id = e.cell_id AND l.s = e.s
-        |    AND l.cid = e.code
-        |  GROUP BY l.q_id, e.vec_id, e.cell_id),
-        |top AS (
-        |  SELECT q_id, vec_id, cell_id, adc_dist,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY adc_dist, vec_id) AS rn
-        |  FROM adc)
-        |SELECT t.q_id, CAST(t.rn AS INT) AS rn, t.vec_id AS cand_id,
-        |  t.cell_id, t.adc_dist,
-        |  CAST(list_sum(list_transform(range(1, 65),
-        |    i -> (qs.qq[i] - corp.q[i]) * (qs.qq[i] - corp.q[i])))
-        |    AS BIGINT) AS exact_dist
-        |FROM top t
-        |JOIN qs ON qs.q_id = t.q_id
-        |JOIN corp ON corp.vec_id = t.vec_id
-        |WHERE t.rn <= 5
-        |ORDER BY t.q_id, t.rn""".stripMargin) { (s, dir) =>
+    q("q_ann_ivfpq", ivfpqOracleSql) { (s, dir) =>
       // Integer bounds: quantized |q_i| ≤ ~4000 → residuals ≤ 8000,
       // LUT terms (q − c − cv) ≤ 16000 → squares ≤ 2.6e8, subspace
       // sums ≤ 2.1e9, 64-dim sums ≤ 1.7e10 — all << 2^53, so every
@@ -1820,6 +1826,85 @@ object Similarity extends QueryPack {
       val corpV = corp.select(col("vec_id").as("cand_id"),
         col("qd").as("cv2"), col("en").as("cvn2"))
       val qV = broadcast(qs.select(col("q_id"), col("qv"), col("qn")))
+      top.join(corpV, "cand_id").join(qV, "q_id")
+        .withColumn("exact_dist",
+          (col("qn") + col("cvn2") - lit(2) * dot("qv", "cv2")).cast("long"))
+        .select("q_id", "rn", "cand_id", "cell_id", "adc_dist",
+          "exact_dist")
+        .orderBy("q_id", "rn")
+    },
+
+    // IVF-PQ from a PERSISTED index (round 12): the production "build
+    // once, query many" shape — sources/IvfPqIndex materializes the
+    // expensive steps (coarse assignment + residual encode) as parquet
+    // tables, with the code table PARTITIONED BY cell_id; the search
+    // then (1) probes the 2 nearest cells from the 4-row cells table,
+    // (2) routes driver-side (≤4 cell ids — model-sized, the ANN
+    // service's probe scheduler), (3) reads ONLY the probed cells'
+    // partitions of the code table (PartitionFilters in the plan,
+    // asserted in Round12OpsSpec), (4) scans codes with broadcast
+    // LUTs and reranks the top-5 exactly. Answers are identical to
+    // q_ann_ivfpq — one oracle replays both, so the artifact
+    // round-trip (build → parquet → read → search) is hash-gated.
+    // 100 TB: a query touches nprobe/nlist of a BYTES table instead
+    // of the float corpus — partition pruning × 32× compression.
+    q("q_ann_ivfpq_index", ivfpqOracleSql) { (s, dir) =>
+      val idx = graft.sources.IvfPqIndex.ensure(s, dir)
+      val emb = graft.sources.IvfPqIndex.quantized(s, dir)
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 9)
+        .select(col("vec_id").as("q_id"), col("qd").as("qv"),
+          col("en").as("qn"))
+      val cells = broadcast(s.read.parquet(idx + "/cells")
+        .withColumn("cd", col("c").cast("array<double>"))
+        .withColumn("cn", expr("dot_f(cd, cd)"))
+        .select(col("cell_id"), col("cd"), col("cn")))
+      val cb = broadcast(s.read.parquet(idx + "/codebook")
+        .withColumn("cv", col("cv").cast("array<double>"))
+        .withColumn("cvn", expr("dot_f(cv, cv)")))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("d"), col("cell_id"))
+      val probe = qs.crossJoin(cells)
+        .withColumn("d",
+          (col("qn") + col("cn") - lit(2) * dot("qv", "cd")).cast("long"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("cell_id"),
+          expr("zip_with(qv, cd, (a, b) -> a - b)").as("qr"))
+        .localCheckpoint(true) // probed twice below (routing + LUTs)
+      // Driver-side probe routing: ≤ nlist(4) cell ids — model-sized
+      // by construction (this is the collect an ANN service does to
+      // schedule probes; never corpus data).
+      val probedCells = probe.select("cell_id").distinct()
+        .collect().map(_.getLong(0))
+      val lut = broadcast(graft.sources.IvfPqIndex
+        .slices(probe, "qr", "q_id", "cell_id")
+        .join(cb, "s")
+        .withColumn("ld",
+          (col("vn") + col("cvn") - lit(2) * dot("v", "cv")).cast("long"))
+        .withColumn("k", col("s") * 4 + col("cid"))
+        .groupBy("q_id", "cell_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(k, ld))), x -> x.ld)")
+          .as("lut")))
+      // Pruned code scan: only the probed cells' partitions are read.
+      val codes = s.read.parquet(idx + "/codes")
+        .filter(col("cell_id").isin(probedCells.map(Long.box): _*))
+        .withColumn("cell_id", col("cell_id").cast("long"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+      val top = codes.join(lut, "cell_id")
+        .withColumn("adc_dist", expr(
+          "aggregate(zip_with(codes, sequence(0, 7)," +
+            " (c, s) -> element_at(lut, cast(s*4 + c + 1 as int)))," +
+            " cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("int").as("rn"),
+          col("vec_id").as("cand_id"), col("cell_id"), col("adc_dist"))
+      val corpV = emb.filter(col("vec_id") >= 9)
+        .select(col("vec_id").as("cand_id"), col("qd").as("cv2"),
+          col("en").as("cvn2"))
+      val qV = broadcast(qs)
       top.join(corpV, "cand_id").join(qV, "q_id")
         .withColumn("exact_dist",
           (col("qn") + col("cvn2") - lit(2) * dot("qv", "cv2")).cast("long"))

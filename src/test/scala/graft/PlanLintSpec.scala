@@ -62,7 +62,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_text_bm25", // 1-row corpus N/avgdl scalar joined to query-term tf
     "q_audit_drift", // sources(≤~20 rows) × 1024-bucket literal frame
     "q_ann_pq_adc", // 5-row query-LUT frame broadcast vs the code table
-    "q_ann_ivfpq" // 4-row cell centroid frame vs corpus/query sides
+    "q_ann_ivfpq", // 4-row cell centroid frame vs corpus/query sides
+    "q_ann_ivfpq_index" // 4-row persisted cells table vs the query set
   )
 
   /** Queries allowed an un-partitioned Window: documented single-task
@@ -133,7 +134,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_decontam_substring", // doc_id < 50 eval snippet set
     "q_decontam_semantic", // vec_id < 16 eval-embedding set
     "q_ann_pq_adc", // vec_id < 4 codebook + vec_id in [4,9) query LUTs
-    "q_ann_ivfpq" // 4 cells, 4-entry residual codebook, 10 (q,cell) LUTs
+    "q_ann_ivfpq", // 4 cells, 4-entry residual codebook, 10 (q,cell) LUTs
+    "q_ann_ivfpq_index" // vec_id in [4,9) query set vs the rerank join
   )
 
   /** Round-8 lesson, machine-checked: an explicit broadcast() on a

@@ -134,6 +134,32 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got === expected, "IVF-PQ pipeline diverges from scalar recompute")
   }
 
+  test("q_ann_ivfpq_index answers from the artifact with pruned partitions") {
+    val fromScratch = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir)
+      .collect().toSeq
+    val fromIndex = SparkEntry.queries("q_ann_ivfpq_index")(spark, sfDir)
+      .collect().toSeq
+    assert(fromIndex === fromScratch,
+      "persisted-index search diverges from the from-scratch pipeline")
+    // The code-table scan must carry cell_id partition filters — the
+    // nprobe/nlist read-reduction IS the point of the persisted index.
+    val idx = sources.IvfPqIndex.ensure(spark, sfDir)
+    val probed = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir)
+      .select("cell_id").distinct().collect().map(_.getLong(0))
+    val pruned = spark.read.parquet(idx + "/codes")
+      .filter(org.apache.spark.sql.functions.col("cell_id")
+        .isin(probed.map(Long.box): _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cell_id"),
+      s"expected cell_id partition filters in:\n$plan")
+    // and the pruned read returns strictly fewer rows than the table
+    // when not all cells are probed
+    val total = spark.read.parquet(idx + "/codes").count()
+    if (probed.length < 4)
+      assert(pruned.count() < total, "partition pruning had no effect")
+  }
+
   test("encoded codes stay in the codebook domain") {
     val corpus = qemb.keys.filter(_ >= 9)
     corpus.foreach { id =>
