@@ -70,13 +70,40 @@ object Aggregates extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val l = t(s, dir, "lineitem")
-      l.groupBy("l_returnflag")
-        .agg(
-          countDistinct(l("l_suppkey")).as("supp_cnt"),
-          countDistinct(l("l_partkey")).as("part_cnt"),
-          sum_distinct(dec(l("l_quantity"))).cast("double").as("sum_dist_qty"),
-          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"),
-          min("l_linestatus").as("min_status"), max("l_quantity").as("max_qty"))
+      // THREE distinct aggregates over DIFFERENT columns make Catalyst
+      // plan an Expand (3 rows per input row, all columns carried) —
+      // measured 5.16 s forced at sf0.1, the suite's worst
+      // materialized entry. Split form: one column-pruned
+      // distinct+agg pass PER distinct column (each a deduplicating
+      // 2-column shuffle — strictly less volume than Expand's 3× wide
+      // rows), one plain pass for the non-distinct aggregates, then a
+      // 3-row broadcast join chain on the grouping key. Measured
+      // 5.16 → 0.86 s forced (5-iter sf0.1 medians); identical
+      // results (same oracle hash).
+      // At 100 TB the Expand form shuffles 3× the corpus width; this
+      // form shuffles three deduped (flag, key) pair sets.
+      // distinct runs over the EXPRESSION (matters for the decimal
+      // cast: SUM(DISTINCT CAST(..)) dedups after casting).
+      def distPass(e: org.apache.spark.sql.Column,
+          agg: org.apache.spark.sql.Column, alias: String) =
+        l.select(col("l_returnflag"), e.as("dv")).distinct()
+          .groupBy("l_returnflag").agg(agg.as(alias))
+      val base = l.groupBy("l_returnflag")
+        .agg(min("l_shipdate").as("min_ship"),
+          max("l_shipdate").as("max_ship"),
+          min("l_linestatus").as("min_status"),
+          max("l_quantity").as("max_qty"))
+      base
+        .join(distPass(col("l_suppkey"), count("dv"), "supp_cnt"),
+          "l_returnflag")
+        .join(distPass(col("l_partkey"), count("dv"), "part_cnt"),
+          "l_returnflag")
+        .join(distPass(dec(col("l_quantity")),
+          sum(col("dv")).cast("double"), "sum_dist_qty"),
+          "l_returnflag")
+        .select(col("l_returnflag"), col("supp_cnt"), col("part_cnt"),
+          col("sum_dist_qty"), col("min_ship"), col("max_ship"),
+          col("min_status"), col("max_qty"))
         .orderBy("l_returnflag")
     },
 
