@@ -1719,6 +1719,139 @@ object Similarity extends QueryPack {
         .orderBy("q_id", "rn")
     },
 
+    // PQ with ADC SHORTLIST + EXACT RERANK (round 12 — the production
+    // retrieval shape; q_ann_pq_adc above isolates pure ADC
+    // semantics): 8-byte codes are a lossy sketch, so ranking by ADC
+    // alone is recall-poor on unstructured embeddings (measured 0.20
+    // recall@5 here); real systems retrieve a WIDE ADC shortlist and
+    // rerank it exactly. This query uses a 16-entry codebook per
+    // subspace (vectors 9..24 sliced), takes the ADC top-50 per query,
+    // reranks those 50 with the true 64-dim distance, and returns the
+    // exact top-5 — measured recall@5 = 0.56 vs brute force on this
+    // corpus (spec-floored at 0.4 in Round12OpsSpec), vs 0.20 without
+    // the rerank. Production sizing note: FAISS defaults to k=256
+    // codes/subspace trained by per-subspace k-means — here k=16
+    // untrained keeps the oracle's argmin replay compact; the
+    // shortlist/rerank STRUCTURE is what carries to 100 TB (the ADC
+    // scan touches 8-byte codes; only shortlist·queries rows ever see
+    // floats again).
+    q("q_ann_pq_rerank",
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cb AS (
+        |  SELECT vec_id - 9 AS cid, s,
+        |    list_transform(range(1, 9), i -> q[s*8 + i]) AS cv
+        |  FROM emb, range(0, 8) t(s) WHERE vec_id >= 9 AND vec_id < 25),
+        |qs AS (SELECT vec_id AS q_id, q AS qq FROM emb
+        |       WHERE vec_id >= 4 AND vec_id < 9),
+        |corp AS (SELECT vec_id, q FROM emb WHERE vec_id >= 9),
+        |sub AS (
+        |  SELECT vec_id, s,
+        |    list_transform(range(1, 9), i -> q[s*8 + i]) AS v
+        |  FROM corp, range(0, 8) t(s)),
+        |enc AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT sub.vec_id, sub.s, cb.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY list_sum(list_transform(range(1, 9),
+        |          i -> (sub.v[i] - cb.cv[i]) * (sub.v[i] - cb.cv[i]))),
+        |          cb.cid) AS rn
+        |    FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.q_id, cb.s, cb.cid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (q.qq[cb.s*8 + i] - cb.cv[i])
+        |         * (q.qq[cb.s*8 + i] - cb.cv[i]))) AS ld
+        |  FROM qs q CROSS JOIN cb),
+        |adc AS (
+        |  SELECT l.q_id, e.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+        |  FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+        |  GROUP BY l.q_id, e.vec_id),
+        |short AS (
+        |  SELECT q_id, vec_id, adc_dist FROM (
+        |    SELECT q_id, vec_id, adc_dist,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc_dist, vec_id) AS rn
+        |    FROM adc) WHERE rn <= 50),
+        |rer AS (
+        |  SELECT sh.q_id, sh.vec_id, sh.adc_dist,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (qs.qq[i] - c.q[i]) * (qs.qq[i] - c.q[i])))
+        |      AS BIGINT) AS exact_dist
+        |  FROM short sh
+        |  JOIN qs ON qs.q_id = sh.q_id
+        |  JOIN corp c ON c.vec_id = sh.vec_id)
+        |SELECT q_id, CAST(rn AS INT) AS rn, vec_id AS cand_id,
+        |  adc_dist, exact_dist
+        |FROM (
+        |  SELECT q_id, vec_id, adc_dist, exact_dist,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY exact_dist, vec_id) AS rn
+        |  FROM rer) WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000)" +
+          " as bigint))").as("q"))
+        .withColumn("qd", col("q").cast("array<double>"))
+        .withColumn("en", dot("qd", "qd"))
+      def sl(df: DataFrame, vcol: String, carry: String*) =
+        graft.sources.IvfPqIndex.slices(df, vcol, carry: _*)
+      val cb = broadcast(
+        sl(emb.filter(col("vec_id") >= 9 && col("vec_id") < 25),
+          "qd", "vec_id")
+          .select((col("vec_id") - 9).cast("int").as("cid"), col("s"),
+            col("v").as("cv"), col("vn").as("cvn")))
+      val corp = emb.filter(col("vec_id") >= 9)
+      val codes = sl(corp, "qd", "vec_id")
+        .join(cb, "s")
+        .withColumn("d",
+          (col("vn") + col("cvn") - lit(2) * dot("v", "cv")).cast("long"))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("cid"))).as("best"))
+        .groupBy("vec_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(s, best.cid as code)))," +
+            " x -> x.code)").as("codes"))
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 9)
+        .select(col("vec_id").as("q_id"), col("qd").as("qv"),
+          col("en").as("qn"))
+      val lut = broadcast(sl(qs, "qv", "q_id")
+        .join(cb, "s")
+        .withColumn("ld",
+          (col("vn") + col("cvn") - lit(2) * dot("v", "cv")).cast("long"))
+        .withColumn("k", col("s") * 16 + col("cid"))
+        .groupBy("q_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(k, ld))), x -> x.ld)")
+          .as("lut")))
+      val wShort = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+      val short = codes.crossJoin(lut)
+        .withColumn("adc_dist", expr(
+          "aggregate(zip_with(codes, sequence(0, 7)," +
+            " (c, s) -> element_at(lut, cast(s*16 + c + 1 as int)))," +
+            " cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("rn", row_number().over(wShort))
+        .filter(col("rn") <= 50)
+        .select(col("q_id"), col("vec_id").as("cand_id"), col("adc_dist"))
+      // Exact rerank of the 250 shortlist rows; the corpus side joins
+      // by id (shortlist broadcasts), floats touched only here.
+      val corpV = corp.select(col("vec_id").as("cand_id"),
+        col("qd").as("cv2"), col("en").as("cvn2"))
+      val qV = broadcast(qs)
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("exact_dist"), col("cand_id"))
+      short.join(corpV, "cand_id").join(qV, "q_id")
+        .withColumn("exact_dist",
+          (col("qn") + col("cvn2") - lit(2) * dot("qv", "cv2")).cast("long"))
+        .withColumn("rn", row_number().over(wExact).cast("int"))
+        .filter(col("rn") <= 5)
+        .select("q_id", "rn", "cand_id", "adc_dist", "exact_dist")
+        .orderBy("q_id", "rn")
+    },
+
     // IVF-PQ (round 12 — the FAISS workhorse index, composing the
     // coarse-cell IVF idea with the PQ codes above; Jégou et al. 2011
     // §IV): corpus vectors are assigned to their nearest coarse cell

@@ -63,7 +63,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_audit_drift", // sources(≤~20 rows) × 1024-bucket literal frame
     "q_ann_pq_adc", // 5-row query-LUT frame broadcast vs the code table
     "q_ann_ivfpq", // 4-row cell centroid frame vs corpus/query sides
-    "q_ann_ivfpq_index" // 4-row persisted cells table vs the query set
+    "q_ann_ivfpq_index", // 4-row persisted cells table vs the query set
+    "q_ann_pq_rerank" // 5-row query-LUT frame broadcast vs the code table
   )
 
   /** Queries allowed an un-partitioned Window: documented single-task
@@ -135,7 +136,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_decontam_semantic", // vec_id < 16 eval-embedding set
     "q_ann_pq_adc", // vec_id < 4 codebook + vec_id in [4,9) query LUTs
     "q_ann_ivfpq", // 4 cells, 4-entry residual codebook, 10 (q,cell) LUTs
-    "q_ann_ivfpq_index" // vec_id in [4,9) query set vs the rerank join
+    "q_ann_ivfpq_index", // vec_id in [4,9) query set vs the rerank join
+    "q_ann_pq_rerank" // vec_id in [9,25) codebook + [4,9) query LUTs
   )
 
   /** Round-8 lesson, machine-checked: an explicit broadcast() on a

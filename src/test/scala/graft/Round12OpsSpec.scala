@@ -160,6 +160,25 @@ class Round12OpsSpec extends AnyFunSuite {
       assert(pruned.count() < total, "partition pruning had no effect")
   }
 
+  test("q_ann_pq_rerank recall@5 beats the floor (0.56 measured, pure ADC 0.20)") {
+    val rows = SparkEntry.queries("q_ann_pq_rerank")(spark, sfDir).collect()
+    assert(rows.length === 25)
+    val got = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val corpus = qemb.keys.filter(_ >= 9).toSeq.sorted
+    var hit = 0
+    for (qId <- 4L until 9L) {
+      val qq = qemb(qId)
+      val exact = corpus.map(id => (id, subL2(qq, 0, qemb(id), 0, 64)))
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+      hit += (got(qId) & exact).size
+    }
+    val recall = hit.toDouble / 25
+    info(f"PQ shortlist-rerank recall@5 = $recall%.2f")
+    assert(recall >= 0.4,
+      f"recall@5 $recall%.2f below floor 0.4 — shortlist/rerank regressed")
+  }
+
   test("encoded codes stay in the codebook domain") {
     val corpus = qemb.keys.filter(_ >= 9)
     corpus.foreach { id =>
