@@ -1979,6 +1979,11 @@ object Similarity extends QueryPack {
     // LUTs and reranks the top-5 exactly. Answers are identical to
     // q_ann_ivfpq — one oracle replays both, so the artifact
     // round-trip (build → parquet → read → search) is hash-gated.
+    // Retrieval-quality note: q_ann_ivfpq and this index rank by raw
+    // ADC (the k=4 codebooks keep the oracle compact but quantize
+    // coarsely — recall@5 ≈ 0 on this corpus); production retrieval
+    // composes the index with the ADC-shortlist + exact-rerank of
+    // q_ann_pq_rerank (recall@5 0.56 measured there, spec-floored).
     // 100 TB: a query touches nprobe/nlist of a BYTES table instead
     // of the float corpus — partition pruning × 32× compression.
     q("q_ann_ivfpq_index", ivfpqOracleSql) { (s, dir) =>
