@@ -2170,5 +2170,177 @@ object Similarity extends QueryPack {
         .select(col("doc_id"), col("frame"), col("luma_sum"),
           col("delta_prev"))
         .orderBy("doc_id", "frame")
+    },
+
+    // PERCEPTUAL image hash (dHash, round 13): the fingerprint step of
+    // an image near-dup pipeline, computed FROM THE REAL BMP BYTES — a
+    // 9×8 nearest-neighbor grayscale downsample of the bottom-up padded
+    // BGR rows, then one bit per horizontal gradient (64 bits total,
+    // packed as two non-negative 32-bit halves so both engines stay
+    // inside signed-BIGINT shifts — the hash contract lives in
+    // sources/MediaBlobs.dhashBmp). The oracle replays grid indexing
+    // (sx = xd*w div 9, sy = yd*h div 8), the R+G+B integer luma proxy
+    // and the bit packing from the generator pixel contract — a wrong
+    // pixel offset, grid rounding, comparison direction or packing
+    // order flips bits and hash-mismatches. MediaBlobsSpec additionally
+    // proves the perceptual property that motivates dHash: a +10
+    // brightness-shifted copy (different md5) keeps the identical
+    // dHash. 100 TB: per-row map over the blob column, no shuffle.
+    q("q_image_dhash",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE doc_id < 64 AND (doc_id % 41) % 2 = 0),
+        |m AS (SELECT doc_id, g, 200 + (g * 13) % 800 AS w, 2 + g % 5 AS h
+        |      FROM d),
+        |b AS (SELECT doc_id, g, w, h, unnest(range(0, 64)) AS i FROM m),
+        |v AS (SELECT doc_id, i,
+        |        ((i % 8) * w) // 9 AS xa, (((i % 8) + 1) * w) // 9 AS xb,
+        |        ((i // 8) * h) // 8 AS sy, g
+        |      FROM b),
+        |bits AS (SELECT doc_id, i,
+        |    CASE WHEN (xb + 7*sy + g) % 251 + (xb + 7*sy + 11 + g) % 251
+        |              + (xb + 7*sy + 22 + g) % 251
+        |            > (xa + 7*sy + g) % 251 + (xa + 7*sy + 11 + g) % 251
+        |              + (xa + 7*sy + 22 + g) % 251
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM v)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN i >= 32
+        |    THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT)
+        |    AS dh_hi,
+        |  CAST(SUM(CASE WHEN i < 32
+        |    THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS BIGINT) AS dh_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureStore(s, dir)
+      graft.sources.MediaBlobs.dhashBmp(
+          s.read.parquet(store).filter(col("doc_id") < 64))
+        .orderBy("doc_id")
+    },
+
+    // Perceptual NEAR-dup image grouping: exact-dup collapse first
+    // (md5 groups, the q_media_dedup step — a pipeline never pays
+    // pairwise costs for byte-identical copies), then banded Hamming
+    // matching over the distinct dHashes: 8 bands × 8 bits, candidates
+    // = band-equal pairs (capped per bucket like the MinHash path),
+    // verdicts = Hamming <= 6 via bit_count(xor) over the halves. The
+    // banding is EXACT here, not probabilistic — by pigeonhole any
+    // pair within Hamming 7 shares at least one of 8 bands, so the
+    // oracle can be the straight all-pairs Hamming join over the seed
+    // domain and both sides provably emit the same pairs (the MinHash
+    // analogue only gets (1-s^2)^12 whp). Finds the cross-seed
+    // byte-DIFFERENT pairs md5 dedup cannot (e.g. seeds 0 and 2 decode
+    // to the same gradient structure). 100 TB: distinct hashes are
+    // corpus-sized but the join is band-blocked + bucket-capped —
+    // never all-pairs; hashes (16 B) shuffle, blobs never do.
+    q("q_image_neardup",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE (doc_id % 41) % 2 = 0),
+        |grp AS (SELECT g, MIN(doc_id) AS canonical, COUNT(*) AS n_copies
+        |        FROM d GROUP BY g),
+        |m AS (SELECT g, canonical, n_copies,
+        |        200 + (g * 13) % 800 AS w, 2 + g % 5 AS h FROM grp),
+        |b AS (SELECT g, canonical, n_copies, w, h,
+        |        unnest(range(0, 64)) AS i FROM m),
+        |v AS (SELECT g, canonical, n_copies, i,
+        |        ((i % 8) * w) // 9 AS xa, (((i % 8) + 1) * w) // 9 AS xb,
+        |        ((i // 8) * h) // 8 AS sy
+        |      FROM b),
+        |bits AS (SELECT g, canonical, n_copies, i,
+        |    CASE WHEN (xb + 7*sy + g) % 251 + (xb + 7*sy + 11 + g) % 251
+        |              + (xb + 7*sy + 22 + g) % 251
+        |            > (xa + 7*sy + g) % 251 + (xa + 7*sy + 11 + g) % 251
+        |              + (xa + 7*sy + 22 + g) % 251
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM v),
+        |hs AS (SELECT canonical, n_copies,
+        |    SUM(CASE WHEN i >= 32
+        |      THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS hi,
+        |    SUM(CASE WHEN i < 32
+        |      THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS lo
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT a.canonical AS canonical_a, b.canonical AS canonical_b,
+        |  CAST(bit_count(xor(a.hi, b.hi))
+        |     + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming,
+        |  CAST(a.n_copies AS BIGINT) AS copies_a,
+        |  CAST(b.n_copies AS BIGINT) AS copies_b
+        |FROM hs a JOIN hs b ON a.canonical < b.canonical
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        |ORDER BY canonical_a, canonical_b""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureStore(s, dir)
+      val blobs = s.read.parquet(store)
+      // exact-dup collapse: md5 groups (byte identity), carry any
+      // member's dHash (identical payloads hash identically — the
+      // min==max agreement is proven by q_media_dedup's dims check)
+      val dh = graft.sources.MediaBlobs.dhashBmp(blobs)
+        .join(blobs, "doc_id")
+        .groupBy(md5(col("payload")).as("media_hash"))
+        .agg(min(col("doc_id")).as("canonical"),
+          count(lit(1)).as("n_copies"),
+          min(col("dh_hi")).as("hi"), min(col("dh_lo")).as("lo"))
+        .drop("media_hash")
+      // 8 bands x 8 bits; pigeonhole makes <=7 candidates exact
+      val bandCols = (0 until 8).map { bnd =>
+        val src = if (bnd < 4) col("lo") else col("hi")
+        struct(lit(bnd).as("band"),
+          shiftright(src, 8 * (bnd % 4)).bitwiseAND(lit(255L)).as("bv"))
+      }
+      val banded = dh.select(col("canonical"), col("n_copies"),
+          col("hi"), col("lo"), explode(array(bandCols: _*)).as("b"))
+        .select(col("canonical"), col("n_copies"), col("hi"), col("lo"),
+          col("b.band").as("band"), col("b.bv").as("bv"))
+      // skew cap, same discipline as the MinHash bucket join (a flat
+      // band value like 0 would otherwise make one bucket quadratic)
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bv").orderBy("canonical")
+      val capped = banded.withColumn("rnk", row_number().over(wb))
+        .filter(col("rnk") <= 1000).drop("rnk")
+      val l = capped.as("l")
+      val r = capped.as("r")
+      val ham = expr("bit_count(l.hi ^ r.hi) + bit_count(l.lo ^ r.lo)")
+      l.join(r, col("l.band") === col("r.band") &&
+          col("l.bv") === col("r.bv") &&
+          col("l.canonical") < col("r.canonical"))
+        .select(col("l.canonical").as("canonical_a"),
+          col("r.canonical").as("canonical_b"),
+          ham.cast("int").as("hamming"),
+          col("l.n_copies").as("copies_a"),
+          col("r.n_copies").as("copies_b"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .orderBy("canonical_a", "canonical_b")
+    },
+
+    // REAL-codec modality (JPEG + GIF, round 13): the BMP/PNG/WAV/Y4M
+    // stores are hand-assembled containers; this one is written by the
+    // JDK's OWN encoders (javax.imageio), so the payloads carry genuine
+    // Huffman-coded DCT scan data / LZW palette streams and the parse
+    // must walk REAL variable-length structure: JPEG = SOI then
+    // length-prefixed marker segments skipped until the first frame
+    // header (SOF0..15 minus DHT/JPG/DAC) yields precision / height /
+    // width / component count, exactly the jpeg_read_header walk; GIF =
+    // signature + version + LE logical-screen dims + global-color-table
+    // bits from the packed flags byte (sources/MediaBlobs
+    // .decodeCodecDims). JPEG is lossy and GIF re-palettizes, so the
+    // oracle replays HEADER truth from the generator contract (fmt and
+    // version by seed parity, the shared dims formula, 3 YCbCr
+    // components vs 1 gray plane, 8-bit precision both ways); the
+    // pixel-exact loop stays with the BMP/PNG contract. 100 TB:
+    // scan-local per-row decode, no shuffle, blobs never move.
+    q("q_multimodal_codecs",
+      """WITH d AS (SELECT doc_id, doc_id % 41 AS g FROM documents
+        |           WHERE doc_id < 64),
+        |m AS (SELECT doc_id, g, 200 + (g * 13) % 800 AS w, 2 + g % 5 AS h
+        |      FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN g % 2 = 0 THEN 'jpeg' ELSE 'gif' END AS fmt,
+        |  CASE WHEN g % 2 = 0 THEN 'jfif' ELSE '89a' END AS version,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(CASE WHEN g % 2 = 0 THEN 3 ELSE 1 END AS INT)
+        |    AS n_components,
+        |  CAST(8 AS INT) AS bit_depth
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureCodecStore(s, dir)
+      graft.sources.MediaBlobs.decodeCodecDims(
+          s.read.parquet(store).filter(col("doc_id") < 64))
+        .orderBy("doc_id")
     })
 }

@@ -269,5 +269,48 @@ object Subqueries extends QueryPack {
           |  discounted + tax AS billed
           |FROM lca_orders WHERE o_orderkey % 1000 = 1
           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // String COLLATIONS (Spark 4 engine surface, round 13): GROUP BY a
+    // UTF8_LCASE-collated key and compare against a collated literal —
+    // the engine-level case-insensitive semantics (collation travels
+    // with the type through the aggregate, no per-row lower() rewrite
+    // in the query text). The fixture synthesizes three case variants
+    // of each lang (UPPER / as-is / Initcap by doc_id % 3); the
+    // UTF8_LCASE group must merge exactly what the oracle's
+    // GROUP BY lower() merges, while COUNT(DISTINCT lv) stays BINARY
+    // (3 variants) — the contrast that proves the collation did the
+    // merging, not the data. min(lv) is binary-deterministic (upper
+    // sorts first in ASCII) so the surfaced representative matches.
+    // Beyond the reference: Hive strings are binary-collated only.
+    q("q_sql_collation",
+      """WITH v AS (
+        |  SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN upper(lang)
+        |    WHEN 1 THEN lang
+        |    ELSE concat(upper(substr(lang, 1, 1)), substr(lang, 2)) END
+        |    AS lv
+        |  FROM documents)
+        |SELECT lower(lv) AS lang_ci, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lv) AS n_case_variants,
+        |  MIN(lv) AS first_variant,
+        |  CAST(SUM(CASE WHEN lower(lv) = 'en' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_en_ci
+        |FROM v GROUP BY lower(lv) ORDER BY lang_ci""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("col_documents")
+      s.sql(
+        """WITH v AS (
+          |  SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN upper(lang)
+          |    WHEN 1 THEN lang
+          |    ELSE concat(upper(substr(lang, 1, 1)), substr(lang, 2)) END
+          |    AS lv
+          |  FROM col_documents)
+          |SELECT lower(min(lv)) AS lang_ci, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT lv) AS n_case_variants,
+          |  MIN(lv) AS first_variant,
+          |  CAST(SUM(CASE WHEN lv = 'EN' COLLATE UTF8_LCASE
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_en_ci
+          |FROM v GROUP BY collate(lv, 'UTF8_LCASE')
+          |ORDER BY lang_ci""".stripMargin)
     })
 }

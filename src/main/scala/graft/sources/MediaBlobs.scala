@@ -78,7 +78,8 @@ object MediaBlobs {
   /** Real 24bpp BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
     * bottom-up rows padded to 4 bytes. All multi-byte fields LE.
     */
-  private def bmp24(w: Int, h: Int, px: (Int, Int, Int) => Byte): Array[Byte] = {
+  private[graft] def bmp24(w: Int, h: Int,
+      px: (Int, Int, Int) => Byte): Array[Byte] = {
     val rowSize = ((3 * w + 3) / 4) * 4
     val dataSize = rowSize * h
     val fileSize = 54 + dataSize
@@ -589,6 +590,218 @@ object MediaBlobs {
         }
       }
       .toDF("doc_id", "frame", "luma_sum", "delta_prev")
+  }
+
+  // ---- perceptual hash (dHash) over the real BMP pixel bytes ----
+
+  /** 64-bit difference hash (dHash) of each BMP blob, computed FROM THE
+    * PAYLOAD BYTES — the perceptual fingerprint step of an image dedup
+    * pipeline (a brightness shift, re-encode or light recompression
+    * keeps horizontal gradients, so dHash survives edits that break
+    * md5; MediaBlobsSpec proves the brightness invariance on a
+    * synthesized +10 copy).
+    *
+    * HASH CONTRACT (replayed by the q_image_dhash / q_image_neardup
+    * oracles; keep in lockstep):
+    *   grid   = 9 wide × 8 tall, nearest-neighbor: the grid pixel
+    *            (xd, yd) reads source pixel (xd*w div 9, yd*h div 8)
+    *   gray   = R + G + B of that pixel (exact integer luma proxy —
+    *            monotone in brightness, no division to drift)
+    *   bit i (= yd*8 + xd, xd in 0..7) set iff
+    *            gray(xd+1, yd) > gray(xd, yd)
+    *   dh_lo  = bits 0..31 (rows 0..3), dh_hi = bits 32..63 — two
+    *            non-negative 32-bit halves so BOTH engines stay inside
+    *            signed-BIGINT shifts; hamming(a, b) =
+    *            bit_count(xor) summed over the halves.
+    *
+    * The byte addressing is the BMP container contract (bottom-up
+    * 4-byte-padded BGR rows at 54 + (h-1-sy)*rowSize + sx*3), same as
+    * resizeBmpThumb; mapPartitions is the one-codec-context-per-
+    * partition batch-decode shape. Non-BMP blobs are passed over.
+    * 100 TB: per-row map over the blob column, no shuffle; only the
+    * 16-byte (id, hi, lo) rows ever move.
+    */
+  def dhashBmp(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+          else {
+            val le = java.nio.ByteBuffer.wrap(p)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val w = le.getInt(18)
+            val h = le.getInt(22)
+            val rowSize = ((3 * w + 3) / 4) * 4
+            def gray(xd: Int, yd: Int): Int = {
+              val sx = xd * w / 9
+              val sy = yd * h / 8
+              val off = 54 + (h - 1 - sy) * rowSize + sx * 3
+              (p(off) & 0xFF) + (p(off + 1) & 0xFF) + (p(off + 2) & 0xFF)
+            }
+            var lo = 0L
+            var hi = 0L
+            var yd = 0
+            while (yd < 8) {
+              var xd = 0
+              var g0 = gray(0, yd)
+              while (xd < 8) {
+                val g1 = gray(xd + 1, yd)
+                if (g1 > g0) {
+                  val i = yd * 8 + xd
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                g0 = g1
+                xd += 1
+              }
+              yd += 1
+            }
+            Some((id, hi, lo))
+          }
+        }
+      }
+      .toDF("doc_id", "dh_hi", "dh_lo")
+  }
+
+  // ---- JPEG / GIF modality: REAL codec output (javax.imageio) ----
+
+  /** Real JPEG or GIF bytes for one seed g, produced by the JDK's OWN
+    * encoders (javax.imageio JPEGImageWriter / GIFImageWriter) — unlike
+    * the hand-assembled BMP/PNG/WAV/Y4M containers these carry genuine
+    * entropy-coded scan data (Huffman-coded DCT blocks, LZW-compressed
+    * palette indices), so the decoder below must walk real
+    * variable-length segment structure, not a fixed layout.
+    *
+    * GENERATOR CONTRACT (replayed by q_multimodal_codecs' oracle;
+    * dims shared with the BMP/PNG contract):
+    *   width  = 200 + (g * 13) % 800,  height = 2 + g % 5
+    *   g even -> baseline JPEG (3-component YCbCr, 8-bit, JFIF APP0),
+    *             RGB pixel (x,y,c) = (x + 7*y + 11*c + g) % 251
+    *   g odd  -> GIF89a (single gray plane -> 256-entry palette,
+    *             8 gct bits), sample (x,y) = (x + 7*y + g) % 251
+    * JPEG is lossy and GIF re-palettizes, so only HEADER fields are
+    * oracle-replayed (fmt/version/dims/components/precision) — the
+    * pixel-exact loop stays with the BMP/PNG contract. Encoder output
+    * is deterministic for a fixed JVM (asserted in MediaBlobsSpec).
+    */
+  private[graft] def codecBlobFor(g: Long): Array[Byte] = {
+    val w = (200 + (g * 13) % 800).toInt
+    val h = (2 + g % 5).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    if (g % 2 == 0) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x + 7 * y + g) % 251).toInt
+          val gg = ((x + 7 * y + 11 + g) % 251).toInt
+          val b = ((x + 7 * y + 22 + g) % 251).toInt
+          img.setRGB(x, y, (r << 16) | (gg << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+    } else {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((x + 7 * y + g) % 251).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "gif", out)
+    }
+    out.toByteArray
+  }
+
+  /** Codec blob table twin of ensureStore: (doc_id, payload) of real
+    * JPEG/GIF files, same seed/memoization discipline.
+    */
+  def ensureCodecStore(s: SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_codec_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      graft.T.contentTag(dir, "documents")
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      import s.implicits._
+      graft.T.t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, codecBlobFor(id % seedMod)))
+        .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Header decode for the codec formats — a real structural parse,
+    * per format:
+    *   JPEG: verify the FFD8 SOI, then WALK the length-prefixed marker
+    *     segments (each FFxx + big-endian u16 length) exactly as a
+    *     jpeg_read_header does, skipping APPn/DQT/DHT/COM until the
+    *     first frame header (SOF0..SOF15 minus DHT/JPG/DAC), and read
+    *     sample precision, height, width and component count from it;
+    *     `version` = 'jfif' when the first segment is a JFIF APP0.
+    *   GIF: 'GIF' signature + version bytes ('89a'/'87a'), LE u16
+    *     logical-screen dims, global-color-table bits from the packed
+    *     flags byte; single-plane -> 1 component.
+    * Returns (doc_id, fmt, version, width, height, n_components,
+    * bit_depth). mapPartitions = the library-decode batch shape;
+    * unknown magic -> format-null row (a real pipeline routes those to
+    * quarantine).
+    */
+  def decodeCodecDims(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          def u16be(i: Int) = ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
+          def u16le(i: Int) = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+          if (p.length > 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) {
+            val jfif = p.length > 10 && (p(3) & 0xFF) == 0xE0 &&
+              new String(p, 6, 4, "US-ASCII") == "JFIF"
+            var pos = 2
+            var res: (Long, String, String, Long, Long, Int, Int) = null
+            while (res == null && pos + 3 < p.length) {
+              val marker = p(pos + 1) & 0xFF
+              val len = u16be(pos + 2)
+              val isSof = marker >= 0xC0 && marker <= 0xCF &&
+                marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+              if (isSof)
+                res = (id, "jpeg", if (jfif) "jfif" else "raw",
+                  u16be(pos + 7).toLong, u16be(pos + 5).toLong,
+                  p(pos + 9) & 0xFF, p(pos + 4) & 0xFF)
+              else pos += 2 + len
+            }
+            if (res != null) res
+            else (id, "jpeg", null.asInstanceOf[String], -1L, -1L, -1, -1)
+          } else if (p.length > 12 &&
+              new String(p, 0, 3, "US-ASCII") == "GIF") {
+            val version = new String(p, 3, 3, "US-ASCII") match {
+              case "89a" => "89a"
+              case "87a" => "87a"
+              case _ => null
+            }
+            val packed = p(10) & 0xFF
+            val gctBits = if ((packed & 0x80) != 0) (packed & 7) + 1 else 0
+            (id, "gif", version, u16le(6).toLong, u16le(8).toLong, 1, gctBits)
+          } else
+            (id, null.asInstanceOf[String], null.asInstanceOf[String],
+              -1L, -1L, -1, -1)
+        }
+      }
+      .toDF("doc_id", "fmt", "version", "width", "height",
+        "n_components", "bit_depth")
   }
 
   // ---- per-partition decoder (the library-decode batch shape) ----

@@ -81,6 +81,19 @@ object MediaBlobsPropertySpec extends Properties("MediaBlobsLaws") {
       }
     }
 
+  property("codec blobs parse identically for arbitrary seeds") =
+    Prop.forAllNoShrink(seeds) { (g: Long) =>
+      val bytes = MediaBlobs.codecBlobFor(g)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val w = (200 + (g * 13) % 800).toInt
+      val h = (2 + g % 5).toInt
+      val magicOk =
+        if (g % 2 == 0) (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+        else new String(bytes, 0, 6, "US-ASCII") == "GIF89a"
+      img != null && img.getWidth == w && img.getHeight == h && magicOk
+    }
+
   property("distinct store seeds yield distinct payloads (dedup law)") = {
     def b64(a: Array[Byte]) =
       java.util.Base64.getEncoder.encodeToString(a)
