@@ -486,6 +486,42 @@ object Functions extends QueryPack {
         .orderBy("o_orderkey")
     },
 
+    // TIMESTAMP_NTZ (round 13 — Spark 4's timezone-naive timestamp,
+    // the engine surface DuckDB timestamps natively ARE, so the oracle
+    // is the SAME naive semantics with no session-timezone coupling;
+    // beyond the reference: Hive's TIMESTAMP is implicitly naive but
+    // has no separate NTZ/LTZ types, [jar]
+    // serde2/typeinfo/TimestampLocalTZTypeInfo.class is the only
+    // distinction it draws). Arithmetic, truncation and integer
+    // diffing all happen IN the NTZ domain; outputs leave as formatted
+    // strings + exact ints (the computed-timestamp repr gotcha).
+    q("q_fn_timestamp_ntz",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + (o_orderkey % 24) * INTERVAL 1 HOUR,
+        |    '%Y-%m-%d %H:%M:%S') AS shifted,
+        |  strftime(date_trunc('day',
+        |    o_orderdate + (o_orderkey % 24) * INTERVAL 1 HOUR),
+        |    '%Y-%m-%d %H:%M:%S') AS day_floor,
+        |  CAST(datediff('hour', TIMESTAMP '1995-01-01 00:00:00',
+        |    o_orderdate + (o_orderkey % 24) * INTERVAL 1 HOUR)
+        |    AS BIGINT) AS hours_since
+        |FROM orders WHERE o_orderkey % 500 = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(500)) === 1)
+        .select(col("o_orderkey"),
+          expr("CAST(o_orderdate AS TIMESTAMP_NTZ)" +
+            " + make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT)," +
+            " 0, 0)").as("nt"))
+        .select(col("o_orderkey"),
+          date_format(col("nt"), "yyyy-MM-dd HH:mm:ss").as("shifted"),
+          date_format(date_trunc("day", col("nt")),
+            "yyyy-MM-dd HH:mm:ss").as("day_floor"),
+          expr("CAST(timestampdiff(HOUR," +
+            " TIMESTAMP_NTZ '1995-01-01 00:00:00', nt) AS BIGINT)")
+            .as("hours_since"))
+        .orderBy("o_orderkey")
+    },
+
     // CHAR(n)/VARCHAR(n) semantics (§1.2: CharTypeInfo/VarcharTypeInfo).
     // Spark enforces these at TABLE boundaries, not on cast: writing into
     // a CHAR(12) column pads to 12 (read-side padding on by default).

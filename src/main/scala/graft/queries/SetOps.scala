@@ -91,5 +91,30 @@ object SetOps extends QueryPack {
       (s, dir) =>
         pairs(s, dir, lateSide = false).exceptAll(pairs(s, dir, lateSide = true))
           .agg(count(lit(1)).as("cnt"))
+    },
+
+    // UNION BY NAME with missing-column backfill (round 13): schema
+    // alignment by COLUMN NAME rather than position — the union a
+    // heterogeneous-source pipeline actually wants (two crawls with
+    // reordered or partially-overlapping schemas). Spark exposes it as
+    // Dataset.unionByName(allowMissingColumns=true): region lacks the
+    // region-key column nation carries, so it backfills NULL; the
+    // positional swap (name/key order differs between inputs) would
+    // silently corrupt a positional UNION. The oracle writes the
+    // aligned positional union with the explicit NULL — by-name
+    // resolution must be semantically identical to hand-alignment.
+    q("q_union_by_name",
+      """SELECT r_regionkey AS k, r_name AS name,
+        |  CAST(NULL AS INTEGER) AS rk FROM region
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY name, k""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "region")
+        .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+      val b = t(s, dir, "nation")
+        .select(col("n_name").as("name"), col("n_nationkey").as("k"),
+          col("n_regionkey").as("rk"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("name", "k")
     })
 }

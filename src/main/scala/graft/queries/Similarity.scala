@@ -2172,6 +2172,149 @@ object Similarity extends QueryPack {
         .orderBy("doc_id", "frame")
     },
 
+    // MMR-DIVERSIFIED retrieval (round 13): maximal marginal relevance
+    // over the ANN shortlist — the standard diversification step of a
+    // retrieval/curation pipeline (pick results RELEVANT to the query
+    // but not redundant with each other; the greedy
+    // argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) of Carbonell &
+    // Goldstein 1998). Everything is bit-exact integer math: embeddings
+    // quantize to round(x*1000) BIGINTs (the IVF-PQ convention), sims
+    // are integer inner products through the codegen'd dot_f kernel,
+    // and λ=0.7 scales to score = 7·dq − 3·maxSel (×10) — no float
+    // drift at selection boundaries, ties broken by cand_id. k=4
+    // selections unroll as explicit rounds (the k-means/BPE unrolled-
+    // iteration oracle pattern); the oracle replays shortlist, pairwise
+    // dots and every greedy round as CTEs. 100 TB: the corpus pays ONE
+    // broadcast-probe scan feeding WindowGroupLimit top-8 per query;
+    // the greedy runs on shortlist-sized frames (8 rows/query), so
+    // diversification cost is O(queries·k·shortlist) — independent of
+    // corpus size.
+    q("q_ann_mmr_rerank",
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, q AS qv FROM e WHERE vec_id < 3),
+        |c AS (SELECT vec_id AS cand_id, q AS cv FROM e WHERE vec_id >= 9),
+        |scored AS (SELECT q_id, cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * cv[i])) AS BIGINT) AS dq, cv
+        |  FROM qs, c),
+        |sl AS (SELECT q_id, cand_id, dq, cv FROM (
+        |    SELECT q_id, cand_id, dq, cv, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY dq DESC, cand_id) AS rn
+        |    FROM scored) WHERE rn <= 8),
+        |pd AS (SELECT a.q_id, a.cand_id AS a_id, b.cand_id AS b_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.cv) + 1),
+        |      i -> a.cv[i] * b.cv[i])) AS BIGINT) AS dab
+        |  FROM sl a JOIN sl b
+        |    ON a.q_id = b.q_id AND a.cand_id <> b.cand_id),
+        |s1 AS (SELECT q_id, cand_id AS v1, 7 * dq AS score1 FROM (
+        |    SELECT q_id, cand_id, dq, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY dq DESC, cand_id) AS rn
+        |    FROM sl) WHERE rn = 1),
+        |r2 AS (SELECT sl.q_id, sl.cand_id,
+        |    7 * sl.dq - 3 * pd.dab AS score
+        |  FROM sl JOIN s1 ON sl.q_id = s1.q_id AND sl.cand_id <> s1.v1
+        |  JOIN pd ON pd.q_id = sl.q_id AND pd.a_id = sl.cand_id
+        |         AND pd.b_id = s1.v1),
+        |s2 AS (SELECT q_id, cand_id AS v2, score AS score2 FROM (
+        |    SELECT q_id, cand_id, score, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |    FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT sl.q_id, sl.cand_id,
+        |    7 * sl.dq - 3 * MAX(pd.dab) AS score
+        |  FROM sl JOIN s1 ON sl.q_id = s1.q_id
+        |  JOIN s2 ON sl.q_id = s2.q_id
+        |  JOIN pd ON pd.q_id = sl.q_id AND pd.a_id = sl.cand_id
+        |         AND pd.b_id IN (s1.v1, s2.v2)
+        |  WHERE sl.cand_id NOT IN (s1.v1, s2.v2)
+        |  GROUP BY sl.q_id, sl.cand_id, sl.dq),
+        |s3 AS (SELECT q_id, cand_id AS v3, score AS score3 FROM (
+        |    SELECT q_id, cand_id, score, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |    FROM r3) WHERE rn = 1),
+        |r4 AS (SELECT sl.q_id, sl.cand_id,
+        |    7 * sl.dq - 3 * MAX(pd.dab) AS score
+        |  FROM sl JOIN s1 ON sl.q_id = s1.q_id
+        |  JOIN s2 ON sl.q_id = s2.q_id
+        |  JOIN s3 ON sl.q_id = s3.q_id
+        |  JOIN pd ON pd.q_id = sl.q_id AND pd.a_id = sl.cand_id
+        |         AND pd.b_id IN (s1.v1, s2.v2, s3.v3)
+        |  WHERE sl.cand_id NOT IN (s1.v1, s2.v2, s3.v3)
+        |  GROUP BY sl.q_id, sl.cand_id, sl.dq),
+        |s4 AS (SELECT q_id, cand_id AS v4, score AS score4 FROM (
+        |    SELECT q_id, cand_id, score, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |    FROM r4) WHERE rn = 1)
+        |SELECT q_id, 1 AS rank, v1 AS vec_id, score1 AS mmr_score FROM s1
+        |UNION ALL
+        |SELECT q_id, 2 AS rank, v2 AS vec_id, score2 AS mmr_score FROM s2
+        |UNION ALL
+        |SELECT q_id, 3 AS rank, v3 AS vec_id, score3 AS mmr_score FROM s3
+        |UNION ALL
+        |SELECT q_id, 4 AS rank, v4 AS vec_id, score4 AS mmr_score FROM s4
+        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), expr(
+        "cast(transform(embedding, x -> cast(round(cast(x as double)" +
+          " * 1000) as bigint)) as array<double>)").as("v"))
+      val qs = broadcast(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val corpus = emb.filter(col("vec_id") >= 9)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dq").desc, col("cand_id"))
+      // The ONE corpus-sized stage: broadcast probe + WindowGroupLimit
+      // top-8. The greedy itself then runs as a SINGLE higher-order
+      // projection over each query's collected shortlist row — a pure
+      // per-row function (rung (a) of the extension ladder). The
+      // relational alternative (4 unrolled pick/rescore rounds) was
+      // measured at 2.4-7.4 s on 24 rows: ~16 stages of fixed
+      // scheduling overhead for zero data. Here the whole query is 3
+      // stages; the interpreted-lambda cost is O(k·shortlist²·dims)
+      // on 3 rows — noise, and no hash calls (the lambda lint's trap).
+      val sl = qs.join(corpus)
+        .withColumn("dq", expr("cast(dot_f(qv, cv) as long)"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 8)
+        .groupBy("q_id")
+        .agg(collect_list(struct(col("cand_id"), col("dq"), col("cv")))
+          .as("items"))
+      // aggregate(1..4) threads the selected set through the rounds;
+      // each round scores remaining items (7·dq − 3·max-sim-to-selected,
+      // input-order-independent because ties break on cand_id), argmax
+      // via a comparator sort on the scored structs, and appends the
+      // winner (rank = round). Integer products of round(x*1000) values
+      // stay exact in double before the bigint cast.
+      val mmr = expr(
+        """aggregate(sequence(1, 4),
+          |  cast(array() as
+          |    array<struct<rank:int,cand_id:bigint,score:bigint,
+          |                 cv:array<double>>>),
+          |  (sel, r) -> concat(sel, transform(
+          |    slice(array_sort(
+          |      transform(
+          |        filter(items,
+          |          it -> NOT exists(sel, s -> s.cand_id = it.cand_id)),
+          |        it -> named_struct('cand_id', it.cand_id, 'cv', it.cv,
+          |          'score', 7 * it.dq - (CASE WHEN size(sel) = 0 THEN 0L
+          |            ELSE 3 * aggregate(sel, -9223372036854775807L,
+          |              (m, s2) -> greatest(m, cast(aggregate(
+          |                zip_with(it.cv, s2.cv, (x, y) -> x * y),
+          |                cast(0.0 as double), (acc, v) -> acc + v)
+          |                as bigint))) END))),
+          |      (a, b) -> CASE WHEN a.score > b.score THEN -1
+          |                     WHEN a.score < b.score THEN 1
+          |                     WHEN a.cand_id < b.cand_id THEN -1
+          |                     WHEN a.cand_id > b.cand_id THEN 1
+          |                     ELSE 0 END),
+          |      1, 1),
+          |    b -> named_struct('rank', r, 'cand_id', b.cand_id,
+          |      'score', b.score, 'cv', b.cv))))""".stripMargin)
+      sl.select(col("q_id"), explode(mmr).as("p"))
+        .select(col("q_id"), col("p.rank").as("rank"),
+          col("p.cand_id").as("vec_id"), col("p.score").as("mmr_score"))
+        .orderBy("q_id", "rank")
+    },
+
     // PERCEPTUAL image hash (dHash, round 13): the fingerprint step of
     // an image near-dup pipeline, computed FROM THE REAL BMP BYTES — a
     // 9×8 nearest-neighbor grayscale downsample of the bottom-up padded

@@ -312,5 +312,28 @@ object Subqueries extends QueryPack {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_en_ci
           |FROM v GROUP BY collate(lv, 'UTF8_LCASE')
           |ORDER BY lang_ci""".stripMargin)
+    },
+
+    // IDENTIFIER() clause (Spark 4 engine surface): NAME binding — a
+    // constant expression supplies a table or column identifier where
+    // the grammar wants a name, the injection-safe upgrade of Hive's
+    // textual hivevar splicing into identifiers ([jar]
+    // ql/parse/VariableSubstitution.class is the reference's only
+    // tool for parameterizing a table name). The oracle inlines the
+    // names — like EXECUTE IMMEDIATE, the binding layer must be
+    // semantically transparent.
+    q("q_sql_identifier",
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("idf_nation")
+      s.sql(
+        """SELECT IDENTIFIER('n_' || 'regionkey') AS n_regionkey,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(IDENTIFIER('n_nationkey')) AS BIGINT) AS key_sum
+          |FROM IDENTIFIER('idf_' || 'nation')
+          |GROUP BY IDENTIFIER('n_regionkey')
+          |ORDER BY n_regionkey""".stripMargin)
     })
 }

@@ -29,6 +29,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_ann_cosine_topk", // <=100-row query set broadcast vs corpus
     "q_mine_hard_negatives", // 8-row anchor set broadcast vs corpus
     "q_ann_quant_rerank", // same query-set pattern, quantized coarse pass
+    "q_ann_mmr_rerank", // 3-row query set broadcast; greedy over 8-row shortlists
     "q_ann_jl_rerank", // same pattern in JL space
     "q_ann_lsh_bucketed", // 60-row hyperplane literal frame
     "q_ann_ivf_cells", // centroid scalar frames
@@ -128,6 +129,7 @@ class PlanLintSpec extends AnyFunSuite {
     // Literal-id filters selecting a FIXED query/eval set (a constant
     // number of rows however large the corpus grows):
     "q_ann_cosine_topk", // vec_id < 5 query vectors
+    "q_ann_mmr_rerank", // vec_id < 3 query vectors (hint recurs per unrolled greedy round)
     "q_mine_hard_negatives", // vec_id < 8 anchor vectors
     "q_ann_quant_rerank", // same bounded query set
     "q_ann_jl_rerank", // same bounded query set + its projection
