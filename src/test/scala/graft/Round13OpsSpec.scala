@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 invariants the oracle hashes can't articulate:
+  *
+  *  - MMR (q_ann_mmr_rerank): rank 1 is the pure-relevance argmax, the
+  *    k picks are distinct members of the top-8 shortlist, and the
+  *    diversity term BINDS — for every query the MMR selection differs
+  *    from the plain top-4-by-relevance order (λ=0.7 is doing work; a
+  *    broken diversity term would silently degenerate to top-k and
+  *    still look plausible).
+  *  - Incremental near-dup (q_dedup_incremental_neardup): the flagged
+  *    batch-duplicate set equals an independent scalar-Scala exact
+  *    all-pairs Jaccard recompute (no Spark expressions shared with
+  *    the query), and the persisted LSH index is built ONCE — a second
+  *    run reuses the parquet artifact instead of rebuilding.
+  *  - dHash banding (q_image_neardup): the pigeonhole law the query
+  *    comments claim — any 64-bit pair within Hamming distance 7
+  *    shares at least one of the 8 8-bit bands — checked over random
+  *    pairs at every distance 0..7.
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  // ---- MMR ----
+
+  private def mmrRows: Array[(Long, Int, Long, Long)] =
+    SparkEntry.queries("q_ann_mmr_rerank")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+  /** Scalar shortlist replay: (cand_id, dq, cv) per query, top-8 by
+    * (dq desc, cand_id).
+    */
+  private def shortlists: Map[Long, Seq[(Long, Long, Array[Long])]] = {
+    val emb = T.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]](1)
+          .map(x => math.round(x.toDouble * 1000)).toArray
+        (r.getLong(0), v)
+      }.toMap
+    val qs = emb.filter(_._1 < 3)
+    val corpus = emb.filter(_._1 >= 9)
+    qs.map { case (qid, qv) =>
+      val scored = corpus.toSeq.map { case (cid, cv) =>
+        val dq = qv.zip(cv).map { case (a, b) => a * b }.sum
+        (cid, dq, cv)
+      }
+      qid -> scored.sortBy(t => (-t._2, t._1)).take(8)
+    }
+  }
+
+  test("MMR rank 1 is the relevance argmax; picks are distinct shortlist members") {
+    val got = mmrRows.groupBy(_._1)
+    val sls = shortlists
+    assert(got.keySet === sls.keySet)
+    got.foreach { case (qid, rows) =>
+      val picks = rows.sortBy(_._2).map(_._3)
+      assert(picks.length === 4 && picks.distinct.length === 4,
+        s"q$qid picks not 4-distinct")
+      val sl = sls(qid)
+      assert(picks.toSet.subsetOf(sl.map(_._1).toSet),
+        s"q$qid picked outside the top-8 shortlist")
+      assert(picks.head === sl.head._1,
+        s"q$qid rank-1 is not the relevance argmax")
+      // rank-1 score is pure relevance ×7
+      val r1 = rows.find(_._2 == 1).get
+      assert(r1._4 === 7L * sl.head._2, s"q$qid rank-1 score")
+    }
+  }
+
+  test("MMR diversity term binds: selection differs from plain top-4") {
+    val got = mmrRows.groupBy(_._1)
+    val sls = shortlists
+    got.foreach { case (qid, rows) =>
+      val picks = rows.sortBy(_._2).map(_._3).toSeq
+      val top4 = sls(qid).take(4).map(_._1)
+      assert(picks != top4,
+        s"q$qid: MMR degenerated to pure top-k — diversity term dead")
+    }
+  }
+
+  // ---- incremental near-dup ----
+
+  test("incremental near-dup equals an exact scalar all-pairs recompute") {
+    val docs = T.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => (id, shingles(t)) }
+      .filter(_._2.nonEmpty).toMap
+    val batch = sh.keys.filter(_ % 10 == 7).toSeq
+    val corpus = sh.keys.filter(_ % 10 != 7).toSeq
+    val expectedDups = batch.filter { b =>
+      corpus.exists { c =>
+        val i = (sh(b) & sh(c)).size
+        val u = (sh(b) | sh(c)).size
+        10 * i >= 8 * u
+      }
+    }.toSet
+    val rows = SparkEntry.queries("q_dedup_incremental_neardup")(spark, sfDir)
+      .collect()
+    val nDup = rows.map(_.getLong(2)).sum
+    val checksum = rows.map(_.getLong(3)).sum
+    assert(nDup === expectedDups.size.toLong,
+      "LSH-probe dup count diverges from exact all-pairs")
+    assert(checksum === expectedDups.sum,
+      "LSH-probe dup id-checksum diverges from exact all-pairs")
+    // universe check: n_batch counts shingle-able batch docs only
+    assert(rows.map(_.getLong(1)).sum === batch.size.toLong)
+  }
+
+  test("the persisted LSH index is built once and reused") {
+    SparkEntry.queries("q_dedup_incremental_neardup")(spark, sfDir).collect()
+    val dirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_lshidx_"))
+    assert(dirs.nonEmpty, "no persisted index directory found")
+    val files = dirs.flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified).toMap
+    SparkEntry.queries("q_dedup_incremental_neardup")(spark, sfDir).collect()
+    val after = dirs.flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified).toMap
+    assert(files === after, "index was rebuilt on the second run")
+  }
+
+  // ---- dHash banding pigeonhole ----
+
+  test("Hamming <= 7 pairs always share one of the 8 8-bit bands") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong()
+      val d = rnd.nextInt(8) // 0..7 flipped bits
+      val positions = rnd.shuffle((0 until 64).toList).take(d)
+      val b = positions.foldLeft(a)((acc, p) => acc ^ (1L << p))
+      val shares = (0 until 8).exists(k =>
+        ((a >>> (8 * k)) & 0xFF) == ((b >>> (8 * k)) & 0xFF))
+      assert(shares,
+        s"pigeonhole violated: hamming=${java.lang.Long.bitCount(a ^ b)}")
+    }
+  }
+}
