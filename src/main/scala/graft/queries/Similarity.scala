@@ -2452,6 +2452,111 @@ object Similarity extends QueryPack {
         .orderBy("canonical_a", "canonical_b")
     },
 
+    // AUDIO perceptual fingerprint dedup (round 13 — the audio leg of
+    // the perceptual family: image=dHash, audio=this, video=next): a
+    // Shazam-style energy-gradient fingerprint computed from the REAL
+    // PCM bytes — each WAV's 25-frame window energies (decoded sample
+    // by sample, sources/MediaBlobs.audioFrameEnergy) reduce to one
+    // bit per window transition (energy rose vs fell — the gradient
+    // signature that survives amplitude scaling the way dHash survives
+    // brightness), packed little-endian into a BIGINT alongside the
+    // window count. Dedup = GROUP BY (fingerprint, n_windows): exact
+    // integer energies make the bits reproducible, so the oracle
+    // replays every sample, window, lag comparison and the packing
+    // from the generator contract. 100 TB: blobs stay in the scan;
+    // per-doc (win, energy) rows take one doc-partitioned window pass;
+    // the dedup shuffle moves 24-byte fingerprint rows, never audio.
+    q("q_audio_fingerprint",
+      """WITH s AS (SELECT DISTINCT doc_id % 41 AS g FROM documents),
+        |w AS (SELECT g, 1 + g % 2 AS ch,
+        |        unnest(range(0, (50 + (g * 7) % 200) // 25)) AS win
+        |      FROM s),
+        |e AS (SELECT g, win,
+        |    CAST(list_sum(list_transform(range(win * 25, win * 25 + 25),
+        |      i -> list_sum(list_transform(range(0, ch),
+        |        c -> abs((i * 13 + c * 7 + g * 31) % 65536 - 32768)))))
+        |      AS BIGINT) AS energy
+        |  FROM w),
+        |fp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nwin,
+        |    CAST(SUM(CASE WHEN lag_e IS NOT NULL AND energy > lag_e
+        |      THEN 1::BIGINT << (win - 1) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM (SELECT g, win, energy,
+        |          LAG(energy) OVER (PARTITION BY g ORDER BY win) AS lag_e
+        |        FROM e)
+        |  GROUP BY g),
+        |d AS (SELECT doc_id, doc_id % 41 AS g FROM documents)
+        |SELECT MIN(doc_id) AS canonical_doc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies, fp, nwin
+        |FROM d JOIN fp USING (g)
+        |GROUP BY fp, nwin ORDER BY canonical_doc""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureAudioStore(s, dir)
+      val feats = graft.sources.MediaBlobs.audioFrameEnergy(
+        s.read.parquet(store), 25)
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("win")
+      feats.withColumn("lag_e", lag(col("energy"), 1).over(wl))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nwin"),
+          sum(when(col("lag_e").isNotNull && col("energy") > col("lag_e"),
+            expr("shiftleft(cast(1 as bigint), cast(win - 1 as int))"))
+            .otherwise(0L)).as("fp"))
+        .groupBy("fp", "nwin")
+        .agg(min(col("doc_id")).as("canonical_doc"),
+          count(lit(1)).as("n_copies"))
+        .select("canonical_doc", "n_copies", "fp", "nwin")
+        .orderBy("canonical_doc")
+    },
+
+    // VIDEO perceptual fingerprint dedup (round 13 — the video leg):
+    // per-frame luma sums decoded from the REAL Y4M planes
+    // (sources/MediaBlobs.videoFrameFeatures at stride 1) reduce to a
+    // rose/fell bit per frame transition — the temporal-gradient
+    // signature of the clip, robust to uniform luma shifts like dHash
+    // to brightness. Same (fingerprint, n_frames) grouping and the
+    // same full-replay oracle (every pixel, lag and packed bit from
+    // the generator contract). 100 TB: identical shape to the audio
+    // leg — decode stays in the scan, only fingerprints shuffle.
+    q("q_video_fingerprint",
+      """WITH s AS (SELECT DISTINCT doc_id % 41 AS g FROM documents),
+        |f AS (SELECT g, 16 + (g * 5) % 48 AS w, 8 + g % 8 AS h,
+        |        unnest(range(0, 4 + (g * 3) % 12)) AS t
+        |      FROM s),
+        |e AS (SELECT g, t,
+        |    CAST(list_sum(list_transform(range(0, h), y ->
+        |      list_sum(list_transform(range(0, w), x ->
+        |        (x + 3 * y + 5 * t + g) % 251)))) AS BIGINT) AS luma
+        |  FROM f),
+        |fp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    CAST(SUM(CASE WHEN lag_l IS NOT NULL AND luma > lag_l
+        |      THEN 1::BIGINT << (t - 1) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM (SELECT g, t, luma,
+        |          LAG(luma) OVER (PARTITION BY g ORDER BY t) AS lag_l
+        |        FROM e)
+        |  GROUP BY g),
+        |d AS (SELECT doc_id, doc_id % 41 AS g FROM documents)
+        |SELECT MIN(doc_id) AS canonical_doc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies, fp, n_frames
+        |FROM d JOIN fp USING (g)
+        |GROUP BY fp, n_frames ORDER BY canonical_doc""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureVideoStore(s, dir)
+      val feats = graft.sources.MediaBlobs.videoFrameFeatures(
+        s.read.parquet(store), 1)
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame")
+      feats.withColumn("lag_l", lag(col("luma_sum"), 1).over(wl))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("lag_l").isNotNull &&
+              col("luma_sum") > col("lag_l"),
+            expr("shiftleft(cast(1 as bigint), cast(frame - 1 as int))"))
+            .otherwise(0L)).as("fp"))
+        .groupBy("fp", "n_frames")
+        .agg(min(col("doc_id")).as("canonical_doc"),
+          count(lit(1)).as("n_copies"))
+        .select("canonical_doc", "n_copies", "fp", "n_frames")
+        .orderBy("canonical_doc")
+    },
+
     // REAL-codec modality (JPEG + GIF, round 13): the BMP/PNG/WAV/Y4M
     // stores are hand-assembled containers; this one is written by the
     // JDK's OWN encoders (javax.imageio), so the payloads carry genuine

@@ -128,6 +128,33 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(files === after, "index was rebuilt on the second run")
   }
 
+  // ---- audio/video fingerprints ----
+
+  test("perceptual fingerprint groups coarsen the exact-dup groups") {
+    // byte-identical media must land in the same fingerprint group, so
+    // #fingerprint groups <= #exact (seed) groups and the group sizes
+    // are a merge of seed-group sizes (each fp group size is a sum of
+    // whole seed-group sizes).
+    val docs = T.t(spark, sfDir, "documents").select("doc_id").collect()
+      .map(_.getLong(0))
+    val seedSizes = docs.groupBy(_ % 41).map { case (_, v) => v.length }
+    for (q <- Seq("q_audio_fingerprint", "q_video_fingerprint")) {
+      val rows = SparkEntry.queries(q)(spark, sfDir).collect()
+      assert(rows.length <= seedSizes.size, s"$q: more groups than seeds")
+      assert(rows.map(_.getLong(1)).sum === docs.length.toLong,
+        s"$q: copies don't partition the corpus")
+      // every group size must be expressible as a sum of seed-group
+      // sizes: verify via the canonical docs — regroup docs by their
+      // canonical's fingerprint through seed membership
+      val bySeedCanon = docs.groupBy(_ % 41).map { case (g, v) =>
+        g -> v.length
+      }
+      val minSeed = bySeedCanon.values.min
+      rows.foreach(r => assert(r.getLong(1) >= minSeed.toLong,
+        s"$q: a group smaller than the smallest seed group"))
+    }
+  }
+
   // ---- dHash banding pigeonhole ----
 
   test("Hamming <= 7 pairs always share one of the 8 8-bit bands") {
