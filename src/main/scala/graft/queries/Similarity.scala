@@ -2452,6 +2452,181 @@ object Similarity extends QueryPack {
         .orderBy("canonical_a", "canonical_b")
     },
 
+    // Image near-dup SURVIVOR SELECTION (round 13 — the dedup capstone
+    // for the image modality, mirroring q_dedup_survivors for text):
+    // dHash Hamming<=6 pairs over the exact-dup canonical groups form
+    // a graph; its connected components (large-star/small-star rounds,
+    // operators/ConnectedComponents.scala) are the dedup unit; ONE doc
+    // survives per component — the HIGHEST-RESOLUTION variant (max
+    // pixel area from the decoded header dims, ties to the lowest id),
+    // the keep-best rule an image pipeline actually wants (keep the
+    // original, drop the downscaled re-encodes). The oracle replays
+    // hashes and pairs from the generator contract and closes the
+    // transitive closure with a recursive CTE, survivor via the rn=1
+    // window-argmax twin. 100 TB: the pair graph is band-blocked and
+    // sparse; components run O(log n) node-id shuffle rounds; the
+    // per-component argmax is an ordinary partial/final aggregate.
+    q("q_image_dedup_survivors",
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 41 AS g
+        |  FROM documents WHERE (doc_id % 41) % 2 = 0),
+        |grp AS (SELECT g, MIN(doc_id) AS canonical, COUNT(*) AS n_copies
+        |        FROM d GROUP BY g),
+        |m AS (SELECT g, canonical, n_copies,
+        |        200 + (g * 13) % 800 AS w, 2 + g % 5 AS h FROM grp),
+        |b AS (SELECT g, canonical, n_copies, w, h,
+        |        unnest(range(0, 64)) AS i FROM m),
+        |v AS (SELECT g, canonical, n_copies, w, h, i,
+        |        ((i % 8) * w) // 9 AS xa, (((i % 8) + 1) * w) // 9 AS xb,
+        |        ((i // 8) * h) // 8 AS sy
+        |      FROM b),
+        |bits AS (SELECT g, canonical, n_copies, w, h, i,
+        |    CASE WHEN (xb + 7*sy + g) % 251 + (xb + 7*sy + 11 + g) % 251
+        |              + (xb + 7*sy + 22 + g) % 251
+        |            > (xa + 7*sy + g) % 251 + (xa + 7*sy + 11 + g) % 251
+        |              + (xa + 7*sy + 22 + g) % 251
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM v),
+        |hs AS (SELECT canonical, n_copies, MIN(w * h) AS area,
+        |    SUM(CASE WHEN i >= 32
+        |      THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS hi,
+        |    SUM(CASE WHEN i < 32
+        |      THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |pairs AS (SELECT a.canonical AS a, b.canonical AS b
+        |  FROM hs a JOIN hs b ON a.canonical < b.canonical
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |      + bit_count(xor(a.lo, b.lo)) <= 6),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT node, MIN(r) AS comp_id FROM reach GROUP BY node),
+        |mem AS (SELECT comp_id, hs.canonical, hs.n_copies, hs.area,
+        |    ROW_NUMBER() OVER (PARTITION BY comp_id
+        |      ORDER BY hs.area DESC, hs.canonical) AS rn
+        |  FROM comp JOIN hs ON hs.canonical = comp.node)
+        |SELECT comp_id, COUNT(*) AS n_groups,
+        |  CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN canonical END) AS BIGINT)
+        |    AS survivor_doc,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN area END) AS BIGINT)
+        |    AS survivor_area,
+        |  CAST(SUM(n_copies) - 1 AS BIGINT) AS n_dropped
+        |FROM mem GROUP BY comp_id ORDER BY comp_id""".stripMargin) { (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureStore(s, dir)
+      val blobs = graft.sources.MediaBlobs.withDecoded(
+        s.read.parquet(store))
+      val groups = graft.sources.MediaBlobs.dhashBmp(
+          blobs.select(col("doc_id"), col("payload")))
+        .join(blobs, "doc_id")
+        .groupBy(md5(col("payload")).as("media_hash"))
+        .agg(min(col("doc_id")).as("canonical"),
+          count(lit(1)).as("n_copies"),
+          min(col("dh_hi")).as("hi"), min(col("dh_lo")).as("lo"),
+          min(col("width") * col("height")).cast("long").as("area"))
+        .drop("media_hash")
+      val bandCols = (0 until 8).map { bnd =>
+        val src = if (bnd < 4) col("lo") else col("hi")
+        struct(lit(bnd).as("band"),
+          shiftright(src, 8 * (bnd % 4)).bitwiseAND(lit(255L)).as("bv"))
+      }
+      val banded = groups.select(col("canonical"), col("hi"), col("lo"),
+          explode(array(bandCols: _*)).as("b"))
+        .select(col("canonical"), col("hi"), col("lo"),
+          col("b.band").as("band"), col("b.bv").as("bv"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bv").orderBy("canonical")
+      val capped = banded.withColumn("rnk", row_number().over(wb))
+        .filter(col("rnk") <= 1000).drop("rnk")
+      val l = capped.as("l")
+      val r = capped.as("r")
+      val pairs = l.join(r, col("l.band") === col("r.band") &&
+          col("l.bv") === col("r.bv") &&
+          col("l.canonical") < col("r.canonical"))
+        .filter(expr("bit_count(l.hi ^ r.hi) + bit_count(l.lo ^ r.lo)")
+          <= 6)
+        .select(col("l.canonical").as("a"), col("r.canonical").as("b"))
+        .distinct()
+      val comp = graft.ConnectedComponents.label(pairs, "a", "b")
+      comp.join(groups, col("node") === col("canonical"))
+        .groupBy("comp_id")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).cast("long").as("n_docs"),
+          max(struct(col("area"), (-col("canonical")).as("neg_id")))
+            .as("best"))
+        .select(col("comp_id"), col("n_groups"), col("n_docs"),
+          (-col("best.neg_id")).cast("long").as("survivor_doc"),
+          col("best.area").cast("long").as("survivor_area"),
+          (col("n_docs") - 1).cast("long").as("n_dropped"))
+        .orderBy("comp_id")
+    },
+
+    // Cross-modal SAMPLE ASSEMBLY manifest (round 13): the step that
+    // turns per-modality stores into one training-sample row — join
+    // the text row to its image / audio / video blobs (by id, the
+    // layout every multimodal trainer keys on) plus its embedding,
+    // surfacing per-modality byte accounting and the embedding width.
+    // The oracle replays the deterministic container sizes from the
+    // generator contracts (BMP exact; PNG deflate-dependent, surfaced
+    // as NULL — a manifest records what it can verify); embeddings
+    // LEFT-join (not every doc has a vector — exactly the sparsity a
+    // real manifest must represent). 100 TB: all four stores join on
+    // the same id — with id-bucketed layout these are co-partitioned
+    // joins with zero corpus shuffle; the filter pushes into every
+    // scan via join-constraint propagation.
+    q("q_media_manifest",
+      """WITH d AS (SELECT doc_id, lang, n_chars, doc_id % 41 AS g
+        |  FROM documents WHERE doc_id < 200),
+        |m AS (SELECT doc_id, lang, n_chars, g,
+        |    200 + (g * 13) % 800 AS w, 2 + g % 5 AS h,
+        |    1 + g % 2 AS ch, 50 + (g * 7) % 200 AS anf,
+        |    16 + (g * 5) % 48 AS vw, 8 + g % 8 AS vh,
+        |    4 + (g * 3) % 12 AS vnf,
+        |    CASE g % 4 WHEN 0 THEN 24 WHEN 1 THEN 25
+        |               WHEN 2 THEN 30 ELSE 60 END AS fps
+        |  FROM d)
+        |SELECT m.doc_id, lang, CAST(n_chars AS BIGINT) AS text_chars,
+        |  CASE WHEN g % 2 = 0 THEN 'bmp' ELSE 'png' END AS img_fmt,
+        |  CASE WHEN g % 2 = 0
+        |       THEN CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT)
+        |  END AS img_bytes,
+        |  CAST(44 + anf * ch * 2 AS BIGINT) AS wav_bytes,
+        |  CAST(32 + length(CAST(vw AS VARCHAR))
+        |     + length(CAST(vh AS VARCHAR))
+        |     + length(CAST(fps AS VARCHAR))
+        |     + vnf * (6 + vw * vh) AS BIGINT) AS y4m_bytes,
+        |  CAST(e.e_dim AS INT) AS embed_dim
+        |FROM m LEFT JOIN (SELECT vec_id, len(embedding) AS e_dim
+        |                  FROM embeddings) e ON e.vec_id = m.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val img = graft.sources.MediaBlobs.withDecoded(s.read.parquet(
+          graft.sources.MediaBlobs.ensureStore(s, dir)))
+        .select(col("doc_id"), col("fmt").as("img_fmt"),
+          when(col("fmt") === "bmp", length(col("payload")).cast("long"))
+            .as("img_bytes"))
+      val wav = s.read.parquet(
+          graft.sources.MediaBlobs.ensureAudioStore(s, dir))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("wav_bytes"))
+      val vid = s.read.parquet(
+          graft.sources.MediaBlobs.ensureVideoStore(s, dir))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("y4m_bytes"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          size(col("embedding")).as("embed_dim"))
+      docs.join(img, "doc_id").join(wav, "doc_id").join(vid, "doc_id")
+        .join(emb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("text_chars"),
+          col("img_fmt"), col("img_bytes"), col("wav_bytes"),
+          col("y4m_bytes"), col("embed_dim"))
+        .orderBy("doc_id")
+    },
+
     // AUDIO perceptual fingerprint dedup (round 13 — the audio leg of
     // the perceptual family: image=dHash, audio=this, video=next): a
     // Shazam-style energy-gradient fingerprint computed from the REAL
