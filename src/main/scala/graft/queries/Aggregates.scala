@@ -857,5 +857,44 @@ object Aggregates extends QueryPack {
           |  COUNT(*) AS n
           |FROM os_orders
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // EXACT distinct counting via MERGEABLE roaring-style bitmaps
+    // (round 13 — Spark 3.5's bitmap_* aggregate family, the engine
+    // surface behind bitmap-index distinct counts; the EXACT
+    // counterpart of the HLL sketch rollup, same blob-union shape as
+    // Hive's ewah_bitmap UDAFs, [jar]
+    // ql/udf/generic/GenericUDAFEwahBitmap.class): keys map to
+    // (bucket = key div 32768, bit = key mod 32768); per
+    // (group, bucket, SHARD) a bitmap_construct_agg builds a partial
+    // bitmap, bitmap_or_agg UNIONS the shard partials (the mergeable
+    // step a pre-aggregated rollup table relies on — deliberately
+    // forced by the synthetic l_suppkey%4 shard key), and
+    // bitmap_count + SUM over buckets yields the exact distinct. The
+    // oracle is plain COUNT(DISTINCT) — the whole bitmap pipeline must
+    // be semantically invisible. 100 TB: bitmap blobs are <=4 KB per
+    // (group, bucket) regardless of row count; the or-merge is
+    // associative, so partial aggregation bounds shuffle volume by
+    // group×bucket cardinality, not rows — the same argument as the
+    // sketch family but with EXACT answers.
+    q("q_agg_bitmap_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("bm_lineitem")
+      s.sql(
+        """SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n_distinct
+          |FROM (
+          |  SELECT l_returnflag, bucket,
+          |    bitmap_count(bitmap_or_agg(bm)) AS cnt
+          |  FROM (
+          |    SELECT l_returnflag,
+          |      bitmap_bucket_number(l_partkey) AS bucket,
+          |      bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
+          |    FROM bm_lineitem
+          |    GROUP BY l_returnflag, bitmap_bucket_number(l_partkey),
+          |      l_suppkey % 4)
+          |  GROUP BY l_returnflag, bucket)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     })
 }

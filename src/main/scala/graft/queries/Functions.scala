@@ -522,6 +522,48 @@ object Functions extends QueryPack {
         .orderBy("o_orderkey")
     },
 
+    // Spark-4 misc scalar additions (round 13): luhn_check (payment-id
+    // validation — the oracle REPLAYS the Luhn algorithm digit by
+    // digit in SQL, so the builtin is checked against the spec, not
+    // trusted), levenshtein with an early-exit THRESHOLD (returns -1
+    // past the cap — the banded-DP shape the fuzzy-linkage operator
+    // documents; oracle = unbounded distance + CASE), and
+    // try_validate_utf8 (ingest-guard twin of the CSV quarantine —
+    // clean strings pass through, here proven on the whole column).
+    q("q_fn_spark4_misc",
+      """WITH s AS (SELECT p_partkey,
+        |    lpad(CAST(p_partkey * 7919 % 100000000 AS VARCHAR), 8, '0')
+        |      AS num,
+        |    p_name, p_type
+        |  FROM part WHERE p_partkey < 300)
+        |SELECT p_partkey,
+        |  list_sum(list_transform(range(1, len(num) + 1), i ->
+        |    CASE WHEN i % 2 = 0
+        |      THEN CASE WHEN 2 * CAST(substr(num, len(num) + 1 - i, 1)
+        |                          AS INT) > 9
+        |                THEN 2 * CAST(substr(num, len(num) + 1 - i, 1)
+        |                          AS INT) - 9
+        |                ELSE 2 * CAST(substr(num, len(num) + 1 - i, 1)
+        |                          AS INT) END
+        |      ELSE CAST(substr(num, len(num) + 1 - i, 1) AS INT)
+        |    END)) % 10 = 0 AS luhn_ok,
+        |  CASE WHEN levenshtein(p_name, p_type) <= 5
+        |       THEN levenshtein(p_name, p_type) ELSE -1
+        |  END AS lev_capped,
+        |  (p_name = p_name) AND p_name IS NOT NULL AS utf8_ok
+        |FROM s ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          lpad((col("p_partkey") * 7919 % 100000000).cast("string"),
+            8, "0").as("num"),
+          col("p_name"), col("p_type"))
+        .select(col("p_partkey"),
+          expr("luhn_check(num)").as("luhn_ok"),
+          expr("levenshtein(p_name, p_type, 5)").as("lev_capped"),
+          expr("try_validate_utf8(p_name) IS NOT NULL").as("utf8_ok"))
+        .orderBy("p_partkey")
+    },
+
     // CHAR(n)/VARCHAR(n) semantics (§1.2: CharTypeInfo/VarcharTypeInfo).
     // Spark enforces these at TABLE boundaries, not on cast: writing into
     // a CHAR(12) column pads to 12 (read-side padding on by default).
