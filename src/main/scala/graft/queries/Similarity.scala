@@ -2409,13 +2409,15 @@ object Similarity extends QueryPack {
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
         |ORDER BY canonical_a, canonical_b""".stripMargin) { (s, dir) =>
       val store = graft.sources.MediaBlobs.ensureStore(s, dir)
-      val blobs = s.read.parquet(store)
-      // exact-dup collapse: md5 groups (byte identity), carry any
-      // member's dHash (identical payloads hash identically — the
-      // min==max agreement is proven by q_media_dedup's dims check)
-      val dh = graft.sources.MediaBlobs.dhashBmp(blobs)
-        .join(blobs, "doc_id")
-        .groupBy(md5(col("payload")).as("media_hash"))
+      // exact-dup collapse: md5 groups (byte identity), carrying the
+      // dHash computed in the SAME decoder pass (identical payloads
+      // hash identically — the min==max agreement is proven by
+      // q_media_dedup's dims check). Single scan of the blob store: a
+      // join-back formulation re-read 7 GB of payloads at sf30 and
+      // failed building a broadcast side.
+      val dh = graft.sources.MediaBlobs.dhashBmpWithMeta(
+          s.read.parquet(store))
+        .groupBy("media_hash")
         .agg(min(col("doc_id")).as("canonical"),
           count(lit(1)).as("n_copies"),
           min(col("dh_hi")).as("hi"), min(col("dh_lo")).as("lo"))
@@ -2515,16 +2517,15 @@ object Similarity extends QueryPack {
         |  CAST(SUM(n_copies) - 1 AS BIGINT) AS n_dropped
         |FROM mem GROUP BY comp_id ORDER BY comp_id""".stripMargin) { (s, dir) =>
       val store = graft.sources.MediaBlobs.ensureStore(s, dir)
-      val blobs = graft.sources.MediaBlobs.withDecoded(
-        s.read.parquet(store))
-      val groups = graft.sources.MediaBlobs.dhashBmp(
-          blobs.select(col("doc_id"), col("payload")))
-        .join(blobs, "doc_id")
-        .groupBy(md5(col("payload")).as("media_hash"))
+      // single decoder pass carries hash + dims + dHash (see
+      // q_image_neardup's scale note)
+      val groups = graft.sources.MediaBlobs.dhashBmpWithMeta(
+          s.read.parquet(store))
+        .groupBy("media_hash")
         .agg(min(col("doc_id")).as("canonical"),
           count(lit(1)).as("n_copies"),
           min(col("dh_hi")).as("hi"), min(col("dh_lo")).as("lo"),
-          min(col("width") * col("height")).cast("long").as("area"))
+          min(col("area")).cast("long").as("area"))
         .drop("media_hash")
       val bandCols = (0 until 8).map { bnd =>
         val src = if (bnd < 4) col("lo") else col("hi")

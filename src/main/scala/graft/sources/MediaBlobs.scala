@@ -665,6 +665,62 @@ object MediaBlobs {
       .toDF("doc_id", "dh_hi", "dh_lo")
   }
 
+  /** dhashBmp plus the per-blob metadata its dedup consumers need —
+    * exact-dup key (md5 of the payload bytes, identical to Spark's
+    * `md5()` hex) and pixel area from the decoded dims — in the SAME
+    * single pass. Exists because the join-back formulation
+    * (`dhashBmp(blobs).join(blobs)`) re-reads the blob store and at
+    * sf30 (1.5M blobs, ~7 GB of payloads) died broadcasting a join
+    * side; a dedup pipeline touches each blob once. Returns
+    * (doc_id, media_hash, area, dh_hi, dh_lo); non-BMP rows skipped.
+    */
+  def dhashBmpWithMeta(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, p) =>
+          if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+          else {
+            val le = java.nio.ByteBuffer.wrap(p)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val w = le.getInt(18)
+            val h = le.getInt(22)
+            val rowSize = ((3 * w + 3) / 4) * 4
+            def gray(xd: Int, yd: Int): Int = {
+              val sx = xd * w / 9
+              val sy = yd * h / 8
+              val off = 54 + (h - 1 - sy) * rowSize + sx * 3
+              (p(off) & 0xFF) + (p(off + 1) & 0xFF) + (p(off + 2) & 0xFF)
+            }
+            var lo = 0L
+            var hi = 0L
+            var yd = 0
+            while (yd < 8) {
+              var xd = 0
+              var g0 = gray(0, yd)
+              while (xd < 8) {
+                val g1 = gray(xd + 1, yd)
+                if (g1 > g0) {
+                  val i = yd * 8 + xd
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                g0 = g1
+                xd += 1
+              }
+              yd += 1
+            }
+            md.reset()
+            val hash = md.digest(p).map("%02x".format(_)).mkString
+            Some((id, hash, w.toLong * h, hi, lo))
+          }
+        }
+      }
+      .toDF("doc_id", "media_hash", "area", "dh_hi", "dh_lo")
+  }
+
   // ---- JPEG / GIF modality: REAL codec output (javax.imageio) ----
 
   /** Real JPEG or GIF bytes for one seed g, produced by the JDK's OWN
