@@ -155,6 +155,52 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- codec decoder quarantine + Luhn cross-check ----
+
+  test("decodeCodecDims quarantines unknown magic instead of throwing") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, Array[Byte](0, 1, 2, 3)), // too short / wrong magic
+      (2L, "not an image at all, just text bytes".getBytes("US-ASCII")),
+      (3L, Array.fill[Byte](64)(0x2A))) // constant filler
+      .toDF("doc_id", "payload")
+    val rows = sources.MediaBlobs.decodeCodecDims(junk)
+      .orderBy("doc_id").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.isNullAt(1), "fmt must be null for unknown magic")
+      assert(r.getLong(3) === -1L && r.getLong(4) === -1L,
+        "dims must be sentinel for unknown magic")
+    }
+    // and a real blob mixed in still decodes
+    val mixed = junk.union(Seq(
+      (4L, sources.MediaBlobs.codecBlobFor(0L))).toDF("doc_id", "payload"))
+    val ok = sources.MediaBlobs.decodeCodecDims(mixed)
+      .filter(col("doc_id") === 4).head()
+    assert(ok.getString(1) === "jpeg" && ok.getLong(3) === 200L)
+  }
+
+  test("luhn_check agrees with an independent Luhn implementation") {
+    def luhn(num: String): Boolean = {
+      val digits = num.reverse.map(_ - '0')
+      digits.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = 2 * d; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(7)
+    val nums = (1 to 200).map(_ =>
+      (1 to 8 + rnd.nextInt(8)).map(_ => rnd.nextInt(10)).mkString)
+    import spark.implicits._
+    val got = nums.toDF("num")
+      .selectExpr("num", "luhn_check(num) AS ok")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    nums.foreach { n =>
+      assert(got(n) === luhn(n), s"luhn mismatch on $n")
+    }
+    // at least one of each verdict in the sample (non-vacuous)
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
   // ---- dHash banding pigeonhole ----
 
   test("Hamming <= 7 pairs always share one of the 8 8-bit bands") {
