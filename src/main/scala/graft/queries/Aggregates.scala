@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates extends QueryPack {
 
+  /** Day-partitioned exact-distinct bitmap rollup over `events`:
+    * (event_type, day=partition, bucket, bm) where bm is the bitmap
+    * blob of user_ids in that bucket — built once per events-content
+    * fingerprint (the scheduled-job artifact q_agg_bitmap_rollup
+    * queries). Completion gate: parquet's root _SUCCESS, written last.
+    */
+  private def ensureBitmapRollup(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bmroll_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      graft.T.contentTag(dir, "events")
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      t(s, dir, "events").createOrReplaceTempView("bmr_events_src")
+      s.sql(
+        """SELECT event_type, to_date(ts) AS day,
+          |  bitmap_bucket_number(user_id) AS bucket,
+          |  bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          |FROM bmr_events_src
+          |GROUP BY event_type, to_date(ts),
+          |  bitmap_bucket_number(user_id)""".stripMargin)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    }
+    path
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Flagship: TPC-H Q1 shape — scan → filter → project → hash agg → sort.
@@ -857,6 +883,41 @@ object Aggregates extends QueryPack {
           |  COUNT(*) AS n
           |FROM os_orders
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // PERSISTED exact-distinct bitmap ROLLUP (round 13): the
+    // production pattern behind q_agg_bitmap_distinct's mergeable
+    // blobs — a scheduled job materializes per-(event_type, DAY,
+    // bucket) bitmap blobs into a day-partitioned parquet artifact
+    // (ensureBitmapRollup below), and any date-range distinct-user
+    // question is then answered ENTIRELY from the rollup: partition
+    // pruning selects the day directories, bitmap_or_agg unions the
+    // daily blobs, bitmap_count + SUM yields the EXACT distinct — raw
+    // events are never re-scanned. This is the Druid-slice segment
+    // pattern (day pruning + rollup answering) with exact bitmaps in
+    // place of approximate sketches, and the exact counterpart of the
+    // theta-sketch rollup's persisted-blob round trip. Oracle: plain
+    // COUNT(DISTINCT) over the raw range. 100 TB: rollup size is
+    // days × groups × buckets blobs (≤4 KB each) independent of event
+    // count; the range query reads only pruned partitions.
+    q("q_agg_bitmap_rollup",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val store = ensureBitmapRollup(s, dir)
+      s.read.parquet(store)
+        .filter(col("day") >= lit("2024-01-08").cast("date") &&
+          col("day") < lit("2024-01-15").cast("date"))
+        .createOrReplaceTempView("bmr_rollup")
+      s.sql(
+        """SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_users
+          |FROM (
+          |  SELECT event_type, bucket,
+          |    bitmap_count(bitmap_or_agg(bm)) AS cnt
+          |  FROM bmr_rollup GROUP BY event_type, bucket)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
     // EXACT distinct counting via MERGEABLE roaring-style bitmaps
