@@ -171,8 +171,29 @@ object Dedup extends QueryPack {
       val banded = bandedSigs(corpus, "c_id")
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy("band", "h").orderBy("c_id")
-      banded.withColumn("rnk", row_number().over(wb))
-        .filter(col("rnk") <= 1000).drop("rnk")
+      val ranked = banded.withColumn("rnk", row_number().over(wb))
+        .localCheckpoint(true) // two consumers: cap audit + the write
+      // No-silent-caps: postings past the 1000/bucket skew guard are
+      // DROPPED (a probe can miss a true J>=0.8 pair whose only shared
+      // bucket was capped — beyond the documented (1-s^2)^12 LSH miss
+      // bound), so the build RECORDS what it truncated: a sidecar
+      // written BEFORE the postings (parquet _SUCCESS stays the
+      // completion gate, written last) plus a stdout line.
+      val capped = ranked.filter(col("rnk") > 1000)
+        .agg(countDistinct(struct(col("band"), col("h"))).as("buckets"),
+          count(lit(1)).as("postings"))
+        .collect()(0)
+      val (cb, cp) = (capped.getLong(0), capped.getLong(1))
+      // sidecar under its own prefix (graft_lshcap_) so directory scans
+      // over graft_lshidx_* keep seeing only the index directory
+      val meta = new java.io.PrintWriter(
+        path.replace("graft_lshidx_", "graft_lshcap_") + ".json", "UTF-8")
+      try meta.print(s"""{"cap": 1000, "capped_buckets": $cb, """ +
+        s""""dropped_postings": $cp}""")
+      finally meta.close()
+      println(s"[graft] lsh index build: $cb buckets hit the 1000-cap" +
+        s" ($cp postings dropped)")
+      ranked.filter(col("rnk") <= 1000).drop("rnk")
         .write.mode("overwrite").parquet(path)
     }
     path

@@ -621,6 +621,48 @@ object MediaBlobs {
     * 100 TB: per-row map over the blob column, no shuffle; only the
     * 16-byte (id, hi, lo) rows ever move.
     */
+  /** The single dHash kernel both entry points below share (the hash
+    * contract is oracle-replayed in three queries — one copy of the
+    * header-parse/grid/hash loop means an edit can't silently break
+    * hash agreement between them): BMP header parse + 9×8 grid grays +
+    * gradient bits. Returns Some((w, h, dh_hi, dh_lo)); None for
+    * non-BMP bytes.
+    */
+  private[graft] def dhashOne(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+    else {
+      val le = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = le.getInt(18)
+      val h = le.getInt(22)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      def gray(xd: Int, yd: Int): Int = {
+        val sx = xd * w / 9
+        val sy = yd * h / 8
+        val off = 54 + (h - 1 - sy) * rowSize + sx * 3
+        (p(off) & 0xFF) + (p(off + 1) & 0xFF) + (p(off + 2) & 0xFF)
+      }
+      var lo = 0L
+      var hi = 0L
+      var yd = 0
+      while (yd < 8) {
+        var xd = 0
+        var g0 = gray(0, yd)
+        while (xd < 8) {
+          val g1 = gray(xd + 1, yd)
+          if (g1 > g0) {
+            val i = yd * 8 + xd
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          g0 = g1
+          xd += 1
+        }
+        yd += 1
+      }
+      Some((w, h, hi, lo))
+    }
+  }
+
   def dhashBmp(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
@@ -628,38 +670,7 @@ object MediaBlobs {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, p) =>
-          if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
-          else {
-            val le = java.nio.ByteBuffer.wrap(p)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val w = le.getInt(18)
-            val h = le.getInt(22)
-            val rowSize = ((3 * w + 3) / 4) * 4
-            def gray(xd: Int, yd: Int): Int = {
-              val sx = xd * w / 9
-              val sy = yd * h / 8
-              val off = 54 + (h - 1 - sy) * rowSize + sx * 3
-              (p(off) & 0xFF) + (p(off + 1) & 0xFF) + (p(off + 2) & 0xFF)
-            }
-            var lo = 0L
-            var hi = 0L
-            var yd = 0
-            while (yd < 8) {
-              var xd = 0
-              var g0 = gray(0, yd)
-              while (xd < 8) {
-                val g1 = gray(xd + 1, yd)
-                if (g1 > g0) {
-                  val i = yd * 8 + xd
-                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-                }
-                g0 = g1
-                xd += 1
-              }
-              yd += 1
-            }
-            Some((id, hi, lo))
-          }
+          dhashOne(p).map { case (_, _, hi, lo) => (id, hi, lo) }
         }
       }
       .toDF("doc_id", "dh_hi", "dh_lo")
@@ -682,39 +693,10 @@ object MediaBlobs {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, p) =>
-          if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
-          else {
-            val le = java.nio.ByteBuffer.wrap(p)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val w = le.getInt(18)
-            val h = le.getInt(22)
-            val rowSize = ((3 * w + 3) / 4) * 4
-            def gray(xd: Int, yd: Int): Int = {
-              val sx = xd * w / 9
-              val sy = yd * h / 8
-              val off = 54 + (h - 1 - sy) * rowSize + sx * 3
-              (p(off) & 0xFF) + (p(off + 1) & 0xFF) + (p(off + 2) & 0xFF)
-            }
-            var lo = 0L
-            var hi = 0L
-            var yd = 0
-            while (yd < 8) {
-              var xd = 0
-              var g0 = gray(0, yd)
-              while (xd < 8) {
-                val g1 = gray(xd + 1, yd)
-                if (g1 > g0) {
-                  val i = yd * 8 + xd
-                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-                }
-                g0 = g1
-                xd += 1
-              }
-              yd += 1
-            }
+          dhashOne(p).map { case (w, h, hi, lo) =>
             md.reset()
             val hash = md.digest(p).map("%02x".format(_)).mkString
-            Some((id, hash, w.toLong * h, hi, lo))
+            (id, hash, w.toLong * h, hi, lo)
           }
         }
       }
@@ -802,17 +784,25 @@ object MediaBlobs {
     * per format:
     *   JPEG: verify the FFD8 SOI, then WALK the length-prefixed marker
     *     segments (each FFxx + big-endian u16 length) exactly as a
-    *     jpeg_read_header does, skipping APPn/DQT/DHT/COM until the
-    *     first frame header (SOF0..SOF15 minus DHT/JPG/DAC), and read
-    *     sample precision, height, width and component count from it;
-    *     `version` = 'jfif' when the first segment is a JFIF APP0.
+    *     strict jpeg_read_header does: each step REQUIRES the 0xFF
+    *     marker prefix at the cursor (a byte that isn't 0xFF means the
+    *     walk desynchronized — bail to the sentinel row instead of
+    *     reading garbage dims), tolerates runs of 0xFF FILL bytes
+    *     before the marker id (legal padding per ITU T.81 §B.1.1.2),
+    *     steps over the standalone no-length markers (TEM 0x01, RSTn
+    *     0xD0-0xD7), stops undecoded at EOI/SOS-before-SOF, and skips
+    *     APPn/DQT/DHT/COM until the first frame header (SOF0..SOF15
+    *     minus DHT/JPG/DAC), reading sample precision, height, width
+    *     and component count from it; `version` = 'jfif' when the
+    *     first segment is a JFIF APP0.
     *   GIF: 'GIF' signature + version bytes ('89a'/'87a'), LE u16
     *     logical-screen dims, global-color-table bits from the packed
     *     flags byte; single-plane -> 1 component.
     * Returns (doc_id, fmt, version, width, height, n_components,
     * bit_depth). mapPartitions = the library-decode batch shape;
-    * unknown magic -> format-null row (a real pipeline routes those to
-    * quarantine).
+    * unknown magic -> format-null row, SOI-but-undecodable (truncated,
+    * desynced, scan-before-frame) -> fmt='jpeg' with null version and
+    * sentinel dims (a real pipeline routes both to quarantine).
     */
   def decodeCodecDims(df: DataFrame): DataFrame = {
     val s = df.sparkSession
@@ -827,17 +817,33 @@ object MediaBlobs {
             val jfif = p.length > 10 && (p(3) & 0xFF) == 0xE0 &&
               new String(p, 6, 4, "US-ASCII") == "JFIF"
             var pos = 2
+            var desynced = false
             var res: (Long, String, String, Long, Long, Int, Int) = null
-            while (res == null && pos + 3 < p.length) {
-              val marker = p(pos + 1) & 0xFF
-              val len = u16be(pos + 2)
-              val isSof = marker >= 0xC0 && marker <= 0xCF &&
-                marker != 0xC4 && marker != 0xC8 && marker != 0xCC
-              if (isSof)
-                res = (id, "jpeg", if (jfif) "jfif" else "raw",
-                  u16be(pos + 7).toLong, u16be(pos + 5).toLong,
-                  p(pos + 9) & 0xFF, p(pos + 4) & 0xFF)
-              else pos += 2 + len
+            while (res == null && !desynced && pos + 1 < p.length) {
+              if ((p(pos) & 0xFF) != 0xFF) desynced = true
+              else {
+                // legal 0xFF fill bytes may pad before the marker id
+                while (pos + 2 < p.length && (p(pos + 1) & 0xFF) == 0xFF)
+                  pos += 1
+                val marker = p(pos + 1) & 0xFF
+                val isSof = marker >= 0xC0 && marker <= 0xCF &&
+                  marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+                if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7))
+                  pos += 2 // standalone: TEM / RSTn carry no length
+                else if (marker == 0x00 || marker == 0xD9 || marker == 0xDA)
+                  desynced = true // stuffed byte / EOI / scan before SOF
+                else if (pos + 3 >= p.length) desynced = true // truncated
+                else {
+                  val len = u16be(pos + 2)
+                  if (len < 2) desynced = true
+                  else if (isSof) {
+                    if (pos + 9 >= p.length) desynced = true
+                    else res = (id, "jpeg", if (jfif) "jfif" else "raw",
+                      u16be(pos + 7).toLong, u16be(pos + 5).toLong,
+                      p(pos + 9) & 0xFF, p(pos + 4) & 0xFF)
+                  } else pos += 2 + len
+                }
+              }
             }
             if (res != null) res
             else (id, "jpeg", null.asInstanceOf[String], -1L, -1L, -1, -1)

@@ -73,14 +73,20 @@ class Round13OpsSpec extends AnyFunSuite {
   }
 
   test("MMR diversity term binds: selection differs from plain top-4") {
+    // EXISTENTIAL, not universal: a query whose top-4 is already
+    // diverse legitimately keeps the relevance order (that's correct
+    // MMR, not a bug), so "differs for every query" is a property of
+    // the current fixture, not of the operator. A DEAD diversity term,
+    // by contrast, degenerates to plain top-k for ALL queries — which
+    // is exactly what "no query differs" detects.
     val got = mmrRows.groupBy(_._1)
     val sls = shortlists
-    got.foreach { case (qid, rows) =>
+    val diverges = got.count { case (qid, rows) =>
       val picks = rows.sortBy(_._2).map(_._3).toSeq
-      val top4 = sls(qid).take(4).map(_._1)
-      assert(picks != top4,
-        s"q$qid: MMR degenerated to pure top-k — diversity term dead")
+      picks != sls(qid).take(4).map(_._1)
     }
+    assert(diverges > 0,
+      "MMR degenerated to pure top-k on every query — diversity term dead")
   }
 
   // ---- incremental near-dup ----
