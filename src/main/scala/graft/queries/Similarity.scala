@@ -79,6 +79,79 @@ object Similarity extends QueryPack {
         s"AS BIGINT) AS p$j"
     }.mkString(",\n        ")
 
+  /** CROSS-MODAL shared space (round 14): both modality towers land in
+    * one 16-dim joint space through the SAME frozen ±1 projection —
+    * the md5-parity JL matrix jlSgn already used for q_ann_jl_rerank,
+    * applied as 16 plan-literal sign rows (codegen'd dot_f per target
+    * dim). Image tower input: the 64-dim centered patch-luma feature
+    * decoded from the real BMP bytes (MediaBlobs.imageFeatOne, values
+    * ≤ 48000); text tower input: the micro-unit quantized embedding
+    * (values ≤ ~4000). Every projected coordinate is ≤ 64·48000 ≈
+    * 3.1e6 and every 16-dim dot ≤ 1.3e13 — integer-exact in doubles,
+    * so the oracle's BIGINT replay is bit-identical. The frozen
+    * deterministic matrix is the house stand-in for trained CLIP
+    * weights (same convention as the unrolled k-means/BPE training):
+    * the RETRIEVAL machinery — two encoders, one space, cosine top-k,
+    * IVF probe routing — is the real, scale-shaped artifact.
+    */
+  private def sharedProj(vcol: String): org.apache.spark.sql.Column = {
+    val cols = (0 until 16).map { j =>
+      val signs = (1 to 64)
+        .map(i => if (jlSgn(i, j) > 0) "1.0D" else "-1.0D").mkString(",")
+      expr(s"CAST(dot_f(CAST($vcol AS ARRAY<DOUBLE>), array($signs))" +
+        " AS BIGINT)")
+    }
+    array(cols: _*)
+  }
+
+  /** DuckDB twin of sharedProj over array-SQL fragment `vcol` (1-based
+    * 64 elements): the same md5-parity matrix, exact BIGINT math.
+    */
+  private def sharedProjSql(vcol: String): String =
+    s"list_transform(range(0, 16), j -> CAST(list_sum(" +
+      s"list_transform(range(1, 65), i -> $vcol[i] * " +
+      "(CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || " +
+      "CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 " +
+      "THEN 1 ELSE -1 END))) AS BIGINT))"
+
+  /** Shared oracle CTE block for the q_crossmodal_* family: image
+    * tower replayed from the generator pixel contract (the Spark side
+    * decodes the REAL bytes — MediaBlobsSpec/Round14OpsSpec prove the
+    * two agree), text tower from the embeddings table, both projected
+    * into the joint space with norms.
+    */
+  private val crossmodalTowersSql =
+    s"""idocs AS (
+        |  SELECT doc_id, doc_id % 41 AS g FROM documents
+        |  WHERE (doc_id % 41) % 2 = 0),
+        |idim AS (SELECT doc_id, g, 200 + (g * 13) % 800 AS w,
+        |                2 + g % 5 AS h FROM idocs),
+        |igray AS (
+        |  SELECT doc_id, list_transform(range(0, 64), k ->
+        |      ((k % 8) * w // 8 + 7 * ((k // 8) * h // 8) + g) % 251
+        |    + ((k % 8) * w // 8 + 7 * ((k // 8) * h // 8) + 11 + g) % 251
+        |    + ((k % 8) * w // 8 + 7 * ((k // 8) * h // 8) + 22 + g) % 251)
+        |    AS gr
+        |  FROM idim),
+        |ifeat AS (
+        |  SELECT doc_id, list_transform(gr, x -> 64 * x - list_sum(gr))
+        |    AS f
+        |  FROM igray),
+        |inorm AS (
+        |  SELECT doc_id, p,
+        |    sqrt(list_sum(list_transform(p, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS nrm
+        |  FROM (SELECT doc_id, ${sharedProjSql("f")} AS p FROM ifeat)),
+        |qt AS (
+        |  SELECT vec_id AS q_id, list_transform(embedding,
+        |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 6),
+        |qnorm AS (
+        |  SELECT q_id, p,
+        |    sqrt(list_sum(list_transform(p, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS nrm
+        |  FROM (SELECT q_id, ${sharedProjSql("qv")} AS p FROM qt))""".stripMargin
+
   /** Shared by q_ann_ivfpq and q_ann_ivfpq_index: identical
     * semantics, so one oracle replays both (from-scratch vs
     * from-persisted-index answers must agree exactly).
@@ -2766,5 +2839,174 @@ object Similarity extends QueryPack {
       graft.sources.MediaBlobs.decodeCodecDims(
           s.read.parquet(store).filter(col("doc_id") < 64))
         .orderBy("doc_id")
+    },
+
+    // CROSS-MODAL joint-embedding retrieval (round 14 — the round-13
+    // manifest assembled modalities BY ID; this searches ACROSS them):
+    // text-embedding queries retrieve IMAGE doc_ids through the shared
+    // 16-dim space (see sharedProj — one frozen ±1 projection applied
+    // to both towers, CLIP-shaped with a deterministic stand-in for
+    // the trained weights). The image side answers from the PERSISTED
+    // image-embedding store (MediaBlobs.ensureImageEmbStore — the blob
+    // bytes are decoded once at build time and never touched again);
+    // the text side is 6 query vectors. Brute-force cosine top-2 is
+    // the exactness baseline of the family (the IVF-routed variant
+    // below is the scale path, same space). Oracle: DuckDB replays the
+    // image tower from the generator pixel contract while Spark
+    // decodes the real bytes — the hash gate closes the
+    // generate→decode→embed→project→score loop end to end. 100 TB:
+    // one feature-store scan, 6-row broadcast query side, map-side
+    // rounded-cosine + WindowGroupLimit top-2; only skinny
+    // (q_id, doc_id, cos) rows shuffle. The symmetric image→text
+    // direction is this plan transposed (corpus and query towers
+    // swap); nothing in the space is direction-specific.
+    q("q_crossmodal_topk",
+      s"""WITH $crossmodalTowersSql,
+        |scored AS (
+        |  SELECT q.q_id, i.doc_id,
+        |    ROUND(list_sum(list_transform(range(1, 17),
+        |        d -> q.p[d]::DOUBLE * i.p[d]::DOUBLE))
+        |      / (q.nrm * i.nrm), 6) AS cos_sim
+        |  FROM qnorm q CROSS JOIN inorm i)
+        |SELECT q_id, CAST(rn AS INT) AS rn, doc_id, cos_sim FROM (
+        |  SELECT q_id, doc_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_sim DESC, doc_id) AS rn
+        |  FROM scored) WHERE rn <= 2 ORDER BY q_id, rn""".stripMargin) {
+      (s, dir) =>
+      val store = graft.sources.MediaBlobs.ensureImageEmbStore(s, dir)
+      val img = s.read.parquet(store)
+        .withColumn("pd", sharedProj("f").cast("array<double>"))
+        .withColumn("inrm", sqrt(dot("pd", "pd")))
+        .select(col("doc_id"), col("pd"), col("inrm"))
+      val qs = broadcast(t(s, dir, "embeddings")
+        .filter(col("vec_id") < 6)
+        .select(col("vec_id").as("q_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double)" +
+            " * 1000) as bigint))").as("qv"))
+        .withColumn("qpd", sharedProj("qv").cast("array<double>"))
+        .withColumn("qnrm", sqrt(dot("qpd", "qpd")))
+        .select(col("q_id"), col("qpd"), col("qnrm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("doc_id"))
+      img.crossJoin(qs)
+        .withColumn("cos_sim",
+          round(dot("qpd", "pd") / (col("qnrm") * col("inrm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("rn").cast("int").as("rn"),
+          col("doc_id"), col("cos_sim"))
+        .orderBy("q_id", "rn")
+    },
+
+    // Cross-modal retrieval through IVF PROBE ROUTING (round 14): the
+    // scale path of q_crossmodal_topk — 4 coarse cells seeded by the
+    // shared-space image vectors of doc_ids {0,2,4,6} (literal ids —
+    // provably bounded broadcast), every image vector indexed under
+    // its nearest cell (rounded-cosine argmax, deterministic 2000-cap
+    // per cell), text queries probe their nprobe=2 nearest cells and
+    // rescore ONLY those cells' members — the q_ann_ivf_cells probe
+    // shape pointed across modalities. The oracle replays cells,
+    // assignment, cap, probes and rescoring exactly, so the pruning
+    // is hash-gated, not approximated away. 100 TB: cells and probes
+    // are model-sized broadcasts; the corpus-side work is one
+    // feature-store scan for assignment (map-side argmax) and a
+    // broadcast-join rescore over nprobe/nlist of the index.
+    q("q_crossmodal_ivf",
+      s"""WITH $crossmodalTowersSql,
+        |cells AS (SELECT doc_id AS cell_id, p, nrm FROM inorm
+        |          WHERE doc_id IN (0, 2, 4, 6)),
+        |asg AS (
+        |  SELECT doc_id, cell FROM (
+        |    SELECT i.doc_id, c.cell_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY
+        |        ROUND(list_sum(list_transform(range(1, 17),
+        |            d -> i.p[d]::DOUBLE * c.p[d]::DOUBLE))
+        |          / (i.nrm * c.nrm), 6) DESC, c.cell_id) AS rn
+        |    FROM inorm i CROSS JOIN cells c) WHERE rn = 1),
+        |idx AS (
+        |  SELECT doc_id, cell FROM (
+        |    SELECT doc_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY doc_id)
+        |        AS crnk
+        |    FROM asg) WHERE crnk <= 2000),
+        |pr AS (
+        |  SELECT q_id, cell_id FROM (
+        |    SELECT q.q_id, c.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        ROUND(list_sum(list_transform(range(1, 17),
+        |            d -> q.p[d]::DOUBLE * c.p[d]::DOUBLE))
+        |          / (q.nrm * c.nrm), 6) DESC, c.cell_id) AS rn
+        |    FROM qnorm q CROSS JOIN cells c) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, x.doc_id AS cand_id, x.cell AS cell_id,
+        |    ROUND(list_sum(list_transform(range(1, 17),
+        |        d -> q.p[d]::DOUBLE * i.p[d]::DOUBLE))
+        |      / (q.nrm * i.nrm), 6) AS cos_sim
+        |  FROM pr p JOIN idx x ON x.cell = p.cell_id
+        |  JOIN qnorm q ON q.q_id = p.q_id
+        |  JOIN inorm i ON i.doc_id = x.doc_id)
+        |SELECT q_id, cand_id, cell_id, cos_sim FROM (
+        |  SELECT q_id, cand_id, cell_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_sim DESC, cand_id) AS rn
+        |  FROM scored) WHERE rn = 1 ORDER BY q_id""".stripMargin) {
+      (s, dir) =>
+      val nprobe = 2
+      val cellCap = 2000
+      val store = graft.sources.MediaBlobs.ensureImageEmbStore(s, dir)
+      val img = s.read.parquet(store)
+        .withColumn("pd", sharedProj("f").cast("array<double>"))
+        .withColumn("inrm", sqrt(dot("pd", "pd")))
+        .select(col("doc_id"), col("pd"), col("inrm"))
+      val cells = broadcast(img
+        .filter(col("doc_id").isin(0L, 2L, 4L, 6L))
+        .select(col("doc_id").as("cell_id"), col("pd").as("cd"),
+          col("inrm").as("cn")))
+      // index: one cell per image vector — map-side max_by argmax on
+      // the rounded cosine (tie → lower cell_id), then the
+      // deterministic per-cell cap
+      val assigned = img.crossJoin(cells)
+        .withColumn("ccos",
+          round(dot("pd", "cd") / (col("inrm") * col("cn")), 6))
+        .groupBy("doc_id")
+        .agg(max_by(col("cell_id"),
+          struct(col("ccos"), (lit(0L) - col("cell_id")).as("inv")))
+          .as("cell"),
+          first(col("pd")).as("pd"), first(col("inrm")).as("inrm"))
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy("doc_id")
+      val index = assigned.withColumn("crnk", row_number().over(wCell))
+        .filter(col("crnk") <= cellCap).drop("crnk")
+      val qs = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 6)
+        .select(col("vec_id").as("q_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double)" +
+            " * 1000) as bigint))").as("qv"))
+        .withColumn("qpd", sharedProj("qv").cast("array<double>"))
+        .withColumn("qnrm", sqrt(dot("qpd", "qpd")))
+        .select(col("q_id"), col("qpd"), col("qnrm"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("pcos").desc, col("cell_id"))
+      val probes = qs.crossJoin(cells)
+        .withColumn("pcos",
+          round(dot("qpd", "cd") / (col("qnrm") * col("cn")), 6))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select(col("q_id"), col("qpd"), col("qnrm"),
+          col("cell_id").as("pcell"))
+      index.join(broadcast(probes), col("pcell") === col("cell"))
+        .withColumn("cos_sim",
+          round(dot("qpd", "pd") / (col("qnrm") * col("inrm")), 6))
+        .groupBy("q_id")
+        .agg(max_by(
+          struct(col("doc_id").as("cand_id"), col("cell").as("cell_id"),
+            col("cos_sim")),
+          struct(col("cos_sim"), (lit(0L) - col("doc_id")).as("inv")))
+          .as("best"))
+        .select(col("q_id"), col("best.cand_id").as("cand_id"),
+          col("best.cell_id").as("cell_id"),
+          col("best.cos_sim").as("cos_sim"))
+        .orderBy("q_id")
     })
 }

@@ -703,6 +703,81 @@ object MediaBlobs {
       .toDF("doc_id", "media_hash", "area", "dh_hi", "dh_lo")
   }
 
+  // ---- image-embedding tower (cross-modal shared space, round 14) ----
+
+  /** 64-dim patch-luma feature of one BMP payload — the IMAGE TOWER of
+    * the cross-modal joint-embedding space (queries/Similarity.scala's
+    * q_crossmodal_* family): an 8×8 nearest-neighbor grid over the
+    * real pixel bytes (grid pixel (xd, yd) reads source pixel
+    * (xd*w div 8, yd*h div 8), same container addressing as dhashOne),
+    * gray = R+G+B per grid cell (exact integer luma proxy), then
+    * zero-sum CENTERING in pure integers — f[k] = 64·gray[k] − Σ gray —
+    * so the feature is the contrast PATTERN, invariant to global
+    * brightness (the same invariance dHash exploits, kept exact for
+    * the oracle). Values stay in [−48000, 48000]: every downstream ±1
+    * projection and 16-dim dot is integer-exact in a double.
+    * Returns None for non-BMP bytes (a real pipeline routes by format).
+    */
+  private[graft] def imageFeatOne(p: Array[Byte]): Option[Array[Long]] = {
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+    else {
+      val le = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = le.getInt(18)
+      val h = le.getInt(22)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val gr = new Array[Long](64)
+      var total = 0L
+      var k = 0
+      while (k < 64) {
+        val sx = (k % 8) * w / 8
+        val sy = (k / 8) * h / 8
+        val off = 54 + (h - 1 - sy) * rowSize + sx * 3
+        gr(k) = (p(off) & 0xFF) + (p(off + 1) & 0xFF) + (p(off + 2) & 0xFF)
+        total += gr(k)
+        k += 1
+      }
+      val f = new Array[Long](64)
+      k = 0
+      while (k < 64) { f(k) = 64 * gr(k) - total; k += 1 }
+      Some(f)
+    }
+  }
+
+  /** (doc_id, f bigint[64]) image-tower features decoded from the blob
+    * column; non-BMP rows skipped. One pass over the bytes, no shuffle.
+    */
+  def imageEmbFromBytes(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, p) =>
+        imageFeatOne(p).map(f => (id, f))
+      })
+      .toDF("doc_id", "f")
+  }
+
+  /** Persisted image-embedding store — build once, query many (the
+    * posture of IvfPqIndex/ensureLshIndex): the blob store is scanned
+    * ONCE, features land as parquet keyed by the documents content
+    * tag, and every cross-modal query answers from the 512-byte
+    * feature rows instead of re-decoding payloads. 100 TB: the build
+    * is an embarrassingly parallel decode pass; searches never touch
+    * blob bytes again.
+    */
+  def ensureImageEmbStore(s: SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_imgemb_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      graft.T.contentTag(dir, "documents")
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      val blobs = s.read.parquet(ensureStore(s, dir))
+      imageEmbFromBytes(blobs).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   // ---- JPEG / GIF modality: REAL codec output (javax.imageio) ----
 
   /** Real JPEG or GIF bytes for one seed g, produced by the JDK's OWN
