@@ -23,22 +23,67 @@ object Aggregates extends QueryPack {
     * fingerprint (the scheduled-job artifact q_agg_bitmap_rollup
     * queries). Completion gate: parquet's root _SUCCESS, written last.
     */
-  private def ensureBitmapRollup(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ensureBitmapRollup(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val path = System.getProperty("java.io.tmpdir") + "/graft_bmroll_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
       graft.T.contentTag(dir, "events")
     val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists()) {
-      t(s, dir, "events").createOrReplaceTempView("bmr_events_src")
-      s.sql(
-        """SELECT event_type, to_date(ts) AS day,
-          |  bitmap_bucket_number(user_id) AS bucket,
-          |  bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
-          |FROM bmr_events_src
-          |GROUP BY event_type, to_date(ts),
-          |  bitmap_bucket_number(user_id)""".stripMargin)
+    if (!done.exists())
+      rollupOf(s, dir, "true")
         .write.mode("overwrite").partitionBy("day").parquet(path)
+    path
+  }
+
+  /** One day-grouped bitmap pass over the events slice matching
+    * `pred` (a SQL predicate over the raw columns) — the single
+    * aggregation both rollup builders share. `day` is in the group
+    * key, so building a day slice produces byte-identical blobs to
+    * building everything and filtering (the delta-append equality).
+    */
+  private def rollupOf(s: org.apache.spark.sql.SparkSession, dir: String,
+      pred: String): org.apache.spark.sql.DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("bmr_events_src")
+    s.sql(
+      s"""SELECT event_type, to_date(ts) AS day,
+         |  bitmap_bucket_number(user_id) AS bucket,
+         |  bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+         |FROM bmr_events_src WHERE $pred
+         |GROUP BY event_type, to_date(ts),
+         |  bitmap_bucket_number(user_id)""".stripMargin)
+  }
+
+  /** Incrementally-maintained twin of ensureBitmapRollup (round 14 —
+    * the delta-append directive): the base build aggregates every day
+    * BEFORE the newest one, then the newest day's events — ONLY that
+    * day's slice, the size of a daily batch — are rolled up and
+    * APPENDED as a new day= partition directory. Because `day` is in
+    * the rollup's group key and bitmap_construct_agg is
+    * input-order-insensitive, base ∪ delta is byte-identical to a
+    * from-scratch rebuild (Round14OpsSpec proves blob-level equality),
+    * and range queries keep pruning day directories exactly as
+    * before. Completion gate: a _GRAFT_DONE marker written AFTER the
+    * append (parquet's _SUCCESS lands mid-sequence in a two-phase
+    * build). This is the Druid-slice segment-append pattern applied
+    * to the exact-bitmap artifact. 100 TB: the daily append scans one
+    * day of raw events, never the history — the property that makes a
+    * persisted rollup operable as a scheduled job.
+    */
+  private[graft] def ensureBitmapRollupIncremental(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bmrollinc_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      graft.T.contentTag(dir, "events")
+    val done = new java.io.File(path, "_GRAFT_DONE")
+    if (!done.exists()) {
+      // the "today" boundary: newest day in the feed (1-row collect)
+      val maxDay = t(s, dir, "events")
+        .agg(max(to_date(col("ts")))).collect()(0).getDate(0)
+      rollupOf(s, dir, s"to_date(ts) < DATE '$maxDay'")
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      rollupOf(s, dir, s"to_date(ts) = DATE '$maxDay'")
+        .write.mode("append").partitionBy("day").parquet(path)
+      done.createNewFile()
     }
     path
   }
@@ -917,6 +962,33 @@ object Aggregates extends QueryPack {
           |  SELECT event_type, bucket,
           |    bitmap_count(bitmap_or_agg(bm)) AS cnt
           |  FROM bmr_rollup GROUP BY event_type, bucket)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // The INCREMENTALLY-MAINTAINED bitmap rollup (round 14): same
+    // question shape as q_agg_bitmap_rollup but answered from the
+    // artifact whose newest day partition was DELTA-APPENDED by
+    // ensureBitmapRollupIncremental rather than rebuilt — and the
+    // range deliberately includes that newest day, so a missing or
+    // malformed appended partition flips the hash. The oracle is
+    // plain COUNT(DISTINCT) over the raw range: maintenance mode must
+    // be semantically invisible. 100 TB: the append scanned one day;
+    // this query reads only pruned day directories of ≤4 KB blobs.
+    q("q_agg_bitmap_rollup_delta",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val store = ensureBitmapRollupIncremental(s, dir)
+      s.read.parquet(store)
+        .filter(col("day") >= lit("2024-01-08").cast("date"))
+        .createOrReplaceTempView("bmr_rollup_inc")
+      s.sql(
+        """SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_users
+          |FROM (
+          |  SELECT event_type, bucket,
+          |    bitmap_count(bitmap_or_agg(bm)) AS cnt
+          |  FROM bmr_rollup_inc GROUP BY event_type, bucket)
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 

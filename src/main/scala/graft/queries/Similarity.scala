@@ -228,6 +228,76 @@ object Similarity extends QueryPack {
         |WHERE t.rn <= 5
         |ORDER BY t.q_id, t.rn""".stripMargin
 
+  /** The q_ann_ivfpq_index search plan against an arbitrary persisted
+    * index root — shared verbatim by the full-build and the
+    * incrementally-appended index queries (one oracle gates both, and
+    * the probe plan must be identical whatever the maintenance mode).
+    */
+  private def ivfpqIndexSearch(s: SparkSession, dir: String,
+      idx: String): DataFrame = {
+      val emb = graft.sources.IvfPqIndex.quantized(s, dir)
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 9)
+        .select(col("vec_id").as("q_id"), col("qd").as("qv"),
+          col("en").as("qn"))
+      val cells = broadcast(s.read.parquet(idx + "/cells")
+        .withColumn("cd", col("c").cast("array<double>"))
+        .withColumn("cn", expr("dot_f(cd, cd)"))
+        .select(col("cell_id"), col("cd"), col("cn")))
+      val cb = broadcast(s.read.parquet(idx + "/codebook")
+        .withColumn("cv", col("cv").cast("array<double>"))
+        .withColumn("cvn", expr("dot_f(cv, cv)")))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("d"), col("cell_id"))
+      val probe = qs.crossJoin(cells)
+        .withColumn("d",
+          (col("qn") + col("cn") - lit(2) * dot("qv", "cd")).cast("long"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("cell_id"),
+          expr("zip_with(qv, cd, (a, b) -> a - b)").as("qr"))
+        .localCheckpoint(true) // probed twice below (routing + LUTs)
+      // Driver-side probe routing: ≤ nlist(4) cell ids — model-sized
+      // by construction (this is the collect an ANN service does to
+      // schedule probes; never corpus data).
+      val probedCells = probe.select("cell_id").distinct()
+        .collect().map(_.getLong(0))
+      val lut = broadcast(graft.sources.IvfPqIndex
+        .slices(probe, "qr", "q_id", "cell_id")
+        .join(cb, "s")
+        .withColumn("ld",
+          (col("vn") + col("cvn") - lit(2) * dot("v", "cv")).cast("long"))
+        .withColumn("k", col("s") * 4 + col("cid"))
+        .groupBy("q_id", "cell_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(k, ld))), x -> x.ld)")
+          .as("lut")))
+      // Pruned code scan: only the probed cells' partitions are read.
+      val codes = s.read.parquet(idx + "/codes")
+        .filter(col("cell_id").isin(probedCells.map(Long.box): _*))
+        .withColumn("cell_id", col("cell_id").cast("long"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+      val top = codes.join(lut, "cell_id")
+        .withColumn("adc_dist", expr(
+          "aggregate(zip_with(codes, sequence(0, 7)," +
+            " (c, s) -> element_at(lut, cast(s*4 + c + 1 as int)))," +
+            " cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("int").as("rn"),
+          col("vec_id").as("cand_id"), col("cell_id"), col("adc_dist"))
+      val corpV = emb.filter(col("vec_id") >= 9)
+        .select(col("vec_id").as("cand_id"), col("qd").as("cv2"),
+          col("en").as("cvn2"))
+      val qV = broadcast(qs)
+      top.join(corpV, "cand_id").join(qV, "q_id")
+        .withColumn("exact_dist",
+          (col("qn") + col("cvn2") - lit(2) * dot("qv", "cv2")).cast("long"))
+        .select("q_id", "rn", "cand_id", "cell_id", "adc_dist",
+          "exact_dist")
+        .orderBy("q_id", "rn")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-3 per query vector (queries = vec_id < 5).
@@ -2060,69 +2130,31 @@ object Similarity extends QueryPack {
     // 100 TB: a query touches nprobe/nlist of a BYTES table instead
     // of the float corpus — partition pruning × 32× compression.
     q("q_ann_ivfpq_index", ivfpqOracleSql) { (s, dir) =>
-      val idx = graft.sources.IvfPqIndex.ensure(s, dir)
-      val emb = graft.sources.IvfPqIndex.quantized(s, dir)
-      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 9)
-        .select(col("vec_id").as("q_id"), col("qd").as("qv"),
-          col("en").as("qn"))
-      val cells = broadcast(s.read.parquet(idx + "/cells")
-        .withColumn("cd", col("c").cast("array<double>"))
-        .withColumn("cn", expr("dot_f(cd, cd)"))
-        .select(col("cell_id"), col("cd"), col("cn")))
-      val cb = broadcast(s.read.parquet(idx + "/codebook")
-        .withColumn("cv", col("cv").cast("array<double>"))
-        .withColumn("cvn", expr("dot_f(cv, cv)")))
-      val wProbe = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("d"), col("cell_id"))
-      val probe = qs.crossJoin(cells)
-        .withColumn("d",
-          (col("qn") + col("cn") - lit(2) * dot("qv", "cd")).cast("long"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 2)
-        .select(col("q_id"), col("cell_id"),
-          expr("zip_with(qv, cd, (a, b) -> a - b)").as("qr"))
-        .localCheckpoint(true) // probed twice below (routing + LUTs)
-      // Driver-side probe routing: ≤ nlist(4) cell ids — model-sized
-      // by construction (this is the collect an ANN service does to
-      // schedule probes; never corpus data).
-      val probedCells = probe.select("cell_id").distinct()
-        .collect().map(_.getLong(0))
-      val lut = broadcast(graft.sources.IvfPqIndex
-        .slices(probe, "qr", "q_id", "cell_id")
-        .join(cb, "s")
-        .withColumn("ld",
-          (col("vn") + col("cvn") - lit(2) * dot("v", "cv")).cast("long"))
-        .withColumn("k", col("s") * 4 + col("cid"))
-        .groupBy("q_id", "cell_id")
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(k, ld))), x -> x.ld)")
-          .as("lut")))
-      // Pruned code scan: only the probed cells' partitions are read.
-      val codes = s.read.parquet(idx + "/codes")
-        .filter(col("cell_id").isin(probedCells.map(Long.box): _*))
-        .withColumn("cell_id", col("cell_id").cast("long"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
-      val top = codes.join(lut, "cell_id")
-        .withColumn("adc_dist", expr(
-          "aggregate(zip_with(codes, sequence(0, 7)," +
-            " (c, s) -> element_at(lut, cast(s*4 + c + 1 as int)))," +
-            " cast(0 as bigint), (a, x) -> a + x)"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("rn").cast("int").as("rn"),
-          col("vec_id").as("cand_id"), col("cell_id"), col("adc_dist"))
-      val corpV = emb.filter(col("vec_id") >= 9)
-        .select(col("vec_id").as("cand_id"), col("qd").as("cv2"),
-          col("en").as("cvn2"))
-      val qV = broadcast(qs)
-      top.join(corpV, "cand_id").join(qV, "q_id")
-        .withColumn("exact_dist",
-          (col("qn") + col("cvn2") - lit(2) * dot("qv", "cv2")).cast("long"))
-        .select("q_id", "rn", "cand_id", "cell_id", "adc_dist",
-          "exact_dist")
-        .orderBy("q_id", "rn")
+      ivfpqIndexSearch(s, dir, graft.sources.IvfPqIndex.ensure(s, dir))
     },
+
+    // IVF-PQ search over the INCREMENTALLY-MAINTAINED index (round 14
+    // — the delta-append directive): sources/IvfPqIndex
+    // .ensureIncremental builds the base code table from the standing
+    // corpus (vec_id % 10 != 7, the ensureLshIndex split), then
+    // APPENDS the batch's codes — encoded under the FROZEN on-disk
+    // model tables, never recomputing them — as new files inside the
+    // existing cell_id partitions. Because residual-PQ encoding is
+    // per-row deterministic given a frozen model, base ∪ delta is
+    // row-identical to a from-scratch rebuild (Round14OpsSpec proves
+    // set equality against `ensure`'s table), so the SAME oracle
+    // hash-gates all three ivfpq variants; the search plan is the
+    // q_ann_ivfpq_index plan verbatim — probe cost is untouched by
+    // maintenance mode (still reads only probed cell partitions).
+    // 100 TB: a daily append costs one pass over the BATCH (not the
+    // corpus) — the amortization that makes a persisted ANN index
+    // operable, completing the posture q_dedup_incremental_neardup
+    // established for the LSH index.
+    q("q_ann_ivfpq_delta", ivfpqOracleSql) { (s, dir) =>
+      ivfpqIndexSearch(s, dir,
+        graft.sources.IvfPqIndex.ensureIncremental(s, dir))
+    },
+
 
     // Image RESIZE over the real BMP pixel bytes (round 12 — the brief's
     // decode / feature-extract / RESIZE / frame-sample quartet had

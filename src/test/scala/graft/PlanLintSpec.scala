@@ -65,6 +65,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_ann_pq_adc", // 5-row query-LUT frame broadcast vs the code table
     "q_ann_ivfpq", // 4-row cell centroid frame vs corpus/query sides
     "q_ann_ivfpq_index", // 4-row persisted cells table vs the query set
+    "q_ann_ivfpq_delta", // same search plan over the delta-appended index
     "q_ann_pq_rerank", // 5-row query-LUT frame broadcast vs the code table
     "q_crossmodal_topk", // 6-row text query set broadcast vs the image-embedding store
     "q_crossmodal_ivf" // 4 literal-id cells + <=12-row probe set vs the store
@@ -141,6 +142,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_ann_pq_adc", // vec_id < 4 codebook + vec_id in [4,9) query LUTs
     "q_ann_ivfpq", // 4 cells, 4-entry residual codebook, 10 (q,cell) LUTs
     "q_ann_ivfpq_index", // vec_id in [4,9) query set vs the rerank join
+    "q_ann_ivfpq_delta", // same bounded query set, delta-appended index
     "q_crossmodal_topk", // vec_id < 6 text query tower (6 rows)
     "q_crossmodal_ivf", // vec_id < 6 queries -> <=12 (q,cell) probe rows
     "q_ann_pq_rerank" // vec_id in [9,25) codebook + [4,9) query LUTs

@@ -183,6 +183,62 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- delta-append maintenance of the persisted artifacts ----
+
+  test("delta-appended IVF-PQ index is row-identical to a from-scratch rebuild") {
+    val full = sources.IvfPqIndex.ensure(spark, sfDir)
+    val inc = sources.IvfPqIndex.ensureIncremental(spark, sfDir)
+    def codesOf(p: String) = spark.read.parquet(p + "/codes")
+      .selectExpr("vec_id", "cast(cell_id as long) cell_id",
+        "concat_ws(',', codes) cs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val f = codesOf(full)
+    val i = codesOf(inc)
+    assert(f === i, "base+delta codes diverge from the full rebuild")
+    // the delta actually contributed: batch vec_ids are present
+    assert(i.exists(_._1 % 10 == 7), "no batch rows in the appended index")
+    // frozen model tables identical
+    def modelOf(p: String, t: String, cols: Seq[String]) = spark.read
+      .parquet(s"$p/$t").selectExpr(cols: _*)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(modelOf(full, "cells", Seq("cell_id", "concat_ws(',', c)")) ===
+      modelOf(inc, "cells", Seq("cell_id", "concat_ws(',', c)")))
+    assert(modelOf(full, "codebook", Seq("cid", "s", "concat_ws(',', cv)")) ===
+      modelOf(inc, "codebook", Seq("cid", "s", "concat_ws(',', cv)")))
+    // and the search over the appended index answers identically
+    val a = SparkEntry.queries("q_ann_ivfpq_index")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q_ann_ivfpq_delta")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b, "search answers differ across maintenance modes")
+  }
+
+  test("delta-appended bitmap rollup is blob-identical to a from-scratch rebuild") {
+    val full = queries.Aggregates.ensureBitmapRollup(spark, sfDir)
+    val inc = queries.Aggregates.ensureBitmapRollupIncremental(spark, sfDir)
+    def blobsOf(p: String) = spark.read.parquet(p)
+      .selectExpr("event_type", "cast(day as string) day", "bucket",
+        "md5(bm) h")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val f = blobsOf(full)
+    val i = blobsOf(inc)
+    assert(f === i, "base+delta rollup blobs diverge from the full rebuild")
+    // the appended day partition exists as its own directory
+    val maxDay = f.map(_._2).max
+    assert(new java.io.File(inc, s"day=$maxDay").isDirectory,
+      "newest day was not appended as a partition directory")
+    // build-once: a second ensure call must not rewrite anything
+    val files = new java.io.File(inc).listFiles()
+      .map(x => x.getPath -> x.lastModified).toMap
+    queries.Aggregates.ensureBitmapRollupIncremental(spark, sfDir)
+    val after = new java.io.File(inc).listFiles()
+      .map(x => x.getPath -> x.lastModified).toMap
+    assert(files === after, "incremental rollup was rebuilt on reuse")
+  }
+
   // ---- LSH index cap accounting (no-silent-caps) ----
 
   test("LSH index build records its bucket-cap truncation in a sidecar") {
