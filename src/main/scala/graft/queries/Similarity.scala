@@ -768,14 +768,40 @@ object Similarity extends QueryPack {
         |    sqrt(list_sum(list_transform(cent, x -> x * x))) AS cnrm
         |  FROM (SELECT cell AS cent_id, list(m ORDER BY pos) AS cent
         |        FROM m2 GROUP BY cell)),
+        |params2 AS (
+        |  SELECT (SELECT MIN(1::BIGINT << CAST(j AS INT)) FROM range(16) t(j)
+        |      WHERE (1::BIGINT << CAST(j AS INT))
+        |          * (1::BIGINT << CAST(j AS INT)) >=
+        |        (SELECT seedmod FROM params)) AS cm),
+        |cc AS (
+        |  SELECT cent_id AS co_id, cent AS co, cnrm AS conrm FROM c2
+        |  WHERE cent_id % ((SELECT seedmod FROM params)
+        |                   * (SELECT cm FROM params2)) = 0),
+        |cf AS (
+        |  SELECT cent_id, cent, cnrm, co_id FROM (
+        |    SELECT f.cent_id, f.cent, f.cnrm, c.co_id,
+        |      ROW_NUMBER() OVER (PARTITION BY f.cent_id ORDER BY
+        |        ROUND(list_sum(list_transform(range(1, 65),
+        |            i -> f.cent[i] * c.co[i])) / (f.cnrm * c.conrm), 6)
+        |          DESC, c.co_id) AS rn
+        |    FROM c2 f CROSS JOIN cc c) WHERE rn = 1),
+        |vc AS (
+        |  SELECT vec_id, co_id FROM (
+        |    SELECT v.vec_id, c.co_id,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        ROUND(list_sum(list_transform(range(1, 65),
+        |            i -> v.embedding[i]::DOUBLE * c.co[i]))
+        |          / (v.nrm * c.conrm), 6) DESC, c.co_id) AS rn
+        |    FROM e v CROSS JOIN cc c) WHERE rn <= 2),
         |rk AS (
         |  SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id
         |      ORDER BY ccos DESC, cent_id) AS arn FROM (
-        |    SELECT v.vec_id, c.cent_id,
+        |    SELECT v.vec_id, f.cent_id,
         |      ROUND(list_sum(list_transform(range(1, 65),
-        |          i -> v.embedding[i]::DOUBLE * c.cent[i]))
-        |        / (v.nrm * c.cnrm), 6) AS ccos
-        |    FROM e v CROSS JOIN c2 c)),
+        |          i -> ve.embedding[i]::DOUBLE * f.cent[i]))
+        |        / (ve.nrm * f.cnrm), 6) AS ccos
+        |    FROM vc v JOIN cf f ON f.co_id = v.co_id
+        |    JOIN e ve ON ve.vec_id = v.vec_id)),
         |icap AS (
         |  SELECT cand_id, cell FROM (
         |    SELECT vec_id AS cand_id, cent_id AS cell,
@@ -876,18 +902,54 @@ object Similarity extends QueryPack {
             sqrt(dot("cent", "cent")).as("cent_nrm"))
           .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       }
-      // Rank centroids per vector on a SKINNY (vec_id, cent_id,
-      // cent_cos) relation: the embedding must feed the dot product
-      // (map-side, against the broadcast centroids) but must NOT ride
-      // through the ranking window — at the 100× scale point the fat
-      // n×c window shuffled the 64-float arrays c times per vector and
-      // dominated the query. The rank<=nprobe filter compiles to
-      // WindowGroupLimit (map-side per-group limit before the
-      // exchange), so the shuffle carries ~nprobe skinny rows per
-      // vector; embeddings are joined back by vec_id only for the
-      // ≤ nprobe·n survivors. Checkpoint materializes that small
-      // relation once for its two consumers (index build + probes).
-      val ranked = e.crossJoin(broadcast(cents))
+      // FINAL assignment through a COARSE LAYER OVER THE TRAINED
+      // CENTROIDS (round 14 — the de-fang of this query's one flagged
+      // asymptote): the old e × cents ranking paid O(n·nlist) =
+      // O(n·sqrt(n)) — measured 20.1× on the second data decade, the
+      // suite's worst honest scaler, with the fix already proven in
+      // q_ann_ivf_hier. Here the hierarchical route is applied AFTER
+      // Lloyd: ncoarse ≈ sqrt(nlist) of the trained centroids (every
+      // coarseMult-th seed id — pure integer modulus both engines
+      // replay; empty-dropped cells just thin the coarse tier) form a
+      // coarse quantizer, each trained centroid is assigned to its
+      // nearest coarse cell (model × model), and a vector ranks only
+      // the fine centroids inside its wc=2 nearest coarse cells:
+      // O(n·(ncoarse + wc·nlist/ncoarse)) = O(n·n^(1/4)). The pruning
+      // is the standard IMI approximation and the oracle replays it
+      // CTE-for-CTE, so it is hash-gated, not waved through. Training
+      // itself (the two unrolled Lloyd rounds above) already runs on
+      // the bounded trainMod sample and stays exactly as it was.
+      // All ranking stays on SKINNY (vec_id, cent_id, cos) relations —
+      // embeddings feed the dots map-side against broadcast frames and
+      // never ride the window shuffles (rank<=k compiles to
+      // WindowGroupLimit); embeddings re-attach by vec_id only for the
+      // ≤ nprobe·n survivors.
+      val wc = 2
+      val coarseMult = (0 until 16).map(1L << _)
+        .find(q => q * q >= seedMod).getOrElse(1L << 16)
+      val coarse = cents.filter(col("cent_id") % (seedMod * coarseMult) === 0)
+        .select(col("cent_id").as("co_id"), col("cent").as("co"),
+          col("cent_nrm").as("co_nrm"))
+      val fine = cents.crossJoin(broadcast(coarse))
+        .withColumn("ccos",
+          round(dot("cent", "co") / (col("cent_nrm") * col("co_nrm")), 6))
+        .groupBy("cent_id")
+        .agg(max_by(col("co_id"),
+          struct(col("ccos"), (lit(0L) - col("co_id")).as("inv")))
+          .as("co_id"),
+          first(col("cent")).as("cent"),
+          first(col("cent_nrm")).as("cent_nrm"))
+      val wCoarse = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("vcos").desc, col("co_id"))
+      val vc = e.crossJoin(broadcast(coarse))
+        .select(col("vec_id"), col("co_id"),
+          round(dot("embedding", "co") / (col("nrm") * col("co_nrm")), 6)
+            .as("vcos"))
+        .withColumn("crn", row_number().over(wCoarse))
+        .filter(col("crn") <= wc)
+        .select("vec_id", "co_id")
+      val ranked = vc.join(e, "vec_id")
+        .join(broadcast(fine), "co_id")
         .select(col("vec_id"), col("cent_id"),
           round(dot("embedding", "cent") / (col("nrm") * col("cent_nrm")),
             6).as("cent_cos"))
