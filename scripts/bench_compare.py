@@ -8,11 +8,17 @@ than 0.3s frozen exceeds 2x its frozen time (sub-0.3s queries jitter up
 to +-2x run-to-run per the BASELINE.md variance protocol, so they are
 reported but don't gate). This is the CI-style drift wire: run it after
 any plan-touching change so drift is caught on the builder's own run,
-before the driver measures it."""
+before the driver measures it.
+
+--subset: the run deliberately covers only part of the registry (the
+drift_check.sh core tier): compare the total against the SUM of the
+frozen entries for the queries actually run, and don't treat the rest
+of the baseline as "missing"."""
 import json, re, statistics, sys
 
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 fail_mode = "--fail" in sys.argv[1:]
+subset_mode = "--subset" in sys.argv[1:]
 detail = args[0] if args else "BENCH_DETAIL.json"
 run = json.load(open(detail))
 md = open("BASELINE.md").read()
@@ -36,6 +42,11 @@ base = json.loads(m.group(1))
 print(f"baseline: {section[3:]}")
 
 rq, bq = run["queries"], base["queries"]
+if subset_mode:
+    # tiered run: the frozen yardstick is the sum over the queries run
+    bq = {q: t for q, t in bq.items() if q in rq}
+    base = dict(base, value=round(sum(bq.values()), 3))
+    print(f"subset mode: frozen yardstick = sum over the {len(bq)} run queries")
 common = sorted(set(rq) & set(bq))
 ratios = {q: rq[q] / bq[q] for q in common if bq[q] > 0}
 print(f"run total {run['value']:.2f}s over {len(rq)} vs frozen {base['value']:.2f}s over {len(bq)}")
