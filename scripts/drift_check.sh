@@ -44,10 +44,12 @@ fi
 # kernels can't hide behind count()-pruning; bench_compare auto-selects
 # the matching frozen baseline. SPARK_GRAFT_BENCH_FORCE=0 reverts to
 # default-mode timing against the default-mode baseline.
+# NB: SPARK_GRAFT_ONLY must stay UNSET for a full run — Bench treats
+# an empty-string filter as "match nothing", not "match all".
+if [[ -n "$ONLY" ]]; then export SPARK_GRAFT_ONLY="$ONLY"; else unset SPARK_GRAFT_ONLY; fi
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 SPARK_GRAFT_BENCH_FORCE="${SPARK_GRAFT_BENCH_FORCE:-1}" \
-SPARK_GRAFT_ONLY="$ONLY" \
   sbt -batch "runMain graft.Bench" >/tmp/drift_bench.log 2>&1 || {
     echo "bench run failed; tail of log:"; tail -20 /tmp/drift_bench.log
     exit 1
