@@ -298,10 +298,21 @@ object Aggregates extends QueryPack {
         .orderBy("lang")
     },
 
-    // percentile_approx (GenericUDAFPercentileApprox): with accuracy >>
-    // row count the sketch is exact and returns an ACTUAL data value —
-    // DuckDB's quantile_disc twin. (At real scale, lower the accuracy:
-    // the sketch is mergeable, so partial aggregation still applies.)
+    // percentile_approx (GenericUDAFPercentileApprox): the GK sketch's
+    // rank error is bounded by N_group/accuracy, so with accuracy well
+    // above the oracle-scale group size (~20k rows/group at sf0.01,
+    // ~200k at the sf0.1 bench) the error is a fraction of one rank and
+    // the sketch returns the EXACT data value — DuckDB's quantile_disc
+    // twin. Accuracy is a MEMORY parameter, not just a precision one:
+    // each partial buffer retains O(accuracy) samples, and the original
+    // 1e6 setting OOM'd a 24 GB driver at sf30 (32 concurrent partials
+    // × 2 aggregates × ~1M retained doubles — the round-14 sweep's
+    // shape-bug find, instance #6 of "sizing parameters must be
+    // functions of the data"). 1e5 keeps oracle-scale exactness
+    // (rank error ≤ 0.2 << the 1-rank gap) with 10× less memory; at
+    // real scale lower it further — the sketch is mergeable, so
+    // partial aggregation still applies and answers degrade gracefully
+    // to ±N/accuracy ranks instead of degrading to an OOM.
     q("q_agg_percentile_approx",
       """SELECT l_returnflag,
         |  quantile_disc(l_extendedprice, 0.5) AS ap50,
@@ -311,9 +322,9 @@ object Aggregates extends QueryPack {
         val l = t(s, dir, "lineitem")
         l.groupBy("l_returnflag")
           .agg(
-            percentile_approx(l("l_extendedprice"), lit(0.5), lit(1000000))
+            percentile_approx(l("l_extendedprice"), lit(0.5), lit(100000))
               .as("ap50"),
-            percentile_approx(l("l_extendedprice"), lit(0.9), lit(1000000))
+            percentile_approx(l("l_extendedprice"), lit(0.9), lit(100000))
               .as("ap90"))
           .orderBy("l_returnflag")
     },
