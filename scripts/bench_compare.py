@@ -13,10 +13,20 @@ before the driver measures it.
 --subset: the run deliberately covers only part of the registry (the
 drift_check.sh core tier): compare the total against the SUM of the
 frozen entries for the queries actually run, and don't treat the rest
-of the baseline as "missing"."""
+of the baseline as "missing".
+
+--expect=q1,q2,...: the names the subset run was ASKED to cover.
+Without this, subset mode rebuilds the yardstick from the queries that
+actually ran, so a tier query that crashed or was skipped silently
+vanishes from both sides and the missing-query gate is vacuous; with
+it, any expected name absent from the run is a hard gate failure."""
 import json, re, statistics, sys
 
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
+expect = set()
+for a in sys.argv[1:]:
+    if a.startswith("--expect="):
+        expect = {q for q in a[len("--expect="):].split(",") if q}
 fail_mode = "--fail" in sys.argv[1:]
 subset_mode = "--subset" in sys.argv[1:]
 detail = args[0] if args else "BENCH_DETAIL.json"
@@ -56,6 +66,10 @@ print(f">2x: {len(over2)}")
 for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])[:15]:
     print(f"  {q:32s} {rq[q]:7.3f} vs {bq[q]:7.3f} = {r:5.2f}x")
 missing = set(bq) - set(rq)
+if expect:
+    # a subset run is judged against what it was ASKED to run, not
+    # what survived — a crashed tier query must fail the gate
+    missing |= expect - set(rq)
 extra = set(rq) - set(bq)
 if missing: print("missing from run:", sorted(missing))
 if extra: print("not in baseline:", sorted(extra))

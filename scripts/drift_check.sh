@@ -55,6 +55,20 @@ SPARK_GRAFT_BENCH_FORCE="${SPARK_GRAFT_BENCH_FORCE:-1}" \
     exit 1
   }
 
+# Bench writes BENCH_DETAIL.json cwd-relative (the repo root). The
+# committed copy is the FULL-run drift artifact — a tiered run must not
+# leave a subset JSON in its place, so park the tier detail in /tmp and
+# restore the committed record.
+DETAIL="BENCH_DETAIL.json"
+EXPECT_FLAG=""
+if [[ "$TIER" == core* ]]; then
+  DETAIL="/tmp/BENCH_CORE.json"
+  mv BENCH_DETAIL.json "$DETAIL"
+  git checkout -- BENCH_DETAIL.json
+  # gate on the names the tier was ASKED to run, not what survived
+  EXPECT_FLAG="--expect=$ONLY"
+fi
+
 {
   echo "# Drift report — $(date -u +%Y-%m-%dT%H:%MZ)"
   echo
@@ -62,6 +76,6 @@ SPARK_GRAFT_BENCH_FORCE="${SPARK_GRAFT_BENCH_FORCE:-1}" \
   echo "median-of-3) on the builder's box vs the frozen BASELINE.md JSON."
   echo
   echo '```'
-  python3 scripts/bench_compare.py BENCH_DETAIL.json --fail $SUBSET_FLAG
+  python3 scripts/bench_compare.py "$DETAIL" --fail $SUBSET_FLAG $EXPECT_FLAG
   echo '```'
 } | tee "$REPORT"

@@ -171,8 +171,14 @@ object Dedup extends QueryPack {
       val banded = bandedSigs(corpus, "c_id")
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy("band", "h").orderBy("c_id")
+      // Two consumers (cap audit + the write) RECOMPUTE this plan
+      // rather than sharing a checkpoint: the banded postings frame is
+      // corpus-sized (12 rows/doc pre-cap), and pinning it in block
+      // storage is exactly what broke the sf30 one-box build. Same
+      // rule as q_dedup_containment's r8 rework — corpus-sized
+      // intermediates are recomputed, never materialized; only
+      // model-sized artifacts may checkpoint.
       val ranked = banded.withColumn("rnk", row_number().over(wb))
-        .localCheckpoint(true) // two consumers: cap audit + the write
       // No-silent-caps: postings past the 1000/bucket skew guard are
       // DROPPED (a probe can miss a true J>=0.8 pair whose only shared
       // bucket was capped — beyond the documented (1-s^2)^12 LSH miss

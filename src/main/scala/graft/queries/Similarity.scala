@@ -769,10 +769,14 @@ object Similarity extends QueryPack {
         |  FROM (SELECT cell AS cent_id, list(m ORDER BY pos) AS cent
         |        FROM m2 GROUP BY cell)),
         |params2 AS (
-        |  SELECT (SELECT MIN(1::BIGINT << CAST(j AS INT)) FROM range(16) t(j)
+        |  -- COALESCE mirrors the Spark-side .getOrElse(1L << 16): when no
+        |  -- j in 0..15 satisfies (2^j)^2 >= seedmod (astronomical corpora),
+        |  -- both engines fall back to 2^16 rather than NULL-ing the tier
+        |  SELECT COALESCE(
+        |    (SELECT MIN(1::BIGINT << CAST(j AS INT)) FROM range(16) t(j)
         |      WHERE (1::BIGINT << CAST(j AS INT))
         |          * (1::BIGINT << CAST(j AS INT)) >=
-        |        (SELECT seedmod FROM params)) AS cm),
+        |        (SELECT seedmod FROM params)), 1::BIGINT << 16) AS cm),
         |cc AS (
         |  SELECT cent_id AS co_id, cent AS co, cnrm AS conrm FROM c2
         |  WHERE cent_id % ((SELECT seedmod FROM params)

@@ -156,13 +156,18 @@ class Round14OpsSpec extends AnyFunSuite {
           "same image content scored differently in the shared space")
       }
     }
-    // store reuse: second run must not rewrite the artifact
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val dirs = tmp.listFiles().filter(_.getName.startsWith("graft_imgemb_"))
-    assert(dirs.nonEmpty)
-    val before = dirs.flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified).toMap
+    // store reuse: second run must not rewrite the artifact. Snapshot
+    // only THIS sfDir's content-tagged store (computed the same way
+    // ensureImageEmbStore does) — not every graft_imgemb_* in tmpdir,
+    // which races with other suites / concurrent sbt sessions.
+    val store = new java.io.File(
+      System.getProperty("java.io.tmpdir") + "/graft_imgemb_" +
+        sfDir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+        graft.T.contentTag(sfDir, "documents"))
+    assert(store.isDirectory)
+    val before = store.listFiles().map(f => f.getPath -> f.lastModified).toMap
     SparkEntry.queries("q_crossmodal_topk")(spark, sfDir).collect()
-    val after = dirs.flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified).toMap
+    val after = store.listFiles().map(f => f.getPath -> f.lastModified).toMap
     assert(before === after, "image-embedding store was rebuilt")
   }
 
@@ -242,22 +247,26 @@ class Round14OpsSpec extends AnyFunSuite {
   // ---- LSH index cap accounting (no-silent-caps) ----
 
   test("LSH index build records its bucket-cap truncation in a sidecar") {
+    // Scope strictly to THIS suite's content-tagged artifact (computed
+    // the same way ensureLshIndex does) — a tmpdir-wide glob would
+    // clobber memoized stores other suites or a concurrent sbt session
+    // rely on, and is ordering-sensitive under parallel execution.
+    val base = "graft_lshidx_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_") +
+      "_" + graft.T.contentTag(sfDir, "documents")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    // force a fresh build: drop any memoized index + sidecar first
-    tmp.listFiles().filter(f => f.getName.startsWith("graft_lshidx_") ||
-        f.getName.startsWith("graft_lshcap_"))
-      .foreach { f =>
-        def rm(x: java.io.File): Unit = {
-          if (x.isDirectory) x.listFiles().foreach(rm)
-          x.delete()
-        }
-        rm(f)
-      }
+    val idx = new java.io.File(tmp, base)
+    val cap = new java.io.File(tmp,
+      base.replace("graft_lshidx_", "graft_lshcap_") + ".json")
+    // force a fresh build: drop this sfDir's memoized index + sidecar
+    def rm(x: java.io.File): Unit = if (x.exists()) {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    rm(idx); rm(cap)
     SparkEntry.queries("q_dedup_incremental_neardup")(spark, sfDir).collect()
-    val metas = tmp.listFiles().filter(_.getName.startsWith("graft_lshcap_"))
-    assert(metas.nonEmpty, "cap-accounting sidecar missing")
+    assert(cap.isFile, "cap-accounting sidecar missing")
     val txt = new String(java.nio.file.Files.readAllBytes(
-      metas.head.toPath), "UTF-8")
+      cap.toPath), "UTF-8")
     assert(txt.contains("\"cap\": 1000") &&
       txt.contains("capped_buckets") && txt.contains("dropped_postings"))
   }
