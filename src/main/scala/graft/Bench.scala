@@ -74,10 +74,19 @@ object Bench {
     val regNames = SparkEntry.all.map(_.name).toSet
     require(warmQs.subsetOf(regNames),
       s"warmQs names missing from registry: ${(warmQs -- regNames).toSeq.sorted.mkString(",")}")
-    SparkEntry.all.filter(d => warmQs.contains(d.name)).foreach { d =>
-      try exec(d.run(spark, sfDir)) catch { case _: Throwable => () }
-      T.releaseScratch(spark)
-    }
+    // SPARK_GRAFT_WARM_SPREAD=0 skips the representative-query spread
+    // (NOT the table pass or the sacrificial first-query re-run below).
+    // Exists for the dedicated-JVM scale protocol: at sf30 the ten
+    // spread queries cost minutes per JVM, and a single-query isolation
+    // run measuring a tens-of-seconds query doesn't need sub-second
+    // codegen-warmth precision — its own untimed re-run warms the one
+    // plan that will be timed. Bench-SF (sf0.1) runs keep the default.
+    val warmSpread = !sys.env.get("SPARK_GRAFT_WARM_SPREAD").contains("0")
+    if (warmSpread)
+      SparkEntry.all.filter(d => warmQs.contains(d.name)).foreach { d =>
+        try exec(d.run(spark, sfDir)) catch { case _: Throwable => () }
+        T.releaseScratch(spark)
+      }
     // Dev filter (same contract as Verify): SPARK_GRAFT_ONLY=q_a,q_b
     // times just those queries; unset (the driver) = all.
     // SPARK_GRAFT_REVERSE=1 times them in reverse registry order — the

@@ -271,6 +271,28 @@ object MediaBlobs {
     conv(concat(substring(hx, 2 * (pos + 1) - 1, 2),
       substring(hx, 2 * pos - 1, 2)), 16, 10).cast("int")
 
+  /** Structural gate every BMP PIXEL reader checks before walking the
+    * grid: the dims the header declares must be positive and the
+    * bottom-up padded BGR rows they imply must FIT inside the payload.
+    * A truncated or dim-flipped blob otherwise turns the fixed
+    * `54 + (h-1-sy)*rowSize + sx*3` addressing into an out-of-bounds
+    * read that kills the whole task — at 100 TB one corrupt blob must
+    * cost one quarantined row, not a partition retry storm. `<=`
+    * (not `==`) tolerates trailing bytes; header-only decoders that
+    * never touch pixels share the same rule for consistency.
+    */
+  private[graft] def bmpGridFits(p: Array[Byte]): Boolean = {
+    if (p.length < 54) false
+    else {
+      val le = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = le.getInt(18)
+      val h = le.getInt(22)
+      w > 0 && h > 0 &&
+        54L + (((3L * w + 3) / 4) * 4) * h <= p.length
+    }
+  }
+
   /** WAV header decode over the canonical 44-byte RIFF/fmt/data
     * layout this store writes: format sniff ("RIFF"+"WAVE" magic),
     * channels (LE u16 @23), sample rate (LE u32 @25), bits per sample
@@ -279,9 +301,36 @@ object MediaBlobs {
     */
   def withAudioDecoded(df: DataFrame): DataFrame = {
     val hx = upper(hex(substring(col("payload"), 1, 44)))
+    // fmt='wav' only when the container is STRUCTURALLY consistent,
+    // not just magic-prefixed: all four chunk magics in place, the
+    // RIFF and data sizes agreeing with the actual payload length,
+    // >=1 channel, a PCM bit width the block math can divide by, and
+    // a positive sample rate. A fuzzed header otherwise reaches the
+    // n_frames/duration integer division with channels=0 or bits=0 —
+    // an ANSI DIVIDE_BY_ZERO that kills the task — or reports frame
+    // counts for bytes the payload doesn't contain. Gated out, every
+    // field below is null (the quarantine row).
+    // The canonical 44-byte layout is FULLY cross-checked: the fmt
+    // chunk must be the 16-byte PCM one (tag 1), block_align must
+    // equal channels*(bits/8) and byte_rate must equal
+    // rate*block_align — the container's own redundancy, which is
+    // what lets a single flipped byte in ANY decoded field be caught
+    // (a rate flip breaks the byte_rate product, a channel flip
+    // breaks block_align, a size flip breaks the length equations).
     df.withColumn("fmt",
         when(substring(hx, 1, 8) === "52494646" &&
-          substring(hx, 17, 8) === "57415645", "wav"))
+          substring(hx, 17, 8) === "57415645" &&
+          substring(hx, 25, 8) === "666D7420" &&
+          substring(hx, 73, 8) === "64617461" &&
+          leU32(hx, 5) === length(col("payload")) - 8 &&
+          leU32(hx, 17) === 16 && leU16(hx, 21) === 1 &&
+          leU16(hx, 23) >= 1 &&
+          leU16(hx, 35).isin(8, 16, 32) &&
+          leU32(hx, 25) >= 1 &&
+          leU16(hx, 33).cast("long") * 8L ===
+            leU16(hx, 23).cast("long") * leU16(hx, 35).cast("long") &&
+          leU32(hx, 29) === leU32(hx, 25) * leU16(hx, 33).cast("long") &&
+          leU32(hx, 41) === length(col("payload")) - 44, "wav"))
       .withColumn("channels", when(col("fmt") === "wav", leU16(hx, 23)))
       .withColumn("sample_rate", when(col("fmt") === "wav", leU32(hx, 25)))
       .withColumn("bits", when(col("fmt") === "wav", leU16(hx, 35)))
@@ -351,6 +400,18 @@ object MediaBlobs {
         it.flatMap { case (id, p) =>
           val bb = java.nio.ByteBuffer.wrap(p)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          // RIFF structural gate before ANY indexed read: magic at 0/8,
+          // s16le PCM (the only layout the sample loop below decodes),
+          // >=1 channel, and the declared data size must FIT the
+          // payload — a truncated or size-flipped blob is quarantined
+          // (zero rows), never an OOB getShort or a divide-by-zero.
+          val ok = p.length >= 44 &&
+            p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+            p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E' &&
+            bb.getShort(34).toInt == 16 && bb.getShort(22).toInt >= 1 &&
+            bb.getInt(40) >= 0 && 44L + bb.getInt(40) <= p.length
+          if (!ok) Iterator.empty
+          else {
           val ch = bb.getShort(22).toInt
           val dataSize = bb.getInt(40)
           val nFrames = dataSize / (ch * 2)
@@ -367,6 +428,7 @@ object MediaBlobs {
               f += 1
             }
             (id, win, windowFrames.toLong * ch, energy)
+          }
           }
         }
       }
@@ -396,7 +458,9 @@ object MediaBlobs {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, p) =>
-          if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+          // bmpGridFits: quarantine-by-drop, never an OOB pixel read
+          if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte ||
+            !bmpGridFits(p)) None
           else {
             val le = java.nio.ByteBuffer.wrap(p)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -517,24 +581,56 @@ object MediaBlobs {
     * Cmono plane size), duration from exact integer math.
     */
   def withVideoDecoded(df: DataFrame): DataFrame = {
+    // ISO-8859-1, NOT US-ASCII: the 48-byte prefix window can reach
+    // past the header into frame luma bytes, and any byte >= 0x80
+    // makes Spark's ANSI `decode(..., 'US-ASCII')` throw
+    // MALFORMED_CHARACTER_CODING — a task-killer on arbitrary bytes
+    // (found by MediaBlobsFuzzSpec). Latin-1 is total (all 256 byte
+    // values map) and agrees with ASCII on every header character.
     val hdr = substring_index(
-      expr("decode(substring(payload, 1, 48), 'US-ASCII')"), "\n", 1)
+      expr("decode(substring(payload, 1, 48), 'ISO-8859-1')"), "\n", 1)
+    // Tag extraction that can't trip ANSI: digits bounded to 6 (no
+    // BIGINT-overflow cast), empty match → null (regexp_extract
+    // returns '' when a fuzzed header drops a tag — under ANSI mode
+    // `''::long` is a task-killing CAST_INVALID_INPUT, so the cast
+    // only ever sees a non-empty all-digit string).
+    def numTag(pat: String): Column = {
+      val v = regexp_extract(col("hdr"), pat, 1)
+      when(v === "", lit(null)).otherwise(v).cast("long")
+    }
+    // fmt='y4m' requires the FULL structural contract, not just the
+    // magic: positive W/H/F tags present, the Cmono colorspace this
+    // walker's frame accounting assumes, and the bytes after the
+    // header dividing EXACTLY into FRAME-marker + w*h plane units. A
+    // truncated/flipped container otherwise yields negative or
+    // fractional frame counts (garbage) or an F0:1 divide-by-zero.
+    // Gated out, every field is null — the quarantine row. The `fsz`
+    // divisor is >= 6 by construction (coalesce(w*h, 0) + 6), so the
+    // pmod itself can't raise.
     df.withColumn("hdr", hdr)
+      .withColumn("w0", numTag(" W([1-9]\\d{0,5}) "))
+      .withColumn("h0", numTag(" H([1-9]\\d{0,5}) "))
+      .withColumn("f0", numTag(" F([1-9]\\d{0,5}):1"))
+      .withColumn("body", length(col("payload")) - (length(col("hdr")) + 1))
+      .withColumn("fsz",
+        lit(6L) + coalesce(col("w0"), lit(0L)) * coalesce(col("h0"), lit(0L)))
       .withColumn("fmt",
-        when(substring(col("hdr"), 1, 10) === "YUV4MPEG2 ", "y4m"))
-      .withColumn("width",
-        regexp_extract(col("hdr"), " W(\\d+)", 1).cast("long"))
-      .withColumn("height",
-        regexp_extract(col("hdr"), " H(\\d+)", 1).cast("long"))
-      .withColumn("fps",
-        regexp_extract(col("hdr"), " F(\\d+):1", 1).cast("int"))
-      .withColumn("colorspace",
-        regexp_extract(col("hdr"), " C(\\w+)", 1))
-      .withColumn("header_len", length(col("hdr")) + 1)
+        when(substring(col("hdr"), 1, 10) === "YUV4MPEG2 " &&
+          col("w0").isNotNull && col("h0").isNotNull &&
+          col("f0").isNotNull &&
+          regexp_extract(col("hdr"), " C(\\w+)", 1) === "mono" &&
+          col("body") >= 0 && pmod(col("body"), col("fsz")) === 0, "y4m"))
+      .withColumn("width", when(col("fmt") === "y4m", col("w0")))
+      .withColumn("height", when(col("fmt") === "y4m", col("h0")))
+      .withColumn("fps", when(col("fmt") === "y4m", col("f0")).cast("int"))
+      .withColumn("colorspace", when(col("fmt") === "y4m",
+        regexp_extract(col("hdr"), " C(\\w+)", 1)))
+      .withColumn("header_len",
+        when(col("fmt") === "y4m", length(col("hdr")) + 1))
       .withColumn("n_frames",
-        expr("(length(payload) - header_len) div (6 + width * height)"))
+        when(col("fmt") === "y4m", expr("body div fsz")))
       .withColumn("duration_ms", expr("(n_frames * 1000L) div fps"))
-      .drop("hdr")
+      .drop("hdr", "w0", "h0", "f0", "body", "fsz")
   }
 
   /** Frame-sample + per-frame feature extraction over the Y4M bytes:
@@ -556,20 +652,46 @@ object MediaBlobs {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, p) =>
+          // Header walk with structural gates (quarantine-by-drop,
+          // never an exception): the newline search is bounded by the
+          // payload, tags parse defensively (missing/empty/oversized
+          // → -1), and the frame region must divide exactly into
+          // FRAME-marker + Cmono-plane units. Each visited frame then
+          // re-verifies its 6-byte "FRAME\n" marker and the walk stops
+          // at the first desync — the same bail-don't-read-garbage
+          // rule as the JPEG marker walk.
           var hl = 0
-          while (p(hl) != '\n'.toByte) hl += 1
+          while (hl < p.length && p(hl) != '\n'.toByte) hl += 1
+          if (hl >= p.length) Iterator.empty
+          else {
           hl += 1
           val hdr = new String(p, 0, hl - 1, "US-ASCII")
           def tag(t: Char): Int = {
-            val f = hdr.split(' ').find(_.head == t).get.tail
-            f.takeWhile(_.isDigit).toInt
+            val d = hdr.split(' ')
+              .find(f => f.nonEmpty && f.head == t)
+              .map(_.tail.takeWhile(_.isDigit)).getOrElse("")
+            if (d.isEmpty || d.length > 6) -1 else d.toInt
           }
           val w = tag('W')
           val h = tag('H')
-          val frameBytes = 6 + w * h
+          val frameBytes = 6 + w.max(0) * h.max(0)
+          val ok = hdr.startsWith("YUV4MPEG2 ") && w >= 1 && h >= 1 &&
+            hdr.split(' ').contains("Cmono") &&
+            (p.length - hl) % frameBytes == 0
+          if (!ok) Iterator.empty
+          else {
           val nFrames = (p.length - hl) / frameBytes
+          val mark = "FRAME\n".getBytes("US-ASCII")
+          def markerOk(t: Int): Boolean = {
+            val off = hl + t * frameBytes
+            var k = 0
+            while (k < 6 && p(off + k) == mark(k)) k += 1
+            k == 6
+          }
+          val goodFrames = (0 until nFrames)
+            .takeWhile(markerOk).size // first desync ends the walk
           var prev: Array[Byte] = null
-          (0 until nFrames by stride).iterator.map { t =>
+          (0 until goodFrames by stride).iterator.map { t =>
             val off = hl + t * frameBytes + 6
             var luma = 0L
             var i = 0
@@ -586,6 +708,8 @@ object MediaBlobs {
             }
             prev = p // marker only; offsets recomputed from t - stride
             (id, t, luma, delta)
+          }
+          }
           }
         }
       }
@@ -629,7 +753,8 @@ object MediaBlobs {
     * non-BMP bytes.
     */
   private[graft] def dhashOne(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
-    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte ||
+      !bmpGridFits(p)) None
     else {
       val le = java.nio.ByteBuffer.wrap(p)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -719,7 +844,8 @@ object MediaBlobs {
     * Returns None for non-BMP bytes (a real pipeline routes by format).
     */
   private[graft] def imageFeatOne(p: Array[Byte]): Option[Array[Long]] = {
-    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte ||
+      !bmpGridFits(p)) None
     else {
       val le = java.nio.ByteBuffer.wrap(p)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -929,9 +1055,19 @@ object MediaBlobs {
               case "87a" => "87a"
               case _ => null
             }
-            val packed = p(10) & 0xFF
-            val gctBits = if ((packed & 0x80) != 0) (packed & 7) + 1 else 0
-            (id, "gif", version, u16le(6).toLong, u16le(8).toLong, 1, gctBits)
+            // GIF carries no header checksum, so the structural gates
+            // are the version bytes and the mandatory 0x3B trailer as
+            // the final byte — a truncated stream fails the latter.
+            // Either failing → the same null-version sentinel row the
+            // JPEG walk emits (quarantine, not garbage LSD dims).
+            if (version == null || (p(p.length - 1) & 0xFF) != 0x3B)
+              (id, "gif", null.asInstanceOf[String], -1L, -1L, -1, -1)
+            else {
+              val packed = p(10) & 0xFF
+              val gctBits = if ((packed & 0x80) != 0) (packed & 7) + 1 else 0
+              (id, "gif", version, u16le(6).toLong, u16le(8).toLong,
+                1, gctBits)
+            }
           } else
             (id, null.asInstanceOf[String], null.asInstanceOf[String],
               -1L, -1L, -1, -1)
@@ -945,8 +1081,9 @@ object MediaBlobs {
 
   /** The same header parse as a mapPartitions decoder: one ByteBuffer
     * "codec context" pattern per partition, strict PNG IHDR CRC
-    * verification (a real parser rejects a corrupt header; the
-    * expression path trusts the magic). Returns
+    * verification and a BMP grid-fit check (a corrupt header is
+    * QUARANTINED to the sentinel row — never thrown, never returned as
+    * garbage dims; the expression path trusts the magic). Returns
     * (doc_id, fmt, width, height, bit_depth, channels).
     */
   def decodeDims(df: DataFrame): DataFrame = {
@@ -959,20 +1096,32 @@ object MediaBlobs {
         it.map { case (id, p) =>
           val bb = java.nio.ByteBuffer.wrap(p)
           if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) {
-            val le = bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val bpp = le.getShort(28).toInt
-            (id, "bmp", le.getInt(18).toLong, le.getInt(22).toLong,
-              bpp / 3, 3)
+            // bmpGridFits: a dim-flip or truncation yields the
+            // sentinel row, not header-faithful-but-garbage dims (it
+            // also guarantees length >= 54, so the getShort(28) below
+            // can't run off a 26..29-byte stub).
+            if (!bmpGridFits(p)) (id, "bmp", -1L, -1L, -1, -1)
+            else {
+              val le = bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val bpp = le.getShort(28).toInt
+              (id, "bmp", le.getInt(18).toLong, le.getInt(22).toLong,
+                bpp / 3, 3)
+            }
           } else if (p.length >= 33 && (p(0) & 0xFF) == 0x89 &&
               p(1) == 'P'.toByte && p(2) == 'N'.toByte && p(3) == 'G'.toByte) {
             // IHDR spans bytes [12, 29): type (4) + data (13); its CRC
-            // sits at [29, 33).
+            // sits at [29, 33). A CRC mismatch is the quarantine row —
+            // PNG ships the checksum precisely so a strict parser can
+            // reject a corrupted header; throwing here instead would
+            // let one flipped bit kill the whole task at 100 TB.
             crc.reset(); crc.update(p, 12, 17)
-            require(crc.getValue.toInt == bb.getInt(29),
-              s"PNG IHDR CRC mismatch for doc $id")
-            val colorType = p(25) & 0xFF
-            (id, "png", bb.getInt(16).toLong, bb.getInt(20).toLong,
-              p(24) & 0xFF, if (colorType == 0) 1 else 3)
+            if (crc.getValue.toInt != bb.getInt(29))
+              (id, "png", -1L, -1L, -1, -1)
+            else {
+              val colorType = p(25) & 0xFF
+              (id, "png", bb.getInt(16).toLong, bb.getInt(20).toLong,
+                p(24) & 0xFF, if (colorType == 0) 1 else 3)
+            }
           } else (id, null.asInstanceOf[String], -1L, -1L, -1, -1)
         }
       }
