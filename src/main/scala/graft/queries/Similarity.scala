@@ -1448,28 +1448,63 @@ object Similarity extends QueryPack {
     // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): coarse-cluster the
     // embedding space, then prune near-duplicates ONLY within each
     // cluster — the quadratic step is confined to cells, never the
-    // corpus. Same integer-exact quantized math as q_cluster_kmeans
-    // (cells = one assignment to the k=4 seed centroids); the cosine
-    // threshold τ=0.4 (calibrated: max pairwise cosine in this corpus
-    // is ~0.51) compares as 25·dot² ≥ 4·|a|²·|b|² in DECIMAL(38,0) —
-    // exact, no float boundary. Drop rule: a vector is dropped when a
-    // LOWER-id vector in its cell clears τ (deterministic keep-first;
-    // the greedy sequential variant would keep slightly more — see
-    // scaladoc note). Output: per-label survivor accounting.
+    // corpus. Same integer-exact quantized math as q_cluster_kmeans;
+    // the cosine threshold τ=0.4 (calibrated: max pairwise cosine in
+    // this corpus is ~0.51) compares as 25·dot² ≥ 4·|a|²·|b|² in
+    // DECIMAL(38,0) — exact, no float boundary. Drop rule: a vector is
+    // dropped when a LOWER-id vector in its cell clears τ
+    // (deterministic keep-first; the greedy sequential variant would
+    // keep slightly more — see scaladoc note). Output: per-label
+    // survivor accounting.
+    //
+    // CELL COUNT SCALES WITH THE CORPUS — the round-15 shape fix. The
+    // original k=4 CONSTANT cells meant cell size n/4 and pair count
+    // n²/8: fine at bench SF (5k vectors → 3M pairs), 5.6e11 pairs at
+    // sf30 (1.5M vectors) — the measured cause of the round-12 sf30
+    // chunk-budget blowout (26 min in a DEDICATED JVM before being
+    // killed). Now k = max(4, n div 1250): cell size stays ~1250, pair
+    // work is ~625·n — LINEAR. Assignment to k centroids is routed
+    // through ceil(k/64) COARSE centroids (every 64th seed), wc=2
+    // probed — the same IMI-style tier as q_ann_ivf_hier, all integer
+    // distances so no rounding gate is needed. At bench SF the formula
+    // gives k=4 → ONE coarse cell → every fine centroid is a
+    // candidate → the assignment is EXACTLY the old argmin (results
+    // and oracle hashes at sf0.01/sf0.1 unchanged by construction).
     q("q_dedup_semantic",
-      """WITH emb AS (
+      """WITH params AS (
+        |  SELECT GREATEST(4, CAST(COUNT(*) AS BIGINT) // 1250) AS k
+        |  FROM embeddings),
+        |emb AS (
         |  SELECT vec_id, label,
         |    list_transform(embedding,
         |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
         |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, q AS c FROM emb WHERE vec_id < 4),
+        |c0 AS (SELECT vec_id AS cid, q AS c FROM emb
+        |       WHERE vec_id < (SELECT k FROM params)),
+        |co AS (SELECT cid AS co_id, c AS cc FROM c0 WHERE cid % 64 = 0),
+        |f2c AS (SELECT cid, co_id FROM (
+        |  SELECT f.cid, c.co_id,
+        |    row_number() OVER (PARTITION BY f.cid ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (f.c[i] - c.cc[i]) * (f.c[i] - c.cc[i]))),
+        |      c.co_id) AS rn
+        |  FROM c0 f CROSS JOIN co c) WHERE rn = 1),
+        |vprobe AS (SELECT vec_id, co_id FROM (
+        |  SELECT e.vec_id, c.co_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (e.q[i] - c.cc[i]) * (e.q[i] - c.cc[i]))),
+        |      c.co_id) AS rn
+        |  FROM emb e CROSS JOIN co c) WHERE rn <= 2),
         |cells AS (SELECT vec_id, label, q, cid FROM (
-        |  SELECT vec_id, label, q, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |  FROM (SELECT e.vec_id, e.label, e.q, c.cid,
-        |          list_sum(list_transform(range(1, 65),
-        |            i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
-        |        FROM emb e CROSS JOIN c0 c)) WHERE rn = 1),
+        |  SELECT e.vec_id, e.label, e.q, f.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (e.q[i] - f.c[i]) * (e.q[i] - f.c[i]))),
+        |      f.cid) AS rn
+        |  FROM emb e JOIN vprobe p ON p.vec_id = e.vec_id
+        |       JOIN f2c m ON m.co_id = p.co_id
+        |       JOIN c0 f ON f.cid = m.cid) WHERE rn = 1),
         |n2 AS (SELECT vec_id, label, q, cid,
         |         list_sum(list_transform(q, x -> x * x)) AS nn
         |       FROM cells),
@@ -1499,26 +1534,65 @@ object Similarity extends QueryPack {
           " * 1000) as bigint))").as("q"))
         .withColumn("qd", col("q").cast("array<double>"))
         .withColumn("en", dot("qd", "qd"))
-      val cent = emb.filter(col("vec_id") < 4)
+      // k from ONE metadata-served count — the sole driver scalar; the
+      // seed/coarse relations stay model-sized broadcasts (k ≤ n/1250).
+      val k = math.max(4L, t(s, dir, "embeddings").count() / 1250L)
+      val cent = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("qd").as("cd"),
           col("en").as("cn"))
-      val cells = emb.crossJoin(broadcast(cent))
+      val coarse = cent.filter(col("cid") % 64 === 0)
+        .select(col("cid").as("co_id"), col("cd").as("co"),
+          col("cn").as("con"))
+      // fine → owning coarse: model × model (k × k/64), broadcast side
+      val f2c = cent.crossJoin(broadcast(coarse))
+        .withColumn("d",
+          (col("cn") + col("con") - lit(2) * dot("cd", "co")).cast("long"))
+        .groupBy("cid")
+        .agg(min(struct(col("d"), col("co_id"))).as("best"))
+        .select(col("cid"), col("best.co_id").as("co_id"))
+      // fine candidates annotated with their coarse owner, broadcast
+      // into both the probe ranking and the final assignment
+      val fineCo = cent.join(broadcast(f2c), "cid")
+        .select(col("cid"), col("cd"), col("cn"), col("co_id"))
+      // each vector probes its wc=2 nearest coarse cells: skinny
+      // (vec_id, co_id, d) rows through the rank window (compiles to
+      // WindowGroupLimit); embeddings do NOT ride this shuffle
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d"), col("co_id"))
+      val probes = emb.crossJoin(broadcast(coarse))
+        .withColumn("d",
+          (col("en") + col("con") - lit(2) * dot("qd", "co")).cast("long"))
+        .select(col("vec_id"), col("co_id"), col("d"))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= 2).select("vec_id", "co_id")
+      // assignment: vectors re-attach by vec_id (ONE linear shuffle),
+      // candidates expand map-side from the broadcast fine table —
+      // ≤ 2·64 candidate dots per vector instead of k
+      val cells = emb.join(probes, "vec_id")
+        .join(broadcast(fineCo), "co_id")
         .withColumn("d",
           (col("en") + col("cn") - lit(2) * dot("qd", "cd")).cast("long"))
-        .groupBy("vec_id", "label", "q")
-        .agg(min(struct(col("d"), col("cid"))).as("best"))
+        // argmin via min(struct) with q riding as first() — hashing a
+        // 512-byte array KEY per candidate row measured slower (the
+        // q_cluster_kmeans note), and there are ≤128 candidates/vector
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("best"),
+          first(col("label")).as("label"), first(col("q")).as("q"))
         .select(col("vec_id"), col("label"), col("q"),
           col("best.cid").as("cid"))
         .withColumn("qd", col("q").cast("array<double>"))
         .withColumn("nn", dot("qd", "qd").cast("long"))
+        .drop("qd") // only q rides the checkpoint; qd re-derived per consumer
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // consumed by both pair sides + accounting
-      val a = cells.select(col("cid"), col("vec_id").as("a_id"),
+      def withQd(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("qd", col("q").cast("array<double>"))
+      val a = withQd(cells).select(col("cid"), col("vec_id").as("a_id"),
         col("qd").as("qa"), col("nn").as("na"))
-      val b = cells.select(col("cid"), col("vec_id").as("b_id"),
+      val b = withQd(cells).select(col("cid"), col("vec_id").as("b_id"),
         col("qd").as("qb"), col("nn").as("nb"))
       // Within-cell pairs only: the join key is the cell id, so the
-      // shuffle moves each vector once per side and the quadratic blow-
-      // up is bounded by the largest cell, not the corpus.
+      // shuffle moves each vector once per side; with k ~ n/1250 the
+      // per-cell blow-up is a CONSTANT ~1250²/2, total pair work ~625·n.
       val dropped = a.join(b, "cid").filter(col("a_id") < col("b_id"))
         .withColumn("dt", dot("qa", "qb").cast("long"))
         .filter(col("dt") > 0 &&
