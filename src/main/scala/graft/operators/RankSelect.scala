@@ -64,6 +64,25 @@ object RankSelect {
     */
   val maxCountMatrixEntries: Int = 1 << 22
 
+  /** Partition count for the range-partitioned sorts: scales with the
+    * input's optimizer size estimate (~64 MiB of estimated input per
+    * partition) instead of inheriting the session's FIXED
+    * shuffle-partition count — at 600M rows (sf100) a fixed 32 put
+    * ~19M values into one task's sort buffers and OOM'd a 40g
+    * single-JVM harness (the fourth-decade crack; SCALE.md round-15).
+    * Another scale-with-n parameter that must not sit at a constant.
+    * Bounded below by defaultParallelism, so bench-SF plans (estimate
+    * under 2 GiB) are byte-identical to before; bounded above by a
+    * sanity cap. On a real cluster the larger count is also the
+    * correct posture — AQE coalesces any excess back, and the P×G
+    * driver matrix stays under its fail-loud cap (P ≤ 4096).
+    */
+  private def rangeParts(s: org.apache.spark.sql.SparkSession,
+      estBytes: BigInt): Int = {
+    val byBytes = (estBytes / (64L << 20)).min(BigInt(4096)).toInt
+    math.max(math.max(1, s.sparkContext.defaultParallelism), byBytes)
+  }
+
   /** Per-group exact linear-interpolated quantiles.
     *
     * @param df       input frame
@@ -109,7 +128,7 @@ object RankSelect {
             r.getSeq[Double](1).toArray))
         }.toMap
     }
-    val p = math.max(1, s.sparkContext.defaultParallelism)
+    val p = rangeParts(s, estBytes)
     val ranged = nn
       .repartitionByRange(p, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
@@ -221,7 +240,7 @@ object RankSelect {
       matrixCap: Int = maxCountMatrixEntries): Map[String, (Long, Map[Long, (Long, Long)])] = {
     val s = df.sparkSession
     val Seq(gc, c1, c2) = df.columns.take(3).toSeq
-    val p = math.max(1, s.sparkContext.defaultParallelism)
+    val p = rangeParts(s, df.queryExecution.optimizedPlan.stats.sizeInBytes)
     val ranged = df
       .select(col(gc).cast("string").as("g"),
         col(c1).cast("long").as("k1"), col(c2).cast("long").as("k2"))
