@@ -6,9 +6,13 @@ summary stats. Usage: bench_compare.py [BENCH_DETAIL.json] [--fail]
 --fail: exit 1 if the run total exceeds 2x frozen OR any query slower
 than 0.3s frozen exceeds 2x its frozen time (sub-0.3s queries jitter up
 to +-2x run-to-run per the BASELINE.md variance protocol, so they are
-reported but don't gate). This is the CI-style drift wire: run it after
-any plan-touching change so drift is caught on the builder's own run,
-before the driver measures it.
+reported but don't gate) OR any >2x query — including sub-0.3s ones —
+regressed by more than 0.5s ABSOLUTE (the jitter floor must not become
+a hole: a 0.05s query that genuinely blows up to 0.8s is a real
+regression even though its frozen denominator sits in the jitter band;
+timer noise on those entries stays within ~0.1s absolute). This is the
+CI-style drift wire: run it after any plan-touching change so drift is
+caught on the builder's own run, before the driver measures it.
 
 --subset: the run deliberately covers only part of the registry (the
 drift_check.sh core tier): compare the total against the SUM of the
@@ -76,17 +80,23 @@ if extra: print("not in baseline:", sorted(extra))
 
 if fail_mode:
     total_ratio = run["value"] / base["value"]
-    gating = {q: r for q, r in over2.items() if bq[q] >= 0.3}
+    # Ratio gate with a denominator floor (frozen >= 0.3s), PLUS an
+    # absolute-delta guard so the floor can't hide a real small-query
+    # blow-up: a >2x entry below the floor still gates when it
+    # regressed by > 0.5s of wall clock.
+    gating = {q: r for q, r in over2.items()
+              if bq[q] >= 0.3 or rq[q] - bq[q] > 0.5}
     bad = []
     if total_ratio > 2.0:
         bad.append(f"total {total_ratio:.2f}x frozen")
     if gating:
-        bad.append("gating >2x queries (frozen >=0.3s): " +
-                   ", ".join(f"{q}={r:.2f}x" for q, r in sorted(gating.items())))
+        bad.append("gating >2x queries (frozen >=0.3s or delta >0.5s): " +
+                   ", ".join(f"{q}={r:.2f}x (+{rq[q] - bq[q]:.2f}s)"
+                             for q, r in sorted(gating.items())))
     if missing:
         bad.append(f"{len(missing)} baseline queries missing from the run")
     if bad:
         print("DRIFT GATE FAILED: " + "; ".join(bad))
         sys.exit(1)
     print(f"DRIFT GATE OK: total {total_ratio:.2f}x, "
-          f"{len(over2)} jitter-band >2x (all frozen <0.3s)")
+          f"{len(over2)} jitter-band >2x (all frozen <0.3s and delta <=0.5s)")

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed exact rank/quantile selection over a SMALL fixed group
   * domain — the scale-safe replacement for Spark's exact
@@ -77,7 +76,7 @@ object RankSelect {
     * correct posture — AQE coalesces any excess back, and the P×G
     * driver matrix stays under its fail-loud cap (P ≤ 4096).
     */
-  private def rangeParts(s: org.apache.spark.sql.SparkSession,
+  private[graft] def rangeParts(s: org.apache.spark.sql.SparkSession,
       estBytes: BigInt): Int = {
     val byBytes = (estBytes / (64L << 20)).min(BigInt(4096)).toInt
     math.max(math.max(1, s.sparkContext.defaultParallelism), byBytes)
@@ -129,89 +128,105 @@ object RankSelect {
         }.toMap
     }
     val p = rangeParts(s, estBytes)
-    val ranged = nn
+    // ONE RDD instance serves both passes, with NO materialization —
+    // the house rule ("corpus-sized intermediates are recomputed,
+    // never materialized"), which the former eager
+    // localCheckpoint(MEMORY_AND_DISK_SER) here violated. The
+    // consistency the checkpoint bought (both passes MUST see the same
+    // range boundaries, which are sampled once) comes for free from
+    // Spark's shuffle-stage reuse: the range exchange below is a
+    // single ShuffleDependency on this one RDD instance, its map
+    // outputs are produced by pass 1's job and the DAGScheduler skips
+    // the completed map stage in pass 2's job, so both passes read the
+    // SAME shuffle files — identical partitioning by construction.
+    // Only the per-partition sort is recomputed per pass
+    // (recompute-twice, like the LSH index build). Unlike the
+    // checkpoint, full lineage survives: a lost executor recomputes
+    // its shuffle partitions instead of failing the whole query. Tie
+    // order among equal (g, v) rows may differ between the passes;
+    // harmless — the count matrix is order-free, and the VALUE at a
+    // rank of a sorted multiset does not depend on how equal values
+    // are permuted (the scaladoc invariant above).
+    val rangedRdd = nn
       .repartitionByRange(p, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      // Pass 1: P×G count matrix (bounded by cluster × domain).
-      val counts: Array[(Int, String, Long)] = ranged.rdd
-        .mapPartitionsWithIndex { (i, it) =>
+      .rdd
+    // Pass 1: P×G count matrix (bounded by cluster × domain).
+    val counts: Array[(Int, String, Long)] = rangedRdd
+      .mapPartitionsWithIndex { (i, it) =>
           val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
           it.foreach { r =>
             val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L
           }
           m.iterator.map { case (g, c) => (i, g, c) }
         }.collect()
-      require(counts.length <= matrixCap,
-        s"RankSelect: P×G count matrix has ${counts.length} entries " +
-          s"(cap $matrixCap) — the group domain is not the " +
-          "SMALL fixed domain this operator requires; use a mergeable " +
-          "sketch (KllSketch) for high-cardinality grouping instead")
-      val nByG: Map[String, Long] =
-        counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
-      // 0-based fractional positions per group (Spark's (n-1)*q).
-      val posByG: Map[String, Array[Double]] = nByG.map { case (g, n) =>
-        g -> qs.map(q => (n - 1).toDouble * q).toArray
-      }
-      val wantedByG: Map[String, Array[Long]] = posByG.map { case (g, ps) =>
-        g -> ps.flatMap(pos =>
-          Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L))
-          .distinct.sorted
-      }
-      // Exclusive per-group offsets per partition, in partition order.
-      val offByPidG = scala.collection.mutable.Map.empty[(Int, String), Long]
-      val running = scala.collection.mutable.Map.empty[String, Long]
-      counts.sortBy(_._1).foreach { case (pid, g, c) =>
-        offByPidG((pid, g)) = running.getOrElse(g, 0L)
-        running(g) = running.getOrElse(g, 0L) + c
-      }
-      val offB = offByPidG.toMap
-      val cntB = counts.map { case (pid, g, c) => (pid, g) -> c }.toMap
-      // Pass 2: each partition emits only the boundary-rank values it
-      // owns (≤ 2·|qs| rows per group suite-wide).
-      val picked: Map[(String, Long), Double] = ranged.rdd
-        .mapPartitionsWithIndex { (i, it) =>
-          val out = Array.newBuilder[((String, Long), Double)]
-          var curG: String = null
-          var local = 0L
-          var goff = 0L
-          var targets: Array[Long] = Array.emptyLongArray
-          var ti = 0
-          it.foreach { r =>
-            val g = r.getString(0)
-            if (g != curG) {
-              curG = g; local = 0L
-              goff = offB.getOrElse((i, g), 0L)
-              val cnt = cntB.getOrElse((i, g), 0L)
-              targets = wantedByG.getOrElse(g, Array.emptyLongArray)
-                .filter(t => t > goff && t <= goff + cnt)
-              ti = 0
-            }
-            local += 1L
-            if (ti < targets.length && goff + local == targets(ti)) {
-              out += (((g, targets(ti)), r.getDouble(1))); ti += 1
-            }
+    require(counts.length <= matrixCap,
+      s"RankSelect: P×G count matrix has ${counts.length} entries " +
+        s"(cap $matrixCap) — the group domain is not the " +
+        "SMALL fixed domain this operator requires; use a mergeable " +
+        "sketch (KllSketch) for high-cardinality grouping instead")
+    val nByG: Map[String, Long] =
+      counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+    // 0-based fractional positions per group (Spark's (n-1)*q).
+    val posByG: Map[String, Array[Double]] = nByG.map { case (g, n) =>
+      g -> qs.map(q => (n - 1).toDouble * q).toArray
+    }
+    val wantedByG: Map[String, Array[Long]] = posByG.map { case (g, ps) =>
+      g -> ps.flatMap(pos =>
+        Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L))
+        .distinct.sorted
+    }
+    // Exclusive per-group offsets per partition, in partition order.
+    val offByPidG = scala.collection.mutable.Map.empty[(Int, String), Long]
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    counts.sortBy(_._1).foreach { case (pid, g, c) =>
+      offByPidG((pid, g)) = running.getOrElse(g, 0L)
+      running(g) = running.getOrElse(g, 0L) + c
+    }
+    val offB = offByPidG.toMap
+    val cntB = counts.map { case (pid, g, c) => (pid, g) -> c }.toMap
+    // Pass 2: each partition emits only the boundary-rank values it
+    // owns (≤ 2·|qs| rows per group suite-wide). Same RDD instance →
+    // the range shuffle's map stage is skipped, only the
+    // per-partition sort re-runs.
+    val picked: Map[(String, Long), Double] = rangedRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val out = Array.newBuilder[((String, Long), Double)]
+        var curG: String = null
+        var local = 0L
+        var goff = 0L
+        var targets: Array[Long] = Array.emptyLongArray
+        var ti = 0
+        it.foreach { r =>
+          val g = r.getString(0)
+          if (g != curG) {
+            curG = g; local = 0L
+            goff = offB.getOrElse((i, g), 0L)
+            val cnt = cntB.getOrElse((i, g), 0L)
+            targets = wantedByG.getOrElse(g, Array.emptyLongArray)
+              .filter(t => t > goff && t <= goff + cnt)
+            ti = 0
           }
-          out.result().iterator
-        }.collect().toMap
-      nByG.map { case (g, n) =>
-        val vals = posByG(g).map { pos =>
-          val lower = math.floor(pos).toLong
-          val higher = math.ceil(pos).toLong
-          val vLo = picked((g, lower + 1L))
-          if (higher == lower) vLo
-          else {
-            val vHi = picked((g, higher + 1L))
-            // Spark Percentile.getPercentile arithmetic, verbatim.
-            (higher - pos) * vLo + (pos - lower) * vHi
+          local += 1L
+          if (ti < targets.length && goff + local == targets(ti)) {
+            out += (((g, targets(ti)), r.getDouble(1))); ti += 1
           }
         }
-        g -> ((n, vals))
+        out.result().iterator
+      }.collect().toMap
+    nByG.map { case (g, n) =>
+      val vals = posByG(g).map { pos =>
+        val lower = math.floor(pos).toLong
+        val higher = math.ceil(pos).toLong
+        val vLo = picked((g, lower + 1L))
+        if (higher == lower) vLo
+        else {
+          val vHi = picked((g, higher + 1L))
+          // Spark Percentile.getPercentile arithmetic, verbatim.
+          (higher - pos) * vLo + (pos - lower) * vHi
+        }
       }
-    } finally {
-      ranged.unpersist(false)
-      ()
+      g -> ((n, vals))
     }
   }
 
@@ -241,72 +256,72 @@ object RankSelect {
     val s = df.sparkSession
     val Seq(gc, c1, c2) = df.columns.take(3).toSeq
     val p = rangeParts(s, df.queryExecution.optimizedPlan.stats.sizeInBytes)
-    val ranged = df
+    // Checkpoint-free two-pass protocol: one RDD instance, one range
+    // shuffle whose map outputs pass 2 reuses (skipped stage), the
+    // per-partition sort recomputed per pass — see the groupedQuantiles
+    // note. Here even tie order is a non-issue: (k1, k2) is a unique
+    // total order within each group by contract.
+    val rangedRdd = df
       .select(col(gc).cast("string").as("g"),
         col(c1).cast("long").as("k1"), col(c2).cast("long").as("k2"))
       .repartitionByRange(p, col("g"), col("k1"), col("k2"))
       .sortWithinPartitions("g", "k1", "k2")
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      val counts: Array[(Int, String, Long)] = ranged.rdd
-        .mapPartitionsWithIndex { (i, it) =>
-          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-          it.foreach { r =>
-            val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L
+      .rdd
+    val counts: Array[(Int, String, Long)] = rangedRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L
+        }
+        m.iterator.map { case (g, c) => (i, g, c) }
+      }.collect()
+    require(counts.length <= matrixCap,
+      s"RankSelect: P×G count matrix has ${counts.length} entries " +
+        s"(cap $matrixCap) — group domain too large")
+    val nByG: Map[String, Long] =
+      counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+    val wantedByG: Map[String, Array[Long]] = nByG.map { case (g, n) =>
+      val rs = ranksOf(n)
+      require(rs.forall(r => r >= 1L && r <= n),
+        s"groupedKeysAtRanks: rank out of [1, $n] for group $g")
+      g -> rs.distinct.sorted
+    }
+    val offByPidG = scala.collection.mutable.Map.empty[(Int, String), Long]
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    counts.sortBy(_._1).foreach { case (pid, g, c) =>
+      offByPidG((pid, g)) = running.getOrElse(g, 0L)
+      running(g) = running.getOrElse(g, 0L) + c
+    }
+    val offB = offByPidG.toMap
+    val cntB = counts.map { case (pid, g, c) => (pid, g) -> c }.toMap
+    val picked: Map[(String, Long), (Long, Long)] = rangedRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val out = Array.newBuilder[((String, Long), (Long, Long))]
+        var curG: String = null
+        var local = 0L
+        var goff = 0L
+        var targets: Array[Long] = Array.emptyLongArray
+        var ti = 0
+        it.foreach { r =>
+          val g = r.getString(0)
+          if (g != curG) {
+            curG = g; local = 0L
+            goff = offB.getOrElse((i, g), 0L)
+            val cnt = cntB.getOrElse((i, g), 0L)
+            targets = wantedByG.getOrElse(g, Array.emptyLongArray)
+              .filter(t => t > goff && t <= goff + cnt)
+            ti = 0
           }
-          m.iterator.map { case (g, c) => (i, g, c) }
-        }.collect()
-      require(counts.length <= matrixCap,
-        s"RankSelect: P×G count matrix has ${counts.length} entries " +
-          s"(cap $matrixCap) — group domain too large")
-      val nByG: Map[String, Long] =
-        counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
-      val wantedByG: Map[String, Array[Long]] = nByG.map { case (g, n) =>
-        val rs = ranksOf(n)
-        require(rs.forall(r => r >= 1L && r <= n),
-          s"groupedKeysAtRanks: rank out of [1, $n] for group $g")
-        g -> rs.distinct.sorted
-      }
-      val offByPidG = scala.collection.mutable.Map.empty[(Int, String), Long]
-      val running = scala.collection.mutable.Map.empty[String, Long]
-      counts.sortBy(_._1).foreach { case (pid, g, c) =>
-        offByPidG((pid, g)) = running.getOrElse(g, 0L)
-        running(g) = running.getOrElse(g, 0L) + c
-      }
-      val offB = offByPidG.toMap
-      val cntB = counts.map { case (pid, g, c) => (pid, g) -> c }.toMap
-      val picked: Map[(String, Long), (Long, Long)] = ranged.rdd
-        .mapPartitionsWithIndex { (i, it) =>
-          val out = Array.newBuilder[((String, Long), (Long, Long))]
-          var curG: String = null
-          var local = 0L
-          var goff = 0L
-          var targets: Array[Long] = Array.emptyLongArray
-          var ti = 0
-          it.foreach { r =>
-            val g = r.getString(0)
-            if (g != curG) {
-              curG = g; local = 0L
-              goff = offB.getOrElse((i, g), 0L)
-              val cnt = cntB.getOrElse((i, g), 0L)
-              targets = wantedByG.getOrElse(g, Array.emptyLongArray)
-                .filter(t => t > goff && t <= goff + cnt)
-              ti = 0
-            }
-            local += 1L
-            if (ti < targets.length && goff + local == targets(ti)) {
-              out += (((g, targets(ti)), (r.getLong(1), r.getLong(2))))
-              ti += 1
-            }
+          local += 1L
+          if (ti < targets.length && goff + local == targets(ti)) {
+            out += (((g, targets(ti)), (r.getLong(1), r.getLong(2))))
+            ti += 1
           }
-          out.result().iterator
-        }.collect().toMap
-      nByG.map { case (g, n) =>
-        g -> ((n, wantedByG(g).map(r => r -> picked((g, r))).toMap))
-      }
-    } finally {
-      ranged.unpersist(false)
-      ()
+        }
+        out.result().iterator
+      }.collect().toMap
+    nByG.map { case (g, n) =>
+      g -> ((n, wantedByG(g).map(r => r -> picked((g, r))).toMap))
     }
   }
 }

@@ -436,28 +436,35 @@ object Aggregates extends QueryPack {
       // prices AT the boundary ranks (prices are rank-sorted). So:
       // range-partition + sort WITHIN partitions (fully parallel, the
       // same bytes any exact global sort moves), collect the P
-      // per-partition counts (P = defaultParallelism — a runtime stat
-      // bounded by the cluster, the CC/AQE principle, NOT corpus size),
-      // convert to exclusive offsets, and have each partition emit only
-      // the ≤16 boundary-rank prices it owns. The checkpointed
-      // intermediate is the 8-byte price column only. The oracle is
-      // UNCHANGED — ranks are partitioning-independent because
-      // (price, orderkey, linenumber) is a unique total order. The KLL
-      // sketch twin (q_sketch_quantiles) remains the recommended
-      // approximate path at 100 TB; this removes the single-task
-      // bottleneck from the exact baseline.
-      import org.apache.spark.storage.StorageLevel
+      // per-partition counts (P scales with the input's size estimate
+      // at ~64 MiB/partition, floored at defaultParallelism — the same
+      // RankSelect.rangeParts rule; a constant P put one decade's whole
+      // sort into 32 tasks), convert to exclusive offsets, and have
+      // each partition emit only the ≤16 boundary-rank prices it owns.
+      // CHECKPOINT-FREE two-pass protocol (same as RankSelect): one RDD
+      // instance, so the range shuffle's sampled boundaries are fixed
+      // once and pass 2 reuses pass 1's map outputs (skipped stage) —
+      // identical partitioning with full lineage, no corpus-sized
+      // materialization; only the per-partition sort is recomputed per
+      // pass. The oracle is UNCHANGED — ranks are
+      // partitioning-independent because (price, orderkey, linenumber)
+      // is a unique total order. The KLL sketch twin
+      // (q_sketch_quantiles) remains the recommended approximate path
+      // at 100 TB; this removes the single-task bottleneck from the
+      // exact baseline.
       val sortKey = Seq(col("l_extendedprice"), col("l_orderkey"),
         col("l_linenumber"))
-      val p = math.max(1, s.sparkContext.defaultParallelism)
-      val ranged = t(s, dir, "lineitem")
+      val src = t(s, dir, "lineitem")
         .select(col("l_extendedprice"), col("l_orderkey"),
           col("l_linenumber"))
+      val p = operators.RankSelect.rangeParts(s,
+        src.queryExecution.optimizedPlan.stats.sizeInBytes)
+      val rangedRdd = src
         .repartitionByRange(p, sortKey: _*)
         .sortWithinPartitions(sortKey: _*)
         .select(col("l_extendedprice").as("price"))
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-      val counts = ranged.rdd
+        .rdd
+      val counts = rangedRdd
         .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
         .collect().sortBy(_._1).map(_._2)
       val n = counts.sum
@@ -468,7 +475,7 @@ object Aggregates extends QueryPack {
         .filter { case (_, lo, hi) => hi >= lo } // empty bins only when n < 8
       val targets = bins.flatMap { case (_, lo, hi) => Seq(lo, hi) }
         .distinct.sorted.toArray
-      val rankPrice: Map[Long, Double] = ranged.rdd
+      val rankPrice: Map[Long, Double] = rangedRdd
         .mapPartitionsWithIndex { (i, it) =>
           val off = offsets(i)
           val wanted = targets.filter(r => r > off && r <= off + counts(i))

@@ -40,6 +40,139 @@ object Similarity extends QueryPack {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot("embedding", "embedding")))
 
+  /** SemDeDup cell ASSIGNMENT (the routed two-level stage of
+    * q_dedup_semantic, factored out so Round16OpsSpec can compare the
+    * multi-coarse routing — k > 64, several coarse cells, wc=2 probing
+    * — against an independent driver-side replay of the oracle's CTE
+    * chain; at bench SF the k-formula degenerates to 4 → one coarse
+    * cell and the oracle hash already pins it). Returns one row per
+    * vector: (vec_id, label, q, cid, nn), localCheckpointed because the
+    * query consumes it three times (both pair sides + accounting).
+    *
+    * Shape (100 TB): k from ONE metadata-served count — the sole driver
+    * scalar; the seed/coarse relations stay model-sized broadcasts
+    * (k ≤ n/1250). Each vector probes its wc=2 nearest coarse cells via
+    * skinny (vec_id, co_id, d) rows through a WindowGroupLimit rank
+    * window (embeddings do NOT ride that shuffle), then re-attaches by
+    * vec_id — ONE linear shuffle — and candidates expand map-side from
+    * the broadcast fine table: ≤ 2·64 candidate dots per vector
+    * instead of k.
+    */
+  private[graft] def semDedupCells(s: SparkSession, dir: String): DataFrame = {
+    // Hot loops run on the codegen'd dot_f kernel over double casts
+    // of the quantized ints: every value (|q_i| ≤ ~4000, dots ≤ 1e9,
+    // squared distances ≤ 4e9) is integer-exact in a double, so the
+    // expansion d = |e|² + |c|² − 2·e·c equals the oracle's Σ(x−y)²
+    // bit-for-bit after the long cast — same trick, ~6× less time
+    // than the interpreted aggregate(zip_with(...)) lambdas.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(round(cast(x as double)" +
+        " * 1000) as bigint))").as("q"))
+      .withColumn("qd", col("q").cast("array<double>"))
+      .withColumn("en", dot("qd", "qd"))
+    val k = math.max(4L, t(s, dir, "embeddings").count() / 1250L)
+    val cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qd").as("cd"),
+        col("en").as("cn"))
+    val coarse = cent.filter(col("cid") % 64 === 0)
+      .select(col("cid").as("co_id"), col("cd").as("co"),
+        col("cn").as("con"))
+    // fine → owning coarse: model × model (k × k/64), broadcast side
+    val f2c = cent.crossJoin(broadcast(coarse))
+      .withColumn("d",
+        (col("cn") + col("con") - lit(2) * dot("cd", "co")).cast("long"))
+      .groupBy("cid")
+      .agg(min(struct(col("d"), col("co_id"))).as("best"))
+      .select(col("cid"), col("best.co_id").as("co_id"))
+    val fineCo = cent.join(broadcast(f2c), "cid")
+      .select(col("cid"), col("cd"), col("cn"), col("co_id"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d"), col("co_id"))
+    val probes = emb.crossJoin(broadcast(coarse))
+      .withColumn("d",
+        (col("en") + col("con") - lit(2) * dot("qd", "co")).cast("long"))
+      .select(col("vec_id"), col("co_id"), col("d"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 2).select("vec_id", "co_id")
+    emb.join(probes, "vec_id")
+      .join(broadcast(fineCo), "co_id")
+      .withColumn("d",
+        (col("en") + col("cn") - lit(2) * dot("qd", "cd")).cast("long"))
+      // argmin via min(struct) with q riding as first() — hashing a
+      // 512-byte array KEY per candidate row measured slower (the
+      // q_cluster_kmeans note), and there are ≤128 candidates/vector
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("best"),
+        first(col("label")).as("label"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("label"), col("q"),
+        col("best.cid").as("cid"))
+      .withColumn("qd", col("q").cast("array<double>"))
+      .withColumn("nn", dot("qd", "qd").cast("long"))
+      .drop("qd") // only q rides the checkpoint; qd re-derived per consumer
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // consumed by both pair sides + accounting
+  }
+
+  /** q_dedup_semantic oracle (see the query's comment block for the
+    * design notes): the routed two-level assignment replayed as CTEs —
+    * params (corpus-scaled k), c0 (fine seeds), co (coarse = every 64th
+    * seed), f2c (fine → owning coarse argmin), vprobe (wc=2 probe),
+    * cells (argmin over probed candidates), then within-cell pairs and
+    * keep-first pruning in exact HUGEINT math.
+    */
+  private val semDedupOracleSql: String =
+    """WITH params AS (
+      |  SELECT GREATEST(4, CAST(COUNT(*) AS BIGINT) // 1250) AS k
+      |  FROM embeddings),
+      |emb AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, q AS c FROM emb
+      |       WHERE vec_id < (SELECT k FROM params)),
+      |co AS (SELECT cid AS co_id, c AS cc FROM c0 WHERE cid % 64 = 0),
+      |f2c AS (SELECT cid, co_id FROM (
+      |  SELECT f.cid, c.co_id,
+      |    row_number() OVER (PARTITION BY f.cid ORDER BY
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> (f.c[i] - c.cc[i]) * (f.c[i] - c.cc[i]))),
+      |      c.co_id) AS rn
+      |  FROM c0 f CROSS JOIN co c) WHERE rn = 1),
+      |vprobe AS (SELECT vec_id, co_id FROM (
+      |  SELECT e.vec_id, c.co_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> (e.q[i] - c.cc[i]) * (e.q[i] - c.cc[i]))),
+      |      c.co_id) AS rn
+      |  FROM emb e CROSS JOIN co c) WHERE rn <= 2),
+      |cells AS (SELECT vec_id, label, q, cid FROM (
+      |  SELECT e.vec_id, e.label, e.q, f.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> (e.q[i] - f.c[i]) * (e.q[i] - f.c[i]))),
+      |      f.cid) AS rn
+      |  FROM emb e JOIN vprobe p ON p.vec_id = e.vec_id
+      |       JOIN f2c m ON m.co_id = p.co_id
+      |       JOIN c0 f ON f.cid = m.cid) WHERE rn = 1),
+      |n2 AS (SELECT vec_id, label, q, cid,
+      |         list_sum(list_transform(q, x -> x * x)) AS nn
+      |       FROM cells),
+      |pairs AS (
+      |  SELECT b.vec_id AS b_id,
+      |    list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS dt,
+      |    a.nn AS na, b.nn AS nb
+      |  FROM n2 a JOIN n2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      |dropped AS (
+      |  SELECT DISTINCT b_id AS vec_id FROM pairs
+      |  WHERE dt > 0
+      |    AND 25 * CAST(dt AS HUGEINT) * dt >= 4 * CAST(na AS HUGEINT) * nb)
+      |SELECT n2.label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(COALESCE(d.vec_id, 0)) AS BIGINT) AS dropped_checksum
+      |FROM n2 LEFT JOIN dropped d ON d.vec_id = n2.vec_id
+      |GROUP BY n2.label ORDER BY n2.label""".stripMargin
+
   /** ±1 JL sign matrix entry — the portable md5 parity (same definition
     * as T.h60 % 2), so the DuckDB oracle can re-derive the identical
     * matrix in SQL.
@@ -1470,120 +1603,8 @@ object Similarity extends QueryPack {
     // gives k=4 → ONE coarse cell → every fine centroid is a
     // candidate → the assignment is EXACTLY the old argmin (results
     // and oracle hashes at sf0.01/sf0.1 unchanged by construction).
-    q("q_dedup_semantic",
-      """WITH params AS (
-        |  SELECT GREATEST(4, CAST(COUNT(*) AS BIGINT) // 1250) AS k
-        |  FROM embeddings),
-        |emb AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding,
-        |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, q AS c FROM emb
-        |       WHERE vec_id < (SELECT k FROM params)),
-        |co AS (SELECT cid AS co_id, c AS cc FROM c0 WHERE cid % 64 = 0),
-        |f2c AS (SELECT cid, co_id FROM (
-        |  SELECT f.cid, c.co_id,
-        |    row_number() OVER (PARTITION BY f.cid ORDER BY
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> (f.c[i] - c.cc[i]) * (f.c[i] - c.cc[i]))),
-        |      c.co_id) AS rn
-        |  FROM c0 f CROSS JOIN co c) WHERE rn = 1),
-        |vprobe AS (SELECT vec_id, co_id FROM (
-        |  SELECT e.vec_id, c.co_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> (e.q[i] - c.cc[i]) * (e.q[i] - c.cc[i]))),
-        |      c.co_id) AS rn
-        |  FROM emb e CROSS JOIN co c) WHERE rn <= 2),
-        |cells AS (SELECT vec_id, label, q, cid FROM (
-        |  SELECT e.vec_id, e.label, e.q, f.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> (e.q[i] - f.c[i]) * (e.q[i] - f.c[i]))),
-        |      f.cid) AS rn
-        |  FROM emb e JOIN vprobe p ON p.vec_id = e.vec_id
-        |       JOIN f2c m ON m.co_id = p.co_id
-        |       JOIN c0 f ON f.cid = m.cid) WHERE rn = 1),
-        |n2 AS (SELECT vec_id, label, q, cid,
-        |         list_sum(list_transform(q, x -> x * x)) AS nn
-        |       FROM cells),
-        |pairs AS (
-        |  SELECT b.vec_id AS b_id,
-        |    list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS dt,
-        |    a.nn AS na, b.nn AS nb
-        |  FROM n2 a JOIN n2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-        |dropped AS (
-        |  SELECT DISTINCT b_id AS vec_id FROM pairs
-        |  WHERE dt > 0
-        |    AND 25 * CAST(dt AS HUGEINT) * dt >= 4 * CAST(na AS HUGEINT) * nb)
-        |SELECT n2.label, COUNT(*) AS n_vecs,
-        |  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_kept,
-        |  CAST(SUM(COALESCE(d.vec_id, 0)) AS BIGINT) AS dropped_checksum
-        |FROM n2 LEFT JOIN dropped d ON d.vec_id = n2.vec_id
-        |GROUP BY n2.label ORDER BY n2.label""".stripMargin) { (s, dir) =>
-      // Hot loops run on the codegen'd dot_f kernel over double casts
-      // of the quantized ints: every value (|q_i| ≤ ~4000, dots ≤ 1e9,
-      // squared distances ≤ 4e9) is integer-exact in a double, so the
-      // expansion d = |e|² + |c|² − 2·e·c equals the oracle's Σ(x−y)²
-      // bit-for-bit after the long cast — same trick, ~6× less time
-      // than the interpreted aggregate(zip_with(...)) lambdas.
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(round(cast(x as double)" +
-          " * 1000) as bigint))").as("q"))
-        .withColumn("qd", col("q").cast("array<double>"))
-        .withColumn("en", dot("qd", "qd"))
-      // k from ONE metadata-served count — the sole driver scalar; the
-      // seed/coarse relations stay model-sized broadcasts (k ≤ n/1250).
-      val k = math.max(4L, t(s, dir, "embeddings").count() / 1250L)
-      val cent = emb.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("qd").as("cd"),
-          col("en").as("cn"))
-      val coarse = cent.filter(col("cid") % 64 === 0)
-        .select(col("cid").as("co_id"), col("cd").as("co"),
-          col("cn").as("con"))
-      // fine → owning coarse: model × model (k × k/64), broadcast side
-      val f2c = cent.crossJoin(broadcast(coarse))
-        .withColumn("d",
-          (col("cn") + col("con") - lit(2) * dot("cd", "co")).cast("long"))
-        .groupBy("cid")
-        .agg(min(struct(col("d"), col("co_id"))).as("best"))
-        .select(col("cid"), col("best.co_id").as("co_id"))
-      // fine candidates annotated with their coarse owner, broadcast
-      // into both the probe ranking and the final assignment
-      val fineCo = cent.join(broadcast(f2c), "cid")
-        .select(col("cid"), col("cd"), col("cn"), col("co_id"))
-      // each vector probes its wc=2 nearest coarse cells: skinny
-      // (vec_id, co_id, d) rows through the rank window (compiles to
-      // WindowGroupLimit); embeddings do NOT ride this shuffle
-      val wp = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("d"), col("co_id"))
-      val probes = emb.crossJoin(broadcast(coarse))
-        .withColumn("d",
-          (col("en") + col("con") - lit(2) * dot("qd", "co")).cast("long"))
-        .select(col("vec_id"), col("co_id"), col("d"))
-        .withColumn("rn", row_number().over(wp))
-        .filter(col("rn") <= 2).select("vec_id", "co_id")
-      // assignment: vectors re-attach by vec_id (ONE linear shuffle),
-      // candidates expand map-side from the broadcast fine table —
-      // ≤ 2·64 candidate dots per vector instead of k
-      val cells = emb.join(probes, "vec_id")
-        .join(broadcast(fineCo), "co_id")
-        .withColumn("d",
-          (col("en") + col("cn") - lit(2) * dot("qd", "cd")).cast("long"))
-        // argmin via min(struct) with q riding as first() — hashing a
-        // 512-byte array KEY per candidate row measured slower (the
-        // q_cluster_kmeans note), and there are ≤128 candidates/vector
-        .groupBy("vec_id")
-        .agg(min(struct(col("d"), col("cid"))).as("best"),
-          first(col("label")).as("label"), first(col("q")).as("q"))
-        .select(col("vec_id"), col("label"), col("q"),
-          col("best.cid").as("cid"))
-        .withColumn("qd", col("q").cast("array<double>"))
-        .withColumn("nn", dot("qd", "qd").cast("long"))
-        .drop("qd") // only q rides the checkpoint; qd re-derived per consumer
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // consumed by both pair sides + accounting
+    q("q_dedup_semantic", semDedupOracleSql) { (s, dir) =>
+      val cells = semDedupCells(s, dir)
       def withQd(df: org.apache.spark.sql.DataFrame) =
         df.withColumn("qd", col("q").cast("array<double>"))
       val a = withQd(cells).select(col("cid"), col("vec_id").as("a_id"),

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft._
 import graft.T._
+import graft.sources.LegacyDecode
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -256,15 +257,15 @@ object Sources extends QueryPack {
         }
         .coalesce(2)
         .saveAsSequenceFile(p)
-      val rows = s.sparkContext
-        .sequenceFile(p, classOf[LongWritable], classOf[Text])
-        .map { case (_, v) => v.toString }
-      s.createDataFrame(rows.map(org.apache.spark.sql.Row(_)),
-          StructType(Seq(StructField("value", StringType))))
-        .select(split(col("value"), "\u0001").as("f"))
-        .select(col("f").getItem(0).cast("long").as("n_nationkey"),
-          col("f").getItem(1).as("n_name"),
-          col("f").getItem(2).cast("long").as("n_regionkey"))
+      // Quarantine-safe decode (LegacyDecode.readSeqDelimited): on this
+      // self-written store every field parses, so the result is
+      // unchanged — but a corrupt record in a real legacy file decodes
+      // to null fields instead of an ANSI cast throw killing the task
+      // (LegacyBridgeFuzzSpec proves the contract).
+      LegacyDecode.readSeqDelimited(s, p, StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType))))
         .filter(col("n_nationkey") % 2 === 0)
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("cnt"),
@@ -330,29 +331,15 @@ object Sources extends QueryPack {
           w.close()
           Iterator.single(n)
         }.count()
-      val rjc = new org.apache.hadoop.mapred.JobConf(
-        s.sparkContext.hadoopConfiguration)
-      org.apache.hadoop.mapred.FileInputFormat.setInputPaths(rjc, p)
-      val readIds = new java.util.ArrayList[Integer]()
-      readIds.add(0); readIds.add(1); readIds.add(2)
-      org.apache.hadoop.hive.serde2.ColumnProjectionUtils
-        .appendReadColumns(rjc, readIds)
-      val rows = s.sparkContext.hadoopRDD(rjc,
-          classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
-          classOf[LongWritable], classOf[BytesRefArrayWritable], 2)
-        // Decode IMMEDIATELY: the record reader reuses the writable, so
-        // bytes must be copied out before the iterator advances.
-        .map { case (_, v) =>
-          def str(i: Int): String = {
-            val ref = v.get(i)
-            new String(ref.getData, ref.getStart, ref.getLength, UTF_8)
-          }
-          org.apache.spark.sql.Row(str(0).toLong, str(1), str(2).toLong)
-        }
-      s.createDataFrame(rows, StructType(Seq(
+      // Quarantine-safe projected read (LegacyDecode.readRcProjected):
+      // columns 0-2 requested, the filler's chunks skipped per
+      // row-group; field decode is copy-out-then-parse with
+      // quarantine-by-null (a garbage numeric or short-arity record in
+      // a real legacy file nulls its fields — LegacyBridgeFuzzSpec).
+      LegacyDecode.readRcProjected(s, p, StructType(Seq(
           StructField("n_nationkey", LongType),
           StructField("n_name", StringType),
-          StructField("n_regionkey", LongType))))
+          StructField("n_regionkey", LongType))), Seq(0, 1, 2))
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("key_sum"),
           min(col("n_name")).as("first_name"))
@@ -539,6 +526,15 @@ object Sources extends QueryPack {
       hs.sql(s"LOAD DATA LOCAL INPATH '$pa2' OVERWRITE INTO TABLE" +
         " graft_load_p PARTITION (grp='a')")
       val s3 = sig("overwrite", withGrp = true, "graft_load_p")
+      // LOAD DATA LOCAL COPIES (not moves) the staged files into the
+      // table location, so the stage dir is dead weight once the third
+      // load lands — delete it, or every bench iteration leaks a temp
+      // dir for the JVM's lifetime. (Table data itself is bounded: the
+      // DROP TABLE at each shape's start replaces, never accumulates.)
+      val staged = java.nio.file.Files.list(stage)
+      try staged.forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally staged.close()
+      java.nio.file.Files.deleteIfExists(stage)
       import s.implicits._
       Seq(s1, s2, s3).toDF("step", "n_rows", "xor_sig", "mod_sum")
         .orderBy("step")

@@ -67,12 +67,32 @@ object AvroIO {
         classOf[AvroKey[GenericRecord]], classOf[NullWritable])
       .mapPartitions { it =>
         // Unpack to plain JVM values in-partition: Utf8 → String etc.
+        // TYPE-CHECKED against the requested schema, quarantine-by-null
+        // (the LegacyDecode contract): a file written with a different
+        // schema — a renamed field (get returns null), a field whose
+        // writer type disagrees with the requested one — yields null
+        // for that field instead of a ClassCastException killing the
+        // task when the mismatched value later hits the row encoder.
+        // Int widens to Long (the one lossless legacy promotion).
         it.map { case (k, _) =>
           val rec = k.datum()
+          // Record.get(String) THROWS AvroRuntimeException on a field
+          // the writer schema lacks — look the field up first.
+          def fld(n: String): AnyRef = {
+            val f = rec.getSchema.getField(n)
+            if (f == null) null else rec.get(f.pos())
+          }
           Row.fromSeq(names.zip(types).map {
             case (n, StringType) =>
-              Option(rec.get(n)).map(_.toString).orNull
-            case (n, _) => rec.get(n)
+              Option(fld(n)).map(_.toString).orNull
+            case (n, t) => fld(n) match {
+              case v: java.lang.Long if t == LongType => v
+              case v: java.lang.Integer if t == LongType =>
+                java.lang.Long.valueOf(v.longValue)
+              case v: java.lang.Integer if t == IntegerType => v
+              case v: java.lang.Double if t == DoubleType => v
+              case _ => null
+            }
           }.toIndexedSeq)
         }
       }

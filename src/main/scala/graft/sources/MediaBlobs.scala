@@ -288,8 +288,15 @@ object MediaBlobs {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val w = le.getInt(18)
       val h = le.getInt(22)
+      // Fit test phrased as a DIVISION so it cannot overflow: rowSize·h
+      // for crafted dims (w=h=Int.MaxValue) wraps even a Long negative,
+      // which would pass a `54 + rowSize*h <= len` gate and hand the
+      // Int-arithmetic pixel walkers wrapped offsets — the exact
+      // task-kill this gate exists to prevent. rowSize ≥ 4 when w ≥ 1,
+      // so the divide is safe; h ≤ (len−54)/rowSize is algebraically
+      // the same bound.
       w > 0 && h > 0 &&
-        54L + (((3L * w + 3) / 4) * 4) * h <= p.length
+        h <= (p.length - 54L) / (((3L * w + 3) / 4) * 4)
     }
   }
 
@@ -674,16 +681,24 @@ object MediaBlobs {
           }
           val w = tag('W')
           val h = tag('H')
-          val frameBytes = 6 + w.max(0) * h.max(0)
+          // Long frame-unit math (the expression path already does
+          // this): tags reach 999999, so an Int w*h wraps — a crafted
+          // w*h ≡ -6 (mod 2^32) made frameBytes 0 and the divisibility
+          // gate itself threw ArithmeticException; other wraps mis-gate.
+          // In Long, w*h ≤ ~1e12 is exact, and any frameBytes larger
+          // than the payload yields nFrames = 0 (no walk).
+          val frameBytes = 6L + w.max(0).toLong * h.max(0).toLong
           val ok = hdr.startsWith("YUV4MPEG2 ") && w >= 1 && h >= 1 &&
             hdr.split(' ').contains("Cmono") &&
-            (p.length - hl) % frameBytes == 0
+            (p.length - hl) % frameBytes == 0L
           if (!ok) Iterator.empty
           else {
-          val nFrames = (p.length - hl) / frameBytes
+          // Offsets below fit Int whenever a frame exists: t < nFrames
+          // bounds t·frameBytes by the payload length.
+          val nFrames = ((p.length - hl) / frameBytes).toInt
           val mark = "FRAME\n".getBytes("US-ASCII")
           def markerOk(t: Int): Boolean = {
-            val off = hl + t * frameBytes
+            val off = (hl + t * frameBytes).toInt
             var k = 0
             while (k < 6 && p(off + k) == mark(k)) k += 1
             k == 6
@@ -692,12 +707,12 @@ object MediaBlobs {
             .takeWhile(markerOk).size // first desync ends the walk
           var prev: Array[Byte] = null
           (0 until goodFrames by stride).iterator.map { t =>
-            val off = hl + t * frameBytes + 6
+            val off = (hl + t * frameBytes).toInt + 6
             var luma = 0L
             var i = 0
             while (i < w * h) { luma += (p(off + i) & 0xFF); i += 1 }
             val delta: java.lang.Long = if (prev == null) null else {
-              val pOff = hl + (t - stride) * frameBytes + 6
+              val pOff = (hl + (t - stride) * frameBytes).toInt + 6
               var d = 0L
               var j = 0
               while (j < w * h) {

@@ -193,6 +193,58 @@ class MediaBlobsFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted dims cannot overflow the BMP grid-fit gate (Long wrap)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmpHeader(w: Int, h: Int, payloadLen: Int): Array[Byte] = {
+      val p = new Array[Byte](payloadLen)
+      p(0) = 'B'; p(1) = 'M'
+      val le = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      le.putInt(18, w); le.putInt(22, h)
+      p
+    }
+    // rowSize*h wraps Long negative for w=h=Int.MaxValue: the old
+    // `54 + rowSize*h <= len` gate PASSED and handed the pixel walkers
+    // wrapped offsets; the division form must reject it
+    assert(!sources.MediaBlobs.bmpGridFits(
+      bmpHeader(Int.MaxValue, Int.MaxValue, 200)))
+    // wraps to a small positive product is also rejected
+    assert(!sources.MediaBlobs.bmpGridFits(bmpHeader(1 << 16, 1 << 16, 200)))
+    // genuine fits still pass: 2x2 needs 54 + 2*8 = 70 bytes
+    assert(sources.MediaBlobs.bmpGridFits(bmpHeader(2, 2, 70)))
+    assert(!sources.MediaBlobs.bmpGridFits(bmpHeader(2, 2, 69)))
+    // and the pixel walkers drop the crafted blob instead of throwing
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, bmpHeader(Int.MaxValue, Int.MaxValue, 200)),
+      (2L, bmpHeader(1 << 16, 1 << 16, 200)))
+      .toDF("doc_id", "payload")
+    assert(MediaBlobs.dhashBmp(df).collect().isEmpty)
+    assert(MediaBlobs.imageEmbFromBytes(df).collect().isEmpty)
+  }
+
+  test("crafted Y4M dims cannot wrap the frame-unit math to a fake gate pass") {
+    val s = spark
+    import s.implicits._
+    // W65536 x H65536: w*h = 2^32 wraps Int to 0 → old frameBytes = 6,
+    // and two FRAME markers made the divisibility gate pass, walking
+    // "frames" of a 2^32-pixel claim. Long math must see frameBytes
+    // = 6 + 2^32 > payload and quarantine (zero frames, no throw).
+    val crafted = ("YUV4MPEG2 W65536 H65536 F25:1 Cmono\n" +
+      "FRAME\nFRAME\n").getBytes("ISO-8859-1")
+    // sanity: the old Int math would have gated this IN
+    assert((crafted.length - 36) % 6 === 0)
+    val df = Seq((1L, crafted)).toDF("doc_id", "payload")
+    assert(MediaBlobs.videoFrameFeatures(df, 1).collect().isEmpty)
+    // the header-only decode (expression path, already Long) must also
+    // refuse the frame count, not report garbage
+    val dec = MediaBlobs.withVideoDecoded(df)
+      .select("fmt", "n_frames").collect()
+    dec.foreach { r =>
+      assert(r.get(0) == null || r.isNullAt(1) || r.getLong(1) === 0L,
+        s"crafted Y4M decoded to $r")
+    }
+  }
+
   test("BMP pixel readers (dhash/resize/embed): fuzz never throws, OOB blobs drop") {
     val df = fuzzDf(MediaBlobs.blobFor)
     // all three pixel walkers must survive the full corrupted set
