@@ -34,6 +34,20 @@ object SparkEntry {
     c.set("spark.sql.cbo.joinReorder.enabled", "true")
     c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     c.set("spark.sql.adaptive.enabled", "true")
+    // ObjectHashAggregate (the exec behind every TypedImperativeAggregate
+    // here — collect_topk, sketches, ngrams) falls back to SORT-BASED
+    // aggregation after this many distinct groups per task; the 128
+    // default would resurrect the very per-task sort the r15
+    // collect_topk conversions removed (their group = a vector/doc id,
+    // so map tasks routinely hold tens of thousands of groups with
+    // k-element bounded buffers — a few MB). 65536 keeps the hash path
+    // for those while still bounding worst-case buffer residency
+    // (65536 × k elements) far below executor memory; past it the exec
+    // degrades gracefully to the old sort behavior. Env-overridable for
+    // cluster tuning (scale-dependent setting, parameterised per the
+    // optimization-round rules).
+    c.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
     HiveCompatFunctions.ensure(spark)
     // Dormant until spark.graft.stats.answerQueries=true (Hive's
     // hive.compute.query.using.stats twin — see plans/StatsAnswer).

@@ -97,6 +97,34 @@ object HiveCompatFunctions {
             s"simhash60 requires exactly 1 argument, got ${exprs.length}")
           SimHash60(exprs(0))
         }, "built-in")
+      // Bounded top-k aggregate (see TopKAgg.scala): the map-side
+      // replacement for rank-window shapes over candidate expansions.
+      // k and reverse must be literals (plan constants).
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "collect_topk",
+        exprs => {
+          require(exprs.length == 3,
+            s"collect_topk requires 3 arguments, got ${exprs.length}")
+          val k = exprs(1) match {
+            case l if l.foldable => l.eval() match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"collect_topk k must be an int literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "collect_topk k must be a literal")
+          }
+          val rev = exprs(2) match {
+            case l if l.foldable => l.eval() match {
+              case b: Boolean => b
+              case other => throw new IllegalArgumentException(
+                s"collect_topk reverse must be a boolean literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "collect_topk reverse must be a literal")
+          }
+          TopKAgg(exprs(0), k, rev)
+        }, "built-in")
       // Theta sketch family (see ThetaSketch.scala): mergeable distinct
       // sketches with set algebra (intersection/difference — HLL can't).
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -959,17 +959,23 @@ object Curation extends QueryPack {
         |  CAST(SUM(CASE WHEN rn <= 30 THEN doc_id END) AS BIGINT)
         |    AS kept_checksum
         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      // r15: cap-per-key via the bounded top-k aggregate (TopKAgg) in
+      // the SAME pass as the total count — the former rank window
+      // sorted the whole corpus per source (with the text column
+      // riding along) before the groupBy; now one skinny
+      // shuffle-and-aggregate does both, map-side combined. Keep-set
+      // = smallest-30 by (md5(doc_id), doc_id) — identical to the old
+      // rn<=30 (TopKSpec).
       t(s, dir, "documents")
-        .withColumn("rn", row_number().over(w))
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("hk"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_total"),
-          sum(when(col("rn") <= 30, 1).otherwise(0)).cast("long")
-            .as("n_kept"),
-          sum(when(col("rn") <= 30, col("doc_id"))).cast("long")
-            .as("kept_checksum"))
+          expr("collect_topk(struct(hk, doc_id), 30, true)").as("keep"))
+        .select(col("source"), col("n_total"),
+          size(col("keep")).cast("long").as("n_kept"),
+          expr("aggregate(keep, 0L, (a, x) -> a + x.doc_id)")
+            .cast("long").as("kept_checksum"))
         .orderBy("source")
     },
 

@@ -104,6 +104,12 @@ object Dedup extends QueryPack {
     // oversized bucket degrades (its first 1000 docs still pair up)
     // instead of silently losing every candidate inside it, and the
     // choice is deterministic so verified-green stays green.
+    // (r15 note: a collect_topk aggregate form of this cap measured
+    // 1.1-2× SLOWER at sf0.1 and loses at any scale — band hashes are
+    // near-unique, so per-(band,h) groups hold ~1 row and partial
+    // aggregation reduces nothing while paying boxed typed-imperative
+    // buffers per group; the window's codegen sort over the same
+    // skinny rows spills gracefully and IS the right shape here.)
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "h").orderBy("doc_id")
     val capped = banded.withColumn("rnk", row_number().over(wb))
@@ -231,13 +237,18 @@ object Dedup extends QueryPack {
         |      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
         |                                 ORDER BY doc_id) = 1)
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      // Keeper = min(struct(doc_id, lang)) per fingerprint (r15: was a
+      // row_number window over the FULL documents table — every column
+      // incl. text rode the partition sort; the aggregate shuffles only
+      // (md5, doc_id, lang) with map-side combine and no sort at all).
+      // doc_id is unique, so min-struct IS the rank-1 row of the old
+      // window; the keeper's lang rides the struct.
       t(s, dir, "documents")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_checksum"))
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+        .groupBy(col("keep.lang").as("lang"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("keep.doc_id")).as("id_checksum"))
         .orderBy("lang")
     },
 
@@ -438,6 +449,9 @@ object Dedup extends QueryPack {
           expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)")
             .as("h"))
       val hx = grams.dropDuplicates("lang", "doc_id", "h")
+      // (r15: collect_topk here measured 6.8× slower at sf0.1 — shingle
+      // hashes are near-unique so groups hold ~1 row; see the
+      // minhashPairsBuild cap note. The rank window stays.)
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy("lang", "h").orderBy("doc_id")
       val hxc = hx.withColumn("rn", row_number().over(wb))

@@ -86,14 +86,28 @@ object Similarity extends QueryPack {
       .select(col("cid"), col("best.co_id").as("co_id"))
     val fineCo = cent.join(broadcast(f2c), "cid")
       .select(col("cid"), col("cd"), col("cn"), col("co_id"))
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("d"), col("co_id"))
-    val probes = emb.crossJoin(broadcast(coarse))
+    // wc=2 nearest coarse cells. SIZE-ADAPTIVE (TopKAgg.engage, r15):
+    // below the cutover the rank<=2 window (codegen sort — measured
+    // faster at bench SFs, plan unchanged vs the frozen golden); above
+    // it the bounded top-k aggregate, which folds the n×ncoarse
+    // expansion to 2-element buffers MAP-SIDE instead of sorting it
+    // inside the partial WindowGroupLimit — the sf100 scratch fix.
+    // Identical rows either way (struct(d, co_id) asc ≡ ORDER BY d,
+    // co_id — TopKSpec).
+    val probeD = emb.crossJoin(broadcast(coarse))
       .withColumn("d",
         (col("en") + col("con") - lit(2) * dot("qd", "co")).cast("long"))
       .select(col("vec_id"), col("co_id"), col("d"))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 2).select("vec_id", "co_id")
+    val probes = if (TopKAgg.engage(emb)) {
+      probeD.groupBy("vec_id")
+        .agg(expr("collect_topk(struct(d, co_id), 2, true)").as("top"))
+        .select(col("vec_id"), explode(col("top.co_id")).as("co_id"))
+    } else {
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d"), col("co_id"))
+      probeD.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= 2).select("vec_id", "co_id")
+    }
     emb.join(probes, "vec_id")
       .join(broadcast(fineCo), "co_id")
       .withColumn("d",
@@ -460,6 +474,10 @@ object Similarity extends QueryPack {
           col("nrm").as("qn")))
       val cands = e.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce"), col("nrm").as("cn"))
+      // (r15: a collect_topk form of this rank measured 1.27× at sf0.1
+      // — WindowGroupLimit already forwards ≤3/query/split to the
+      // 5-key exchange, and its codegen sort beats the boxed
+      // typed-imperative buffers at in-memory sizes. Window stays.)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))
       qs.join(cands, col("cand_id") =!= col("q_id"))
@@ -714,10 +732,24 @@ object Similarity extends QueryPack {
       // oversized bucket degrades to its first bucketCap members instead
       // of one quadratic straggler task. Candidates lost here can still
       // surface via the other 9 tables.
-      val wbk = org.apache.spark.sql.expressions.Window
-        .partitionBy("tbl", "bucket").orderBy("vec_id")
-      val capped = buckets.withColumn("rnk", row_number().over(wbk))
-        .filter(col("rnk") <= bucketCap).drop("rnk")
+      // Skew cap — SIZE-ADAPTIVE (TopKAgg.engage, r15): below the
+      // cutover the rank window (codegen sort, frozen-golden plan);
+      // above it the bounded top-k aggregate, which folds the n·tables
+      // posting stream to ≤bucketCap-element buffers map-side instead
+      // of sorting it — one of the two shuffle-scratch terms in this
+      // query's measured sf100 ENOSPC. Identical keep-set either way
+      // (first bucketCap members by vec_id — TopKSpec).
+      val capped = if (TopKAgg.engage(e)) {
+        buckets
+          .groupBy("tbl", "bucket")
+          .agg(expr(s"collect_topk(vec_id, $bucketCap, true)").as("mem"))
+          .select(col("tbl"), col("bucket"), explode(col("mem")).as("vec_id"))
+      } else {
+        val wbk = org.apache.spark.sql.expressions.Window
+          .partitionBy("tbl", "bucket").orderBy("vec_id")
+        buckets.withColumn("rnk", row_number().over(wbk))
+          .filter(col("rnk") <= bucketCap).drop("rnk")
+      }
       // Identical subtree on both self-join sides → ReuseExchange
       // already shares the shuffle; a checkpoint measured slower here.
       val l = capped.select(col("vec_id").as("q_id"), col("tbl"),
@@ -999,8 +1031,6 @@ object Similarity extends QueryPack {
       val trainMod = math.max(5L, seedMod / 64)
       val trainSet = e.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))
       for (_ <- 1 to iters) {
         // Assignment argmax via map-side-combining max_by (not a sort
         // window — the training pass never sorts the corpus). The
@@ -1076,22 +1106,54 @@ object Similarity extends QueryPack {
           .as("co_id"),
           first(col("cent")).as("cent"),
           first(col("cent_nrm")).as("cent_nrm"))
-      val wCoarse = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("vcos").desc, col("co_id"))
-      val vc = e.crossJoin(broadcast(coarse))
+      // Both rank stages of the final assignment are SIZE-ADAPTIVE
+      // (TopKAgg.engage, r15 — the fix for this query's flagged
+      // scratch asymptote): below the cutover the rank<=k windows
+      // (codegen sort, frozen-golden plans, measured faster at bench
+      // SFs); above it the bounded top-k aggregate — the windows
+      // locally SORT the n×ncoarse and n·wc·(nlist/ncoarse) expansions
+      // inside the partial WindowGroupLimit before their rank
+      // exchanges, and at sf100 that sort scratch (stacked on the
+      // Lloyd chain's retained shuffles) was the measured ENOSPC. The
+      // aggregate folds each expansion to k-element buffers map-side:
+      // same rows out (TopKSpec law), ~no sort scratch at all.
+      val useAgg = TopKAgg.engage(e)
+      val vcD = e.crossJoin(broadcast(coarse))
         .select(col("vec_id"), col("co_id"),
           round(dot("embedding", "co") / (col("nrm") * col("co_nrm")), 6)
             .as("vcos"))
-        .withColumn("crn", row_number().over(wCoarse))
-        .filter(col("crn") <= wc)
-        .select("vec_id", "co_id")
-      val ranked = vc.join(e, "vec_id")
+      val vc = if (useAgg) {
+        vcD.groupBy("vec_id")
+          .agg(expr(
+            s"collect_topk(struct(vcos, -co_id AS inv, co_id), $wc, false)")
+            .as("top"))
+          .select(col("vec_id"), explode(col("top.co_id")).as("co_id"))
+      } else {
+        val wCoarse = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("vcos").desc, col("co_id"))
+        vcD.withColumn("crn", row_number().over(wCoarse))
+          .filter(col("crn") <= wc)
+          .select("vec_id", "co_id")
+      }
+      val rankedD = vc.join(e, "vec_id")
         .join(broadcast(fine), "co_id")
         .select(col("vec_id"), col("cent_id"),
           round(dot("embedding", "cent") / (col("nrm") * col("cent_nrm")),
             6).as("cent_cos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") <= nprobe)
+      val ranked = (if (useAgg) {
+        rankedD.groupBy("vec_id")
+          .agg(expr("collect_topk(struct(cent_cos, -cent_id AS inv," +
+            s" cent_id), $nprobe, false)").as("top"))
+          .select(col("vec_id"), posexplode(col("top")))
+          .select(col("vec_id"), (col("pos") + 1).as("arn"),
+            col("col.cent_id").as("cent_id"))
+      } else {
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))
+        rankedD.withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") <= nprobe)
+          .select("vec_id", "arn", "cent_id")
+      })
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         .join(e, "vec_id") // re-attach embedding+nrm to the survivors
       // Inverted file: every vector lives in exactly ONE cell (arn=1),
@@ -1261,28 +1323,52 @@ object Similarity extends QueryPack {
       // flat-IVF lesson: embeddings feed the dot map-side but never
       // ride through the window shuffle); rank<=wc compiles to
       // WindowGroupLimit.
-      val wCoarse = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("vcos").desc, col("co_id"))
-      val vc = e.crossJoin(broadcast(coarse))
+      // Both rank stages SIZE-ADAPTIVE between the rank window (bench
+      // SFs — codegen sort, frozen-golden plan) and the bounded top-k
+      // aggregate (corpus scale — k-element buffers fold the
+      // expansions map-side, no per-task sort of the expansion): see
+      // the q_ann_ivf_cells note; same rows either way (TopKSpec).
+      val useAgg = TopKAgg.engage(e)
+      val vcD = e.crossJoin(broadcast(coarse))
         .select(col("vec_id"), col("co_id"),
           round(dot("embedding", "co") / (col("nrm") * col("co_nrm")), 6)
             .as("vcos"))
-        .withColumn("crn", row_number().over(wCoarse))
-        .filter(col("crn") <= wc)
-        .select("vec_id", "co_id")
+      val vc = if (useAgg) {
+        vcD.groupBy("vec_id")
+          .agg(expr(
+            s"collect_topk(struct(vcos, -co_id AS inv, co_id), $wc, false)")
+            .as("top"))
+          .select(col("vec_id"), explode(col("top.co_id")).as("co_id"))
+      } else {
+        val wCoarse = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("vcos").desc, col("co_id"))
+        vcD.withColumn("crn", row_number().over(wCoarse))
+          .filter(col("crn") <= wc)
+          .select("vec_id", "co_id")
+      }
       // Fine comparisons restricted to the probed coarse cells: join
       // back the embedding by vec_id, broadcast-join the fine table on
       // its coarse parent — each vector meets ~wc·nlist/ncoarse fine
-      // centroids instead of all nlist. Again skinny into the window.
-      val wFine = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("fcos").desc, col("cent_id"))
-      val ranked = vc.join(e, "vec_id")
+      // centroids instead of all nlist. Again skinny into the rank.
+      val rankedD = vc.join(e, "vec_id")
         .join(broadcast(fine), "co_id")
         .select(col("vec_id"), col("cent_id"),
           round(dot("embedding", "cent") / (col("nrm") * col("cent_nrm")), 6)
             .as("fcos"))
-        .withColumn("arn", row_number().over(wFine))
-        .filter(col("arn") <= nprobe)
+      val ranked = (if (useAgg) {
+        rankedD.groupBy("vec_id")
+          .agg(expr("collect_topk(struct(fcos, -cent_id AS inv," +
+            s" cent_id), $nprobe, false)").as("top"))
+          .select(col("vec_id"), posexplode(col("top")))
+          .select(col("vec_id"), (col("pos") + 1).as("arn"),
+            col("col.cent_id").as("cent_id"))
+      } else {
+        val wFine = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("fcos").desc, col("cent_id"))
+        rankedD.withColumn("arn", row_number().over(wFine))
+          .filter(col("arn") <= nprobe)
+          .select("vec_id", "arn", "cent_id")
+      })
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         .join(e, "vec_id") // re-attach embedding+nrm to the survivors
       // Inverted file + probes + exact rescore: identical tail to
