@@ -157,6 +157,28 @@ object T {
       if (!pinnedRdds.contains(id)) rdd.unpersist(blocking = true)
     }
 
+  /** Process-scoped scratch dir (session warehouses of the Bench /
+    * Verify / Explain mains), deleted recursively at JVM exit — every
+    * harness run otherwise leaks one `graft-wh*` dir (complete with
+    * any q_ddl_* table data) into /tmp for the box's lifetime, the
+    * r15 hygiene sweep's second-largest debris class after the spec
+    * temp dirs.
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(d: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(d)) {
+          val st = java.nio.file.Files.list(d)
+          try st.forEach(rm(_)) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(d); ()
+      }
+      try rm(p) catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
+
   /** Content fingerprint of one test table: md5 over the sorted
     * (path, size, mtime) listing of `$dir/$name.parquet` (file or
     * directory). Setup-once memos (the BPE merge table, ANALYZEd stats

@@ -32,6 +32,18 @@ import org.apache.spark.sql.functions._
   * Values at a rank are partitioning-independent even with duplicate
   * values: the value at rank r of a sorted multiset does not depend on
   * how ties are ordered among themselves.
+  *
+  * DETERMINISTIC-INPUT REQUIREMENT (ADVICE r14): the checkpoint-free
+  * two-pass protocol relies on pass 2 reusing pass 1's shuffle map
+  * outputs (skipped stage). If map outputs are LOST and recomputed
+  * between the passes from a NON-deterministic source (e.g. a sampled
+  * or rand()-derived input), the count matrix can silently disagree
+  * with pass 2's partition contents — wrong quantiles with no error,
+  * where the old localCheckpoint variant failed loudly. Callers
+  * (q_agg_percentile / q_agg_median_mad / q_agg_equidepth and any
+  * future user) must feed deterministic frames: scans, projections and
+  * joins of the test tables qualify; anything seeded by rand() or
+  * current-time does not.
   */
 object RankSelect {
 

@@ -83,6 +83,12 @@ object AvroIO {
             if (f == null) null else rec.get(f.pos())
           }
           Row.fromSeq(names.zip(types).map {
+            // ASYMMETRY (documented, ADVICE r14): the StringType branch
+            // stringifies ANY writer type (a long read as string yields
+            // "123") — Avro's own promotion convention — while the
+            // numeric branches below null type drift (the TYPE-CHECKED
+            // quarantine). Callers must not assume drift always nulls:
+            // only non-string targets quarantine.
             case (n, StringType) =>
               Option(fld(n)).map(_.toString).orNull
             case (n, t) => fld(n) match {

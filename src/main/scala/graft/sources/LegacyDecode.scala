@@ -91,6 +91,12 @@ object LegacyDecode {
     * those fields — the record reader reuses its writable, so bytes are
     * copied out before the iterator advances, and no exception can
     * escape the per-record decode.
+    *
+    * CONTRACT: readCols(i) is the FILE column id backing schema
+    * field i — the pairing is positional (types.zip(colIds)), so the
+    * two sequences must be the same length and aligned; a reordered
+    * readCols would silently decode the wrong columns (ADVICE r14).
+    * Enforced by the require below.
     */
   def readRcProjected(s: SparkSession, path: String, schema: StructType,
       readCols: Seq[Int], minPartitions: Int = 2): DataFrame = {
@@ -102,6 +108,10 @@ object LegacyDecode {
     readCols.foreach(i => ids.add(i))
     org.apache.hadoop.hive.serde2.ColumnProjectionUtils
       .appendReadColumns(rjc, ids)
+    require(readCols.length == schema.fields.length,
+      s"readRcProjected: readCols (${readCols.length}) must pair 1:1 " +
+        s"with schema fields (${schema.fields.length}) — readCols(i) " +
+        "is the file column backing schema field i")
     val types = schema.fields.map(_.dataType)
     val colIds = readCols.toArray
     val rows = s.sparkContext.hadoopRDD(rjc,

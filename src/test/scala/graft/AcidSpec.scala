@@ -12,8 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class AcidSpec extends AnyFunSuite {
   import SparkTestBase._
 
-  private def freshRoot() = java.nio.file.Files
-    .createTempDirectory("graft-acid-spec").toString + "/t"
+  private def freshRoot() = SparkTestBase.tmpDir("graft-acid-spec").toString + "/t"
 
   test("lifecycle: create, insert, delete, update with snapshot isolation") {
     val root = freshRoot()
@@ -133,7 +132,7 @@ class AcidSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-acid-src")
+    val stageDir = SparkTestBase.tmpDir("graft-acid-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))

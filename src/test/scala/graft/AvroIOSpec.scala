@@ -18,8 +18,7 @@ class AvroIOSpec extends AnyFunSuite {
     ).toDF("id", "s", "d", "i")
       .select(col("id"), col("s"),
         col("d").cast("double").as("d"), col("i").cast("int").as("i"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-avro-test").toString + "/rt"
+    val path = SparkTestBase.tmpDir("graft-avro-test").toString + "/rt"
     AvroIO.write(df.repartition(3), path)
     val back = AvroIO.read(spark, path, df.schema)
     assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)

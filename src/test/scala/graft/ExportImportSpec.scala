@@ -15,7 +15,7 @@ class ExportImportSpec extends AnyFunSuite {
   import SparkTestBase._
 
   private def bundleDir(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_exim_$name").toString
+    SparkTestBase.tmpDir(s"graft_exim_$name").toString
 
   private def norm(dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.types.DataType = {

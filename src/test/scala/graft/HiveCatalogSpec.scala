@@ -21,7 +21,7 @@ class HiveCatalogSpec extends AnyFunSuite {
 
   private def withHiveSession[A](f: SparkSession => A): A = {
     val prev = SparkTestBase.spark // materialize the shared context first
-    val base = java.nio.file.Files.createTempDirectory("graft-hive-cat")
+    val base = SparkTestBase.tmpDir("graft-hive-cat")
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     val hs = try SparkSession.builder()
@@ -30,6 +30,10 @@ class HiveCatalogSpec extends AnyFunSuite {
       .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
+      // scope Hive's session resources dir under the cleaned base —
+      // the default leaves an empty /tmp/<uuid>_resources per session
+      .config("hive.downloaded.resources.dir",
+        s"$base/resources/$${hive.session.id}")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -108,7 +112,7 @@ class HiveCatalogSpec extends AnyFunSuite {
   test("LOAD DATA into a Hive-format table + partitioned overwrite") {
     withHiveSession { hs =>
       // Stage a pipe-delimited text file — the classic LOAD DATA input.
-      val stage = java.nio.file.Files.createTempDirectory("hcat-load")
+      val stage = SparkTestBase.tmpDir("hcat-load")
       val f1 = stage.resolve("batch1.txt")
       java.nio.file.Files.writeString(f1,
         "1|alpha\n2|beta\n3|gamma\n")

@@ -62,8 +62,7 @@ class KllSketchSpec extends AnyFunSuite {
   }
 
   test("persisted per-slice blobs re-union to the exact quantiles") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-kll").toString + "/slices"
+    val dir = SparkTestBase.tmpDir("graft-kll").toString + "/slices"
     // Slice by clerk-ish shard, persist one blob per slice...
     orders.withColumn("shard", pmod(col("o_orderkey"), lit(16)))
       .groupBy("shard")

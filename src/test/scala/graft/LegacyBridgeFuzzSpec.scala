@@ -18,7 +18,7 @@ class LegacyBridgeFuzzSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   private def tmpDir(name: String): String =
-    java.nio.file.Files.createTempDirectory(name).toString + "/data"
+    SparkTestBase.tmpDir(name).toString + "/data"
 
   test("parseLong: total on adversarial strings, exact on well-formed") {
     import sources.LegacyDecode.parseLong

@@ -13,7 +13,7 @@ class OptimizerSpec extends AnyFunSuite {
   import SparkTestBase._
 
   private def tmpDir(name: String): String =
-    java.nio.file.Files.createTempDirectory(name).toString + "/d"
+    SparkTestBase.tmpDir(name).toString + "/d"
 
   test("dynamic partition pruning injects a runtime partition filter") {
     val p = tmpDir("graft-dpp")

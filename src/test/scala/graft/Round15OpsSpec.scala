@@ -78,8 +78,7 @@ class Round15OpsSpec extends AnyFunSuite {
     // still route through coarse cell 0, so exactness must hold)
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-semded-k8").toString
+    val dir = SparkTestBase.tmpDir("graft-semded-k8").toString
     (0L until 10000L).toDF("vec_id")
       .withColumn("label", concat(lit("l"), pmod(col("vec_id"), lit(5))))
       .withColumn("embedding",

@@ -59,7 +59,6 @@ class Round16OpsSpec extends AnyFunSuite {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val byId = vecs.toMap
     val fine = vecs.filter(_._1 < k).sortBy(_._1)
     val coarse = fine.filter(_._1 % 64 == 0)
     assert(coarse.length >= 3, s"need a multi-coarse regime, got ${coarse.length}")
@@ -85,8 +84,7 @@ class Round16OpsSpec extends AnyFunSuite {
     // {0, 64, 128}: three coarse cells, wc=2 probing drops one of them
     // for EVERY vector — the regime sf30 runs in (k ~ 1200).
     val n = 162500L
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-semded-multicoarse").toString
+    val dir = SparkTestBase.tmpDir("graft-semded-multicoarse").toString
     (0L until n).toDF("vec_id")
       .withColumn("label", concat(lit("l"), pmod(col("vec_id"), lit(5))))
       .withColumn("embedding",

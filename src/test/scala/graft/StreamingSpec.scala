@@ -31,12 +31,11 @@ class StreamingSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
+    val stageDir = SparkTestBase.tmpDir("graft-ingest-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft-ingest-sink").toString + "/tbl"
+    val sinkDir = SparkTestBase.tmpDir("graft-ingest-sink").toString + "/tbl"
     val q = spark.readStream.schema(schema).parquet(stageDir.toString)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -73,7 +72,7 @@ class StreamingSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-state-src")
+    val stageDir = SparkTestBase.tmpDir("graft-state-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))
@@ -113,7 +112,7 @@ class StreamingSpec extends AnyFunSuite {
       StructField("value", DoubleType), StructField("props", StringType)))
     // File stream source requires a DIRECTORY: stage the events file
     // into one (this is also the shape of a real ingest drop-zone).
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val stageDir = SparkTestBase.tmpDir("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))
@@ -149,7 +148,7 @@ class StreamingSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-ssj-src")
+    val stageDir = SparkTestBase.tmpDir("graft-ssj-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))
@@ -188,7 +187,7 @@ class StreamingSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-enrich-src")
+    val stageDir = SparkTestBase.tmpDir("graft-enrich-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))
@@ -241,9 +240,9 @@ class StreamingSpec extends AnyFunSuite {
     val base = 1717236000L * 1000000L // 2024-06-01 10:00:00 UTC in epoch µs
     def r(id: Long, minOff: Long): Row =
       Row(id, base + minOff * 60000000L, id, "a", 1.0, "{}")
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-late-src")
+    val stageDir = SparkTestBase.tmpDir("graft-late-src")
     def stage(name: String, order: Int, rows: Seq[Row]): Unit = {
-      val tmpd = java.nio.file.Files.createTempDirectory("graft-late-w")
+      val tmpd = SparkTestBase.tmpDir("graft-late-w")
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), schema)
         .write.mode("overwrite").parquet(tmpd.toString + "/d")
@@ -298,14 +297,13 @@ class StreamingSpec extends AnyFunSuite {
     HiveCompatFunctions.ensure(spark)
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("balance", DoubleType)))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-acid-stream").toString + "/tbl"
+    val root = SparkTestBase.tmpDir("graft-acid-stream").toString + "/tbl"
     AcidTable.create(spark, root, spark.createDataFrame(
       spark.sparkContext.parallelize(
         (1L to 10L).map(i => Row(i, 0.0)), 1), schema))
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-acid-src")
+    val srcDir = SparkTestBase.tmpDir("graft-acid-src")
     def stage(name: String, order: Int, rows: Seq[Row]): Unit = {
-      val tmpd = java.nio.file.Files.createTempDirectory("graft-acid-wr")
+      val tmpd = SparkTestBase.tmpDir("graft-acid-wr")
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
         .write.mode("overwrite").parquet(tmpd.toString + "/d")
       val part = new java.io.File(tmpd.toString + "/d").listFiles()
@@ -364,13 +362,11 @@ class StreamingSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src")
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-ckpt-out").toString + "/tbl"
-    val cpDir = java.nio.file.Files
-      .createTempDirectory("graft-ckpt-cp").toString
+    val srcDir = SparkTestBase.tmpDir("graft-ckpt-src")
+    val outDir = SparkTestBase.tmpDir("graft-ckpt-out").toString + "/tbl"
+    val cpDir = SparkTestBase.tmpDir("graft-ckpt-cp").toString
     def stage(name: String, order: Int, ids: Seq[Long]): Unit = {
-      val tmpd = java.nio.file.Files.createTempDirectory("graft-ckpt-w")
+      val tmpd = SparkTestBase.tmpDir("graft-ckpt-w")
       spark.createDataFrame(
           spark.sparkContext.parallelize(
             ids.map(i => Row(i, i * 1000000L, i, "a", 1.0, "{}")), 1), schema)
@@ -411,7 +407,7 @@ class StreamingSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-dedup-src")
+    val stageDir = SparkTestBase.tmpDir("graft-dedup-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))
@@ -456,7 +452,7 @@ class StreamingSpec extends AnyFunSuite {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val stageDir = java.nio.file.Files.createTempDirectory("graft-rocks-src")
+      val stageDir = SparkTestBase.tmpDir("graft-rocks-src")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         stageDir.resolve("events.parquet"))
@@ -520,7 +516,7 @@ class StreamingSpec extends AnyFunSuite {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val stageDir = java.nio.file.Files.createTempDirectory("graft-tws-src")
+      val stageDir = SparkTestBase.tmpDir("graft-tws-src")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         stageDir.resolve("events.parquet"))

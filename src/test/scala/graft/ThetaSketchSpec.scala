@@ -48,7 +48,7 @@ class ThetaSketchSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stage = java.nio.file.Files.createTempDirectory("graft-theta-src")
+    val stage = SparkTestBase.tmpDir("graft-theta-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stage.resolve("events.parquet"))
@@ -75,8 +75,7 @@ class ThetaSketchSpec extends AnyFunSuite {
     // later rollup is a union of kilobyte blobs — no corpus rescan.
     // Proof: write per-(event_type, day) sketches, read back,
     // theta_union_agg per type, compare against the exact count.
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-sketch-store").toString + "/sk"
+    val dir = SparkTestBase.tmpDir("graft-sketch-store").toString + "/sk"
     ev.withColumn("day", expr("ts_ns div 86400000000000"))
       .groupBy("event_type", "day")
       .agg(expr("theta_sketch_agg(user_id)").as("sk"))

@@ -37,8 +37,7 @@ class ZOrderSpec extends AnyFunSuite {
     val orders = T.t(spark, sfDir, "orders").withColumn("o_day",
       datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
     val total = orders.count()
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_zorder").toString
+    val tmp = SparkTestBase.tmpDir("graft_zorder").toString
     try {
       // Linear layout: clustered by custkey ONLY — the "first access
       // pattern" sort every table already has.
